@@ -1,0 +1,43 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver-provided parquet star schema (TESTDATA.md).
+  *
+  * Plays the role of the reference's 3-part Snowflake names
+  * (`kin-data-pipeline/execute_snowflake_load.py:34`, SURVEY.md §2.1 S1):
+  * every model resolves its inputs here instead of embedding paths.
+  *
+  * Scale notes: parquet scans go through Spark's vectorized reader; all
+  * filters/projections applied downstream of these loaders are pushed into
+  * the scan by Catalyst (verify via `.explain` → `PushedFilters`/
+  * `ReadSchema`). At 100 TB these would be partitioned/bucketed table
+  * locations; the loader shape (one path per logical table) is unchanged.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench session builders). Normalize to a microsecond timestamp
+    * here so every model sees a plain TimestampType column.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else raw
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

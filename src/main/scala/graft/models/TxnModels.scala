@@ -1,0 +1,90 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Transaction-fact models: the engine's analog of the reference's
+  * `kin_main_warehouse` fact layer + `metabase_mart` daily summaries,
+  * re-expressed over the driver's `events` table
+  * (mapping in /root/repo/FIXTURES.md §B).
+  *
+  * Reference semantics reproduced (SURVEY.md §2 op IDs cited per method):
+  *  - fact cleanup = dedupe + status filter + typecast + null→0 app key
+  *    (`fact_kin_transaction.sql:5,18-50`)
+  *  - daily summary = per-(day,type) count/sum/avg/median + constant fee
+  *    (`daily_kin_transactions.sql:9-29` incl. the literal
+  *    `sum(0.00001::NUMERIC(38,10))` fee quirk at line 12)
+  *
+  * Scale design: every model here is a single narrow scan → hash aggregate.
+  * The `event_type != 'error'` filter and the column pruning reach the
+  * parquet scan (PushedFilters); aggregates are partial+final (map-side
+  * combine) so the only shuffle is by the (low-cardinality) group key.
+  */
+object TxnModels {
+  val Amount: DecimalType = DecimalType(18, 2)
+
+  /** Decimal(24,6) canonical rounding for ratio-valued outputs: both Spark
+    * and the DuckDB oracle compute the ratio in double, round(…,6), and
+    * quantize — the only cross-engine-stable formulation (DuckDB promotes
+    * decimal division and avg to DOUBLE).
+    */
+  def ratio6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c, 6).cast(DecimalType(24, 6))
+
+  /** q01: cleaned transaction fact. Ops: A6 (dedupe), P1 (project/rename),
+    * P2 (status filter), casts, null→0 app_id (§1.2).
+    */
+  def factTxn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.catalog.Tables.events(spark, sfDir)
+      .dropDuplicates("event_id") // upstream may duplicate (fact_kin_transaction.sql:2-5)
+      .filter($"event_type" =!= "error") // status='Ok' analog
+      .select(
+        to_date($"ts").as("date_key"),
+        $"event_id",
+        $"user_id".as("wallet_id"),
+        $"event_type".as("txn_type"),
+        $"value".cast(Amount).as("amount"),
+        coalesce(get_json_object($"props", "$.k").cast(IntegerType), lit(0))
+          .as("app_id"))
+  }
+
+  val factTxnOracle: String =
+    """SELECT cast(ts AS DATE) AS date_key, event_id, user_id AS wallet_id,
+      |       event_type AS txn_type, cast(value AS DECIMAL(18,2)) AS amount,
+      |       coalesce(cast(json_extract_string(props,'$.k') AS INTEGER), 0) AS app_id
+      |FROM events WHERE event_type <> 'error'""".stripMargin
+
+  /** q02 (flagship): daily per-type summary. Ops: A1 (grouped sum/count),
+    * A2 (avg), A3 (exact median), constant-fee quirk
+    * (`daily_kin_transactions.sql:12`).
+    */
+  def dailyTxnSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    factTxn(spark, sfDir)
+      .groupBy($"date_key", $"txn_type")
+      .agg(
+        count(lit(1)).as("txn_count"),
+        sum($"amount").cast(DecimalType(38, 2)).as("total_amount"),
+        ratio6(sum($"amount").cast(DoubleType) / count(lit(1)))
+          .as("avg_amount"),
+        ratio6(percentile($"amount".cast(DoubleType), lit(0.5)))
+          .as("median_amount"),
+        sum(lit(new java.math.BigDecimal("0.00001")).cast(DecimalType(38, 10)))
+          .as("total_fees"))
+  }
+
+  val dailyTxnSummaryOracle: String =
+    """WITH fact AS (
+      |  SELECT cast(ts AS DATE) AS date_key, event_type AS txn_type,
+      |         cast(value AS DECIMAL(18,2)) AS amount
+      |  FROM events WHERE event_type <> 'error')
+      |SELECT date_key, txn_type,
+      |       count(*) AS txn_count,
+      |       cast(sum(amount) AS DECIMAL(38,2)) AS total_amount,
+      |       cast(round(cast(sum(amount) AS DOUBLE)/count(*), 6) AS DECIMAL(24,6)) AS avg_amount,
+      |       cast(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cast(amount AS DOUBLE)), 6) AS DECIMAL(24,6)) AS median_amount,
+      |       sum(cast(0.00001 AS DECIMAL(38,10))) AS total_fees
+      |FROM fact GROUP BY date_key, txn_type""".stripMargin
+}
