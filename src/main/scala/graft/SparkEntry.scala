@@ -18,6 +18,29 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_fact_txn" -> (TxnModels.factTxn _),
     "q02_daily_txn_summary" -> (TxnModels.dailyTxnSummary _),
+    "q03_daily_distinct_wallets" -> (ActivityModels.dailyDistinctWallets _),
+    "q04_amount_histogram" -> (ActivityModels.amountHistogram _),
+    "q05_app_summary_dim" -> (PayoutModels.appSummaryDim _),
+    "q06_wallet_day_join" -> (PayoutModels.walletDayJoin _),
+    "q07_daily_active_union" -> (ActivityModels.dailyActiveUnion _),
+    "q08_union_all_balances" -> (TpchModels.unionAllBalances _),
+    "q09_weekly_txn_rollup" -> (PayoutModels.periodTxnRollup("week") _),
+    "q10_monthly_txn_rollup" -> (PayoutModels.periodTxnRollup("month") _),
+    "q11_top_apps_daily" -> (PayoutModels.topAppsDaily _),
+    "q12_latest_wallet_state" -> (ActivityModels.latestWalletState _),
+    "q13_semi_join_high_balance" -> (TpchModels.semiJoinHighBalance _),
+    "q14_anti_join_inactive" -> (TpchModels.antiJoinInactive _),
+    "q15_churn_30d" -> (ActivityModels.churn30d _),
+    "q16_rolling_7d_active" -> (ActivityModels.rolling7dActive _),
+    "q17_rolling_30d_price" -> (TpchModels.rolling30dPrice _),
+    "q18_daily_delta" -> (ActivityModels.dailyDelta _),
+    "q19_closing_balance" -> (ActivityModels.closingBalance _),
+    "q20_daily_wide_summary" -> (TpchModels.dailyWideSummary _),
+    "q21_having_frequent_buyers" -> (TpchModels.havingFrequentBuyers _),
+    "q22_capped_app_balance" -> (PayoutModels.cappedAppBalance _),
+    "q23_weekly_top_apps_json" -> (PayoutModels.weeklyTopAppsJson _),
+    "q24_market_summary" -> (TpchModels.marketSummary _),
+    "q25_creates_by_segment" -> (TpchModels.createsBySegment _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +48,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_fact_txn" -> TxnModels.factTxnOracle,
     "q02_daily_txn_summary" -> TxnModels.dailyTxnSummaryOracle,
+    "q03_daily_distinct_wallets" -> ActivityModels.dailyDistinctWalletsOracle,
+    "q04_amount_histogram" -> ActivityModels.amountHistogramOracle,
+    "q05_app_summary_dim" -> PayoutModels.appSummaryDimOracle,
+    "q06_wallet_day_join" -> PayoutModels.walletDayJoinOracle,
+    "q07_daily_active_union" -> ActivityModels.dailyActiveUnionOracle,
+    "q08_union_all_balances" -> TpchModels.unionAllBalancesOracle,
+    "q09_weekly_txn_rollup" -> PayoutModels.periodTxnRollupOracle("week"),
+    "q10_monthly_txn_rollup" -> PayoutModels.periodTxnRollupOracle("month"),
+    "q11_top_apps_daily" -> PayoutModels.topAppsDailyOracle,
+    "q12_latest_wallet_state" -> ActivityModels.latestWalletStateOracle,
+    "q13_semi_join_high_balance" -> TpchModels.semiJoinHighBalanceOracle,
+    "q14_anti_join_inactive" -> TpchModels.antiJoinInactiveOracle,
+    "q15_churn_30d" -> ActivityModels.churn30dOracle,
+    "q16_rolling_7d_active" -> ActivityModels.rolling7dActiveOracle,
+    "q17_rolling_30d_price" -> TpchModels.rolling30dPriceOracle,
+    "q18_daily_delta" -> ActivityModels.dailyDeltaOracle,
+    "q19_closing_balance" -> ActivityModels.closingBalanceOracle,
+    "q20_daily_wide_summary" -> TpchModels.dailyWideSummaryOracle,
+    "q21_having_frequent_buyers" -> TpchModels.havingFrequentBuyersOracle,
+    "q22_capped_app_balance" -> PayoutModels.cappedAppBalanceOracle,
+    "q23_weekly_top_apps_json" -> PayoutModels.weeklyTopAppsJsonOracle,
+    "q24_market_summary" -> TpchModels.marketSummaryOracle,
+    "q25_creates_by_segment" -> TpchModels.createsBySegmentOracle,
   )
 }

@@ -1,0 +1,278 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Activity / balance models: analogs of the reference's active-accounts,
+  * churn, and closing-balance families (SURVEY.md §2.11), over `events`.
+  *
+  * Scale notes per model are in each method's doc. General shape: dedupe
+  * and pre-aggregate BEFORE any explode/join so the shuffled volume is the
+  * distinct-key volume, not the raw event volume.
+  */
+object ActivityModels {
+  import TxnModels.{factTxn, ratio6, Amount}
+
+  /** q03: per-day distinct wallets + txn count. Ops: A5 exact
+    * count-distinct (`daily_kin_blocks.sql:5`), A1.
+    * Scale: count_distinct expands then two-phase aggregates; the group key
+    * (date) is low-cardinality so AQE coalesces post-shuffle partitions.
+    */
+  def dailyDistinctWallets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    factTxn(spark, sfDir)
+      .groupBy($"date_key")
+      .agg(
+        countDistinct($"wallet_id").as("active_wallets"),
+        count(lit(1)).as("txn_count"))
+  }
+
+  val dailyDistinctWalletsOracle: String =
+    """SELECT cast(ts AS DATE) AS date_key,
+      |       count(DISTINCT user_id) AS active_wallets,
+      |       count(*) AS txn_count
+      |FROM events WHERE event_type <> 'error' GROUP BY 1""".stripMargin
+
+  /** q04: histogram of txn counts by amount bucket. Ops: A11 CASE-bucket +
+    * count (`daily_kin_transaction_counts_by_amount.sql:4-25`).
+    */
+  def amountHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = when($"amount" < 10, "p00_10")
+      .when($"amount" < 50, "p10_50")
+      .when($"amount" < 100, "p50_100")
+      .when($"amount" < 200, "p100_200")
+      .otherwise("p200_plus")
+    factTxn(spark, sfDir)
+      .groupBy($"date_key", bucket.as("amount_bucket"))
+      .agg(count(lit(1)).as("txn_count"),
+        sum($"amount").cast(DecimalType(38, 2)).as("total_amount"))
+  }
+
+  val amountHistogramOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key,
+      |                     cast(value AS DECIMAL(18,2)) AS amount
+      |              FROM events WHERE event_type <> 'error')
+      |SELECT date_key,
+      |       CASE WHEN amount < 10 THEN 'p00_10'
+      |            WHEN amount < 50 THEN 'p10_50'
+      |            WHEN amount < 100 THEN 'p50_100'
+      |            WHEN amount < 200 THEN 'p100_200'
+      |            ELSE 'p200_plus' END AS amount_bucket,
+      |       count(*) AS txn_count,
+      |       cast(sum(amount) AS DECIMAL(38,2)) AS total_amount
+      |FROM fact GROUP BY 1, 2""".stripMargin
+
+  /** q07: daily active users as spenders ∪ earners with SQL `UNION`
+    * (distinct) semantics. Ops: U1 (`daily_active_accounts_app.sql:42`),
+    * A5. The union is deduped per (date, wallet) before counting —
+    * map-side `distinct` keeps the shuffle at distinct-pair volume.
+    */
+  def dailyActiveUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = factTxn(spark, sfDir)
+    val spenders = fact.filter($"txn_type" === "purchase")
+      .select($"date_key", $"wallet_id")
+    val earners = fact.filter($"txn_type" === "signup")
+      .select($"date_key", $"wallet_id")
+    spenders.union(earners).distinct() // SQL UNION ≡ union + dedupe
+      .groupBy($"date_key")
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  val dailyActiveUnionOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
+      |                     event_type AS txn_type
+      |              FROM events WHERE event_type <> 'error'),
+      |active AS (
+      |  SELECT date_key, wallet_id FROM fact WHERE txn_type = 'purchase'
+      |  UNION
+      |  SELECT date_key, wallet_id FROM fact WHERE txn_type = 'signup')
+      |SELECT date_key, count(*) AS active_users FROM active GROUP BY 1""".stripMargin
+
+  /** q12: latest per-wallet daily state via `dense_rank() over
+    * (partition by wallet order by date desc) = 1`. Ops: W2, W3
+    * (`multi_create_impacted_accounts.sql:27`).
+    */
+  def latestWalletState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = factTxn(spark, sfDir)
+      .groupBy($"wallet_id", $"date_key")
+      .agg(sum($"amount").cast(DecimalType(38, 2)).as("daily_total"))
+    val w = Window.partitionBy($"wallet_id").orderBy($"date_key".desc)
+    daily.withColumn("rk", dense_rank().over(w))
+      .filter($"rk" === 1)
+      .select($"wallet_id", $"date_key".as("latest_date"), $"daily_total")
+  }
+
+  val latestWalletStateOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id AS wallet_id, cast(ts AS DATE) AS date_key,
+      |         cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS daily_total
+      |  FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+      |ranked AS (SELECT *, dense_rank() OVER (PARTITION BY wallet_id ORDER BY date_key DESC) AS rk
+      |           FROM daily)
+      |SELECT wallet_id, date_key AS latest_date, daily_total
+      |FROM ranked WHERE rk = 1""".stripMargin
+
+  /** q15: churn — customers with an order at d and no order in (d, d+30],
+    * gated 30 days behind the data edge. Ops: J5 forward-range anti join
+    * (`daily_churn_volume.sql:43-48`), P3-style closed-period gate.
+    *
+    * Scale: the anti join keeps the `o_custkey` equi key so Spark plans a
+    * shuffled hash/SMJ anti join with the range as residual — never a
+    * nested-loop. Input is pre-deduped to distinct (cust, day).
+    */
+  def churn30d(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custDays = graft.catalog.Tables.orders(spark, sfDir)
+      .select($"o_custkey".as("cust_id"), to_date($"o_orderdate").as("date_key"))
+      .distinct()
+    val maxDay = custDays.agg(max($"date_key").as("max_date"))
+    val gated = custDays.crossJoin(broadcast(maxDay))
+      .filter($"date_key" <= date_sub($"max_date", 30))
+      .select($"cust_id", $"date_key")
+    val next = custDays
+      .select($"cust_id".as("n_cust"), $"date_key".as("n_date"))
+    gated.join(next,
+        $"cust_id" === $"n_cust" && $"n_date" > $"date_key" &&
+          $"n_date" <= date_add($"date_key", 30),
+        "left_anti")
+      .groupBy($"date_key")
+      .agg(count(lit(1)).as("churned_customers"))
+  }
+
+  val churn30dOracle: String =
+    """WITH cd AS (SELECT DISTINCT o_custkey AS cust_id, cast(o_orderdate AS DATE) AS date_key
+      |            FROM orders),
+      |gated AS (SELECT * FROM cd WHERE date_key <= (SELECT max(date_key) FROM cd) - 30)
+      |SELECT g.date_key, count(*) AS churned_customers
+      |FROM gated g LEFT JOIN cd n
+      |  ON n.cust_id = g.cust_id AND n.date_key > g.date_key
+      | AND n.date_key <= g.date_key + 30
+      |WHERE n.cust_id IS NULL
+      |GROUP BY 1""".stripMargin
+
+  /** q16: rolling 7-day distinct actives per day. Ops: J4 range join,
+    * realized with the explode-to-equi rewrite (SURVEY.md §2.3 J4 (b)):
+    * each distinct (day, wallet) pair is exploded to the ≤7 anchor days it
+    * serves, then a plain hash aggregate counts distincts per anchor.
+    *
+    * Scale: explode factor is bounded (×7) and applied AFTER dedupe, so
+    * shuffle volume is 7×|distinct pairs| — linear, no O(n·m) range BNLJ.
+    * Anchors are restricted to days present via a broadcast semi join.
+    */
+  def rolling7dActive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = factTxn(spark, sfDir)
+      .select($"date_key", $"wallet_id").distinct()
+    val days = pairs.select($"date_key").distinct()
+      .withColumnRenamed("date_key", "anchor_date")
+    pairs
+      .withColumn("anchor_date",
+        explode(sequence($"date_key", date_add($"date_key", 6))))
+      .join(broadcast(days), Seq("anchor_date"), "left_semi")
+      .groupBy($"anchor_date".as("date_key"))
+      .agg(countDistinct($"wallet_id").as("active_wallets_7d"))
+  }
+
+  val rolling7dActiveOracle: String =
+    """WITH pairs AS (SELECT DISTINCT cast(ts AS DATE) AS date_key, user_id AS wallet_id
+      |               FROM events WHERE event_type <> 'error'),
+      |days AS (SELECT DISTINCT date_key FROM pairs)
+      |SELECT d.date_key, count(DISTINCT p.wallet_id) AS active_wallets_7d
+      |FROM days d JOIN pairs p
+      |  ON p.date_key BETWEEN d.date_key - 6 AND d.date_key
+      |GROUP BY 1""".stripMargin
+
+  /** q18: day-over-day delta + Inflation/Contraction classification.
+    * Ops: J8 prev-day self-join expressed as `lag` (SURVEY.md §2.5 note on
+    * `daily_net_inflation.sql:54`), A9 CASE over agg aliases.
+    *
+    * Scale: the lag window is unpartitioned but runs over one row per day
+    * (post-aggregate), so the single-partition sort is bounded by calendar
+    * size, not data size.
+    */
+  def dailyDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = factTxn(spark, sfDir)
+      .groupBy($"date_key")
+      .agg(sum($"amount").cast(DecimalType(38, 2)).as("total_amount"))
+    val w = Window.orderBy($"date_key")
+    val delta = ($"total_amount" - lag($"total_amount", 1).over(w))
+      .cast(DecimalType(38, 2))
+    daily
+      .withColumn("prev_delta", delta)
+      .withColumn("direction",
+        when($"prev_delta".isNull, "Unknown")
+          .when($"prev_delta" > 0, "Inflation")
+          .otherwise("Contraction"))
+  }
+
+  val dailyDeltaOracle: String =
+    """WITH daily AS (
+      |  SELECT cast(ts AS DATE) AS date_key,
+      |         cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_amount
+      |  FROM events WHERE event_type <> 'error' GROUP BY 1)
+      |SELECT date_key, total_amount,
+      |       cast(total_amount - lag(total_amount) OVER (ORDER BY date_key) AS DECIMAL(38,2)) AS prev_delta,
+      |       CASE WHEN lag(total_amount) OVER (ORDER BY date_key) IS NULL THEN 'Unknown'
+      |            WHEN total_amount - lag(total_amount) OVER (ORDER BY date_key) > 0 THEN 'Inflation'
+      |            ELSE 'Contraction' END AS direction
+      |FROM daily""".stripMargin
+
+  /** q19: closing balance per wallet per day. Ops: J9 disjunctive
+    * from-or-to join, realized with the unpivot-then-equi rewrite
+    * (SURVEY.md §2.3 J9): each event contributes a from-side and a derived
+    * to-side balance observation; last touch per (wallet, day) wins, with
+    * a total deterministic tie-break (ts, event_id, side). A4 max-style.
+    *
+    * Scale: unpivot doubles rows, then ONE window shuffle on
+    * (wallet, day) — vs. the reference's OR-join which degrades to a
+    * nested loop. Row_number (not max-struct) keeps it whole-stage-codegen.
+    */
+  def closingBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.catalog.Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error")
+      .select($"ts", $"event_id", $"user_id",
+        coalesce(get_json_object($"props", "$.k").cast(IntegerType), lit(0))
+          .as("app_k"),
+        $"value")
+    val fromSide = ev.select(to_date($"ts").as("date_key"), $"ts", $"event_id",
+      $"user_id".as("wallet_id"),
+      $"value".cast(Amount).as("balance"), lit("from").as("side"))
+    val toSide = ev.select(to_date($"ts").as("date_key"), $"ts", $"event_id",
+      (($"user_id" + $"app_k") % 15).as("wallet_id"),
+      ($"value" / 2).cast(Amount).as("balance"), lit("to").as("side"))
+    val w = Window.partitionBy($"wallet_id", $"date_key")
+      .orderBy($"ts".desc, $"event_id".desc, $"side".desc)
+    fromSide.union(toSide)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"date_key", $"wallet_id", $"balance".as("closing_balance"))
+  }
+
+  val closingBalanceOracle: String =
+    """WITH ev AS (SELECT ts, event_id, user_id,
+      |                   coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_k,
+      |                   value
+      |            FROM events WHERE event_type <> 'error'),
+      |txn AS (
+      |  SELECT cast(ts AS DATE) AS date_key, ts, event_id,
+      |         user_id AS wallet_id, cast(value AS DECIMAL(18,2)) AS balance,
+      |         'from' AS side
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT cast(ts AS DATE), ts, event_id,
+      |         (user_id + app_k) % 15, cast(value/2 AS DECIMAL(18,2)), 'to'
+      |  FROM ev),
+      |ranked AS (SELECT *, row_number() OVER (
+      |             PARTITION BY wallet_id, date_key
+      |             ORDER BY ts DESC, event_id DESC, side DESC) AS rn
+      |           FROM txn)
+      |SELECT date_key, wallet_id, balance AS closing_balance
+      |FROM ranked WHERE rn = 1""".stripMargin
+}

@@ -1,0 +1,209 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Payout / ranking / rollup models: analogs of the reference's KRE
+  * economics layer (`daily_kin_payout.sql`, `weekly_kre_payout_summary.sql`)
+  * and the weekly/monthly re-aggregation family (SURVEY.md §2.11).
+  */
+object PayoutModels {
+  import TxnModels.{factTxn, ratio6}
+
+  /** q05: per-(day, app) summary decorated with the app dimension.
+    * Ops: J3 left dim-lookup join with explicit broadcast
+    * (`daily_kin_transactions.sql:99`), A1, null→'UNKNOWN' coalesce.
+    * `nation` stands in for `dim_kin_app` (FIXTURES.md §B).
+    *
+    * Scale: aggregate FIRST (shuffle on the group key), then broadcast-join
+    * the 25-row dim — the fact table is never shuffled for the join.
+    */
+  def appSummaryDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = graft.catalog.Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+    factTxn(spark, sfDir)
+      .groupBy($"date_key", $"app_id")
+      .agg(count(lit(1)).as("txn_count"),
+        sum($"amount").cast(DecimalType(38, 2)).as("total_amount"))
+      .join(broadcast(dim), $"app_id" === $"n_nationkey", "left")
+      .select($"date_key", $"app_id",
+        coalesce($"n_name", lit("UNKNOWN")).as("app_name"),
+        $"txn_count", $"total_amount")
+  }
+
+  val appSummaryDimOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key,
+      |                     coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_id,
+      |                     cast(value AS DECIMAL(18,2)) AS amount
+      |              FROM events WHERE event_type <> 'error'),
+      |agg AS (SELECT date_key, app_id, count(*) AS txn_count,
+      |               cast(sum(amount) AS DECIMAL(38,2)) AS total_amount
+      |        FROM fact GROUP BY 1, 2)
+      |SELECT a.date_key, a.app_id, coalesce(n.n_name, 'UNKNOWN') AS app_name,
+      |       a.txn_count, a.total_amount
+      |FROM agg a LEFT JOIN nation n ON a.app_id = n.n_nationkey""".stripMargin
+
+  /** q06: composite-key join of spend-side and total-side per-wallet daily
+    * aggregates. Ops: J2 equi join on (date_key, wallet_id)
+    * (`daily_active_user_balance_by_app.sql:58-59`).
+    * Scale: both sides aggregate to the same key before the join, so AQE
+    * can pick a single co-partitioned exchange.
+    */
+  def walletDayJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = factTxn(spark, sfDir)
+    val total = fact.groupBy($"date_key", $"wallet_id")
+      .agg(count(lit(1)).as("txn_count"))
+    val spend = fact.filter($"txn_type" === "purchase")
+      .groupBy($"date_key", $"wallet_id")
+      .agg(count(lit(1)).as("spend_count"),
+        sum($"amount").cast(DecimalType(38, 2)).as("spend_amount"))
+    total.join(spend, Seq("date_key", "wallet_id"))
+  }
+
+  val walletDayJoinOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
+      |                     event_type AS txn_type, cast(value AS DECIMAL(18,2)) AS amount
+      |              FROM events WHERE event_type <> 'error'),
+      |total AS (SELECT date_key, wallet_id, count(*) AS txn_count FROM fact GROUP BY 1,2),
+      |spend AS (SELECT date_key, wallet_id, count(*) AS spend_count,
+      |                 cast(sum(amount) AS DECIMAL(38,2)) AS spend_amount
+      |          FROM fact WHERE txn_type = 'purchase' GROUP BY 1,2)
+      |SELECT t.date_key, t.wallet_id, t.txn_count, s.spend_count, s.spend_amount
+      |FROM total t JOIN spend s
+      |  ON s.date_key = t.date_key AND s.wallet_id = t.wallet_id""".stripMargin
+
+  /** q09/q10: weekly/monthly re-aggregation of the daily summary —
+    * the reference's `weekly_kin_transactions.sql` / `monthly_…` pattern
+    * (A1 regroup via `date_trunc`). Avg is recomputed from sums, never
+    * averaged-of-averages.
+    */
+  def periodTxnRollup(unit: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    factTxn(spark, sfDir)
+      .groupBy(date_trunc(unit, $"date_key").cast(DateType).as("period_key"),
+        $"txn_type")
+      .agg(count(lit(1)).as("txn_count"),
+        sum($"amount").cast(DecimalType(38, 2)).as("total_amount"),
+        ratio6(sum($"amount").cast(DoubleType) / count(lit(1)))
+          .as("avg_amount"))
+  }
+
+  def periodTxnRollupOracle(unit: String): String =
+    s"""WITH fact AS (SELECT cast(ts AS DATE) AS date_key, event_type AS txn_type,
+       |                     cast(value AS DECIMAL(18,2)) AS amount
+       |              FROM events WHERE event_type <> 'error')
+       |SELECT cast(date_trunc('$unit', date_key) AS DATE) AS period_key, txn_type,
+       |       count(*) AS txn_count,
+       |       cast(sum(amount) AS DECIMAL(38,2)) AS total_amount,
+       |       cast(round(cast(sum(amount) AS DOUBLE)/count(*), 6) AS DECIMAL(24,6)) AS avg_amount
+       |FROM fact GROUP BY 1, 2""".stripMargin
+
+  /** q11: top-3 apps by daily payout via dense_rank. Ops: W1 ranking
+    * window (`daily_kin_payout.sql:30`), W3 rank-filter top-k
+    * (`weekly_kre_payout_summary.sql:33`). dense_rank (not row_number) so
+    * value ties rank identically in both engines.
+    */
+  def topAppsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payout = factTxn(spark, sfDir)
+      .filter($"txn_type" === "purchase")
+      .groupBy($"date_key", $"app_id")
+      .agg(sum($"amount").cast(DecimalType(38, 2)).as("payout"))
+    val w = Window.partitionBy($"date_key").orderBy($"payout".desc)
+    payout.withColumn("payout_rank", dense_rank().over(w))
+      .filter($"payout_rank" <= 3)
+  }
+
+  val topAppsDailyOracle: String =
+    """WITH payout AS (
+      |  SELECT cast(ts AS DATE) AS date_key,
+      |         coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_id,
+      |         cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS payout
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT date_key, app_id, payout,
+      |       cast(dense_rank() OVER (PARTITION BY date_key ORDER BY payout DESC) AS BIGINT) AS payout_rank
+      |FROM payout QUALIFY payout_rank <= 3""".stripMargin
+
+  /** q22: capped aggregate outputs — `capped_aub = least(aub, au*cap)` +
+    * CASE classification over agg aliases. Ops: A9
+    * (`daily_active_user_balance_by_app.sql:61-76`), lateral-alias
+    * expansion done by binding the expression once (SURVEY.md §2.8).
+    */
+  def cappedAppBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = factTxn(spark, sfDir)
+      .groupBy($"date_key", $"app_id")
+      .agg(countDistinct($"wallet_id").as("active_users"),
+        sum($"amount").cast(DecimalType(38, 2)).as("aub"))
+    // lateral alias `cap` expanded by binding to a val (Snowflake lets the
+    // SELECT reference it; Spark needs the expression inlined)
+    val cap = ($"active_users" * 100).cast(DecimalType(38, 2))
+    agg
+      .withColumn("capped_aub", least($"aub", cap))
+      .withColumn("cap_state",
+        when($"aub" > cap, "Capped").otherwise("Uncapped"))
+  }
+
+  val cappedAppBalanceOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key,
+      |                     coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_id,
+      |                     user_id, cast(value AS DECIMAL(18,2)) AS amount
+      |              FROM events WHERE event_type <> 'error'),
+      |agg AS (SELECT date_key, app_id,
+      |               count(DISTINCT user_id) AS active_users,
+      |               cast(sum(amount) AS DECIMAL(38,2)) AS aub
+      |        FROM fact GROUP BY 1, 2)
+      |SELECT date_key, app_id, active_users, aub,
+      |       least(aub, cast(active_users * 100 AS DECIMAL(38,2))) AS capped_aub,
+      |       CASE WHEN aub > cast(active_users * 100 AS DECIMAL(38,2))
+      |            THEN 'Capped' ELSE 'Uncapped' END AS cap_state
+      |FROM agg""".stripMargin
+
+  /** q23: weekly top-3 apps serialized as a JSON array. Ops: A10
+    * `array_agg(object_construct(…))` + `to_json`
+    * (`weekly_kre_payout_summary.sql:25-31,39`), W1/W3.
+    * JSON is built by explicit string concatenation in BOTH engines so the
+    * byte output is deterministic (collect_list ordering is not —
+    * SURVEY.md §2.4 A10 — hence the sort before serializing).
+    */
+  def weeklyTopAppsJson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = factTxn(spark, sfDir)
+      .filter($"txn_type" === "purchase")
+      .groupBy(date_trunc("week", $"date_key").cast(DateType).as("week_key"),
+        $"app_id")
+      .agg(sum($"amount").cast(DecimalType(38, 2)).as("payout"))
+    val w = Window.partitionBy($"week_key").orderBy($"payout".desc)
+    weekly.withColumn("rk", dense_rank().over(w))
+      .filter($"rk" <= 3)
+      .groupBy($"week_key")
+      .agg(
+        sum($"payout").cast(DecimalType(38, 2)).as("top_payout_total"),
+        concat(lit("["),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"rk", $"app_id", $"payout"))),
+              x => concat(lit("{\"app_id\":"), x("app_id").cast(StringType),
+                lit(",\"payout\":"), x("payout").cast(StringType), lit("}"))),
+            ","),
+          lit("]")).as("top_apps_json"))
+  }
+
+  val weeklyTopAppsJsonOracle: String =
+    """WITH weekly AS (
+      |  SELECT cast(date_trunc('week', cast(ts AS DATE)) AS DATE) AS week_key,
+      |         coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_id,
+      |         cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS payout
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |ranked AS (SELECT *, dense_rank() OVER (PARTITION BY week_key ORDER BY payout DESC) AS rk
+      |           FROM weekly QUALIFY rk <= 3)
+      |SELECT week_key,
+      |       cast(sum(payout) AS DECIMAL(38,2)) AS top_payout_total,
+      |       '[' || string_agg('{"app_id":' || app_id || ',"payout":' || payout || '}',
+      |                         ',' ORDER BY rk, app_id, payout) || ']' AS top_apps_json
+      |FROM ranked GROUP BY week_key""".stripMargin
+}

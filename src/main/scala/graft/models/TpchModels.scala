@@ -1,0 +1,276 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Order/lineitem/customer models: the join-heavy half of the operator
+  * inventory (SURVEY.md §2.3, §2.4), mapped onto the TPC-H-ish tables
+  * (`orders` = account creations, `customer` = wallets — FIXTURES.md §B).
+  */
+object TpchModels {
+  import TxnModels.ratio6
+  import graft.catalog.Tables
+
+  private val Money = DecimalType(18, 2)
+
+  /** q08: avg of from-side/to-side balances with `UNION ALL` (keep-both)
+    * semantics. Ops: U2 (`average_account_balance_per_day.sql:28`), A2.
+    */
+  def unionAllBalances(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    // price and discount are exact 2-dp values; doing the (1-d) multiply in
+    // decimal keeps the product exact at scale 4 — double arithmetic here
+    // would round differently in Spark (HALF_UP) vs DuckDB (half-even).
+    val sideA = li.select(to_date($"l_shipdate").as("date_key"),
+      $"l_extendedprice".cast(Money).cast(DecimalType(24, 4)).as("balance"))
+    val sideB = li.select(to_date($"l_shipdate").as("date_key"),
+      ($"l_extendedprice".cast(Money) *
+        (lit(1d) - $"l_discount").cast(DecimalType(4, 2)))
+        .cast(DecimalType(24, 4)).as("balance"))
+    sideA.union(sideB) // UNION ALL: no dedupe
+      .groupBy($"date_key")
+      .agg(count(lit(1)).as("obs_count"),
+        sum($"balance").as("bal_sum"))
+      // exact portable average: integer floor-division in micros — round()
+      // on a double quotient tie-breaks differently across engines when the
+      // scale-4 sums divide evenly (observed at sf0.01).
+      .withColumn("avg_balance",
+        (expr("cast(bal_sum * 1000000 as bigint) div obs_count")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .select($"date_key", $"obs_count", $"avg_balance")
+  }
+
+  val unionAllBalancesOracle: String =
+    """WITH sides AS (
+      |  SELECT cast(l_shipdate AS DATE) AS date_key,
+      |         cast(cast(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS balance
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT cast(l_shipdate AS DATE),
+      |         cast(cast(l_extendedprice AS DECIMAL(18,2)) *
+      |              cast(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(24,4))
+      |  FROM lineitem)
+      |SELECT date_key, count(*) AS obs_count,
+      |       cast((cast(sum(balance) * 1000000 AS BIGINT) // count(*)) *
+      |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS avg_balance
+      |FROM sides GROUP BY 1""".stripMargin
+
+  /** q13: orders restricted to high-balance customers via `IN (subquery)`.
+    * Ops: J6 semi join (`multi_create_impacted_accounts.sql:17,29,42`).
+    * Scale: the subquery side is small after its filter → Spark broadcasts
+    * the semi-join build side; no full shuffle of `orders`.
+    */
+  def semiJoinHighBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rich = Tables.customer(spark, sfDir)
+      .filter($"c_acctbal" > 5000)
+      .select($"c_custkey")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(rich), $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy(to_date($"o_orderdate").as("date_key"))
+      .agg(count(lit(1)).as("order_count"),
+        sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
+          .as("total_price"))
+  }
+
+  val semiJoinHighBalanceOracle: String =
+    """SELECT cast(o_orderdate AS DATE) AS date_key,
+      |       count(*) AS order_count,
+      |       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |GROUP BY 1""".stripMargin
+
+  /** q14: customers with no order on/after a cutoff — `NOT IN (subquery)`
+    * encoded as a null-safe anti join. Ops: J7
+    * (`monthly_inactive_wallets.sql:30`; null-safety note SURVEY.md §7.4.6).
+    */
+  def antiJoinInactive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recent = Tables.orders(spark, sfDir)
+      .filter(to_date($"o_orderdate") >= lit("2000-01-01"))
+      .select($"o_custkey")
+    Tables.customer(spark, sfDir)
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("inactive_customers"),
+        sum($"c_acctbal".cast(Money)).cast(DecimalType(38, 2))
+          .as("stranded_balance"))
+  }
+
+  val antiJoinInactiveOracle: String =
+    """SELECT c_mktsegment,
+      |       count(*) AS inactive_customers,
+      |       cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS stranded_balance
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE cast(o_orderdate AS DATE) >= DATE '2000-01-01')
+      |GROUP BY 1""".stripMargin
+
+  /** q17: 30-day rolling average of the daily mean unit price. Ops: J4
+    * rolling lookback realized as a `rangeBetween` window over the daily
+    * aggregate (SURVEY.md §2.3 J4, §2.5 note) — windowable because the
+    * anchor set equals the partition's own dates.
+    *
+    * Scale: the window runs on one row per day (post-agg), so the
+    * unpartitioned range frame is calendar-bounded. The heavy lifting
+    * (raw → daily) is an ordinary hash aggregate.
+    */
+  def rolling30dPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.lineitem(spark, sfDir)
+      .groupBy(to_date($"l_shipdate").as("date_key"))
+      .agg(sum($"l_extendedprice".cast(Money)).as("day_price_sum"),
+        count(lit(1)).as("day_obs"))
+    val w = Window
+      .orderBy(datediff($"date_key", lit("1995-01-01")))
+      .rangeBetween(-29, 0)
+    daily
+      .withColumn("rolling_avg_price",
+        ratio6(sum($"day_price_sum").over(w).cast(DoubleType) /
+          sum($"day_obs").over(w)))
+      .select($"date_key",
+        $"day_price_sum".cast(DecimalType(38, 2)).as("day_price_sum"),
+        $"day_obs", $"rolling_avg_price")
+  }
+
+  val rolling30dPriceOracle: String =
+    """WITH daily AS (
+      |  SELECT cast(l_shipdate AS DATE) AS date_key,
+      |         sum(cast(l_extendedprice AS DECIMAL(18,2))) AS day_price_sum,
+      |         count(*) AS day_obs
+      |  FROM lineitem GROUP BY 1)
+      |SELECT date_key,
+      |       cast(day_price_sum AS DECIMAL(38,2)) AS day_price_sum,
+      |       day_obs,
+      |       cast(round(
+      |         cast(sum(day_price_sum) OVER w AS DOUBLE) /
+      |         sum(day_obs) OVER w, 6) AS DECIMAL(24,6)) AS rolling_avg_price
+      |FROM daily
+      |WINDOW w AS (ORDER BY datediff('day', DATE '1995-01-01', date_key)
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q20: wide daily row joining four independently-derived aggregates.
+    * Ops: J10 multi-way join pipeline (`daily_kre_summary.sql:77-83`),
+    * J1 single-key equi joins, plus the lineitem⋈orders fact-fact join.
+    *
+    * Scale: the fact-fact join shuffles on o_orderkey (SMJ); the four
+    * daily aggregates are tiny and joined by Catalyst as broadcasts.
+    */
+  def dailyWideSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, sfDir)
+      .withColumn("date_key", to_date($"o_orderdate"))
+    val a = ord.groupBy($"date_key")
+      .agg(count(lit(1)).as("order_count"),
+        sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
+          .as("total_price"))
+    val b = ord.groupBy($"date_key")
+      .agg(countDistinct($"o_custkey").as("distinct_customers"))
+    val c = Tables.lineitem(spark, sfDir)
+      .join(ord.select($"o_orderkey", $"date_key"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"date_key")
+      .agg(sum($"l_quantity".cast(Money)).cast(DecimalType(38, 2))
+        .as("total_quantity"))
+    val d = ord.filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"date_key")
+      .agg(count(lit(1)).as("urgent_orders"))
+    a.join(b, Seq("date_key"))
+      .join(c, Seq("date_key"))
+      .join(d, Seq("date_key"), "left")
+      .withColumn("urgent_orders", coalesce($"urgent_orders", lit(0L)))
+  }
+
+  val dailyWideSummaryOracle: String =
+    """WITH ord AS (SELECT *, cast(o_orderdate AS DATE) AS date_key FROM orders),
+      |a AS (SELECT date_key, count(*) AS order_count,
+      |             cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      |      FROM ord GROUP BY 1),
+      |b AS (SELECT date_key, count(DISTINCT o_custkey) AS distinct_customers FROM ord GROUP BY 1),
+      |c AS (SELECT o.date_key,
+      |             cast(sum(cast(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_quantity
+      |      FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+      |d AS (SELECT date_key, count(*) AS urgent_orders FROM ord
+      |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |SELECT a.date_key, a.order_count, a.total_price, b.distinct_customers,
+      |       c.total_quantity, coalesce(d.urgent_orders, 0) AS urgent_orders
+      |FROM a JOIN b USING (date_key) JOIN c USING (date_key)
+      |LEFT JOIN d USING (date_key)""".stripMargin
+
+  /** q21: customers with ≥10 orders (HAVING ≡ post-agg filter). Ops: A8,
+    * P9 (`multi_create_impacted_accounts.sql:10`).
+    */
+  def havingFrequentBuyers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey".as("cust_id"))
+      .agg(count(lit(1)).as("order_count"),
+        sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
+          .as("total_spend"))
+      .filter($"order_count" >= 10)
+  }
+
+  val havingFrequentBuyersOracle: String =
+    """SELECT o_custkey AS cust_id, count(*) AS order_count,
+      |       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+      |FROM orders GROUP BY 1 HAVING count(*) >= 10""".stripMargin
+
+  /** q24: market summary — price/volume plus the derived
+    * circulating-supply ratio. Ops: P1 + arithmetic
+    * (`daily_market_summary.sql:4-20`: supply = mcap/price).
+    */
+  def marketSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy(to_date($"l_shipdate").as("date_key"))
+      .agg(
+        sum($"l_extendedprice".cast(Money)).cast(DecimalType(38, 2))
+          .as("market_cap"),
+        sum($"l_quantity".cast(Money)).cast(DecimalType(38, 2))
+          .as("volume"),
+        ratio6(sum($"l_extendedprice".cast(Money)).cast(DoubleType) /
+          sum($"l_quantity".cast(Money)).cast(DoubleType))
+          .as("avg_price"))
+  }
+
+  val marketSummaryOracle: String =
+    """SELECT cast(l_shipdate AS DATE) AS date_key,
+      |       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS market_cap,
+      |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
+      |       cast(round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
+      |                  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS DECIMAL(24,6)) AS avg_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** q25: creations per (day, market segment) — fact ⋈ broadcast dim then
+    * aggregate. Ops: A1, J3 dim-lookup join
+    * (`daily_account_creates_by_app.sql:6-14` + dim decoration).
+    * Scale: `customer` is the dim here; broadcast keeps `orders` unshuffled
+    * pre-aggregation.
+    */
+  def createsBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left")
+      .groupBy(to_date($"o_orderdate").as("date_key"),
+        coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("creates"),
+        sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
+          .as("opening_balance"))
+  }
+
+  val createsBySegmentOracle: String =
+    """SELECT cast(o.o_orderdate AS DATE) AS date_key,
+      |       coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |       count(*) AS creates,
+      |       cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS opening_balance
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+}
