@@ -41,6 +41,18 @@ object SparkEntry {
     "q23_weekly_top_apps_json" -> (PayoutModels.weeklyTopAppsJson _),
     "q24_market_summary" -> (TpchModels.marketSummary _),
     "q25_creates_by_segment" -> (TpchModels.createsBySegment _),
+    // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
+    "d01_dedup_exact" -> (DedupModels.dedupExact _),
+    "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
+    "d03_lsh_near_dup_pairs" -> (DedupModels.lshNearDupPairs _),
+    "d04_simhash16" -> (DedupModels.simhash16 _),
+    "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
+    "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
+    "t01_lang_profile" -> (TextModels.langProfile _),
+    "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
+    "t03_quality_score" -> (TextModels.qualityScore _),
+    "t04_token_counts" -> (TextModels.tokenCounts _),
+    "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +83,16 @@ object SparkEntry {
     "q23_weekly_top_apps_json" -> PayoutModels.weeklyTopAppsJsonOracle,
     "q24_market_summary" -> TpchModels.marketSummaryOracle,
     "q25_creates_by_segment" -> TpchModels.createsBySegmentOracle,
+    "d01_dedup_exact" -> DedupModels.dedupExactOracle,
+    "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
+    "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,
+    "d04_simhash16" -> DedupModels.simhash16Oracle,
+    "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
+    "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
+    "t01_lang_profile" -> TextModels.langProfileOracle,
+    "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
+    "t03_quality_score" -> TextModels.qualityScoreOracle,
+    "t04_token_counts" -> TextModels.tokenCountsOracle,
+    "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
   )
 }

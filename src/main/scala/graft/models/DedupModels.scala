@@ -1,0 +1,218 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline deduplication operators over `documents`
+  * (BASELINE.json north star; beyond the reference's own surface).
+  *
+  * All hash math is built on `md5` (identical lowercase-hex output in
+  * Spark and DuckDB) so every stage stays oracle-checkable — no engine
+  * UDFs anywhere; everything is whole-stage-codegen'd builtins.
+  *
+  * Scale design: the near-dup path is the classic
+  * shingle → minhash → band → bucket-join pipeline. Candidate
+  * generation joins on (band_idx, band_val) — linear shuffle volume,
+  * never the O(n²) all-pairs compare; the exact Jaccard verify runs only
+  * on candidates.
+  */
+object DedupModels {
+  import graft.catalog.Tables
+
+  /** Whitespace-collapsed lowercase tokens of `text`. */
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+  private def tokens(c: Column): Column = split(normText(c), " ")
+
+  private val normSqlDuck =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** d01: exact dedup — hash-groupBy on normalized text; canonical id =
+    * min doc_id per fingerprint (stable representative selection).
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(normText($"text")).as("fingerprint"),
+        $"n_chars")
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("doc_count"),
+        min($"doc_id").as("canonical_doc_id"),
+        sum($"n_chars").as("total_chars"))
+  }
+
+  val dedupExactOracle: String =
+    s"""SELECT md5($normSqlDuck) AS fingerprint,
+       |       count(*) AS doc_count,
+       |       min(doc_id) AS canonical_doc_id,
+       |       cast(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** Word 3-gram shingles per doc (docs with ≥3 tokens). */
+  private def shingleDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ",
+            element_at($"toks", i),
+            element_at($"toks", i + 1),
+            element_at($"toks", i + 2)))).as("shingle"))
+      .distinct()
+  }
+
+  private val shingleSqlDuck: String =
+    s"""docs AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS toks FROM documents),
+       |ok AS (SELECT * FROM docs WHERE len(toks) >= 3),
+       |dsh AS (SELECT DISTINCT doc_id,
+       |               unnest(list_transform(range(len(toks)-2),
+       |                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
+       |        FROM ok)""".stripMargin
+
+  /** d02: 4-permutation MinHash signature per document.
+    * minhash_j = min over shingles of md5("j:" ++ shingle) — the salted
+    * hash plays the role of the j-th random permutation.
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    shingleDf(spark, sfDir)
+      .groupBy($"doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), $"shingle"))).as("mh0"),
+        min(md5(concat(lit("1:"), $"shingle"))).as("mh1"),
+        min(md5(concat(lit("2:"), $"shingle"))).as("mh2"),
+        min(md5(concat(lit("3:"), $"shingle"))).as("mh3"))
+  }
+
+  val minhashSignaturesOracle: String =
+    s"""WITH $shingleSqlDuck
+       |SELECT doc_id,
+       |       min(md5('0:' || shingle)) AS mh0,
+       |       min(md5('1:' || shingle)) AS mh1,
+       |       min(md5('2:' || shingle)) AS mh2,
+       |       min(md5('3:' || shingle)) AS mh3
+       |FROM dsh GROUP BY doc_id""".stripMargin
+
+  /** d03: MinHash-LSH near-duplicate candidate pairs + exact n-gram
+    * Jaccard verification. Two bands of two hashes each; candidates =
+    * pairs sharing a band bucket (equi-join on (band_idx, band_val) —
+    * the unpivoted form keeps Spark on a hash join; an OR-of-bands
+    * condition would fall back to a nested loop). Jaccard is computed
+    * exactly in integer micros (floor division) so both engines agree
+    * bit-for-bit.
+    */
+  def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dsh = shingleDf(spark, sfDir).cache()
+    val sig = dsh.groupBy($"doc_id")
+      .agg(
+        min(md5(concat(lit("0:"), $"shingle"))).as("mh0"),
+        min(md5(concat(lit("1:"), $"shingle"))).as("mh1"),
+        min(md5(concat(lit("2:"), $"shingle"))).as("mh2"),
+        min(md5(concat(lit("3:"), $"shingle"))).as("mh3"))
+    val bands = sig.select($"doc_id", lit(0).as("band_idx"),
+        md5(concat($"mh0", $"mh1")).as("band_val"))
+      .union(sig.select($"doc_id", lit(1).as("band_idx"),
+        md5(concat($"mh2", $"mh3")).as("band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(dsh.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
+      .join(dsh.select($"doc_id".as("doc_b"), $"shingle"),
+        Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter_count"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
+      .withColumn("union_count", $"n_a" + $"n_b" - $"inter_count")
+      .withColumn("jaccard",
+        (expr("(inter_count * 1000000) div union_count")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .select($"doc_a", $"doc_b", $"inter_count", $"union_count", $"jaccard")
+  }
+
+  val lshNearDupPairsOracle: String =
+    s"""WITH $shingleSqlDuck,
+       |sig AS (SELECT doc_id,
+       |               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+       |               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+       |        FROM dsh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_val FROM sig
+       |          UNION ALL
+       |          SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |          AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter_count
+       |          FROM cand c
+       |          JOIN dsh x ON x.doc_id = c.doc_a
+       |          JOIN dsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |          GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter_count,
+       |       (sa.n + sb.n - i.inter_count) AS union_count,
+       |       cast(((i.inter_count * 1000000) // (sa.n + sb.n - i.inter_count)) *
+       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin
+
+  /** d04: 16-bit SimHash per document from md5 token hashes. Bit i's vote
+    * is +1/−1 by bit i of the token hash (first 4 hex digits); the final
+    * bit is 1 iff the vote sum is strictly positive.
+    * Pure builtin arithmetic (hex-digit decode via instr + shifts) so the
+    * oracle replays it exactly.
+    */
+  def simhash16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+      .withColumn("h", md5($"tok"))
+    val withDigits = (0 until 4).foldLeft(toks) { (df, d) =>
+      df.withColumn(s"v$d",
+        (instr(lit("0123456789abcdef"), substring(col("h"), d + 1, 1)) - 1)
+          .cast(IntegerType))
+    }
+    val votes = (0 until 16).map { i =>
+      val digit = col(s"v${i / 4}")
+      val bit = shiftright(digit, 3 - (i % 4)).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val summed = withDigits.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    val simhash = (0 until 16).map { i =>
+      when(col(s"s$i") > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select($"doc_id", simhash.as("simhash"))
+  }
+
+  val simhash16Oracle: String = {
+    val digitExprs = (0 until 4).map { d =>
+      s"(strpos('0123456789abcdef', substr(h, ${d + 1}, 1)) - 1) AS v$d"
+    }.mkString(", ")
+    val voteExprs = (0 until 16).map { i =>
+      s"sum(CASE WHEN ((v${i / 4} >> ${3 - (i % 4)}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val simhashExpr = (0 until 16).map { i =>
+      s"(CASE WHEN s$i > 0 THEN ${1L << (15 - i)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |                    unnest(list_distinct(string_split($normSqlDuck, ' '))) AS tok
+       |              FROM documents),
+       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |digits AS (SELECT doc_id, $digitExprs FROM hashed),
+       |votes AS (SELECT doc_id, $voteExprs FROM digits GROUP BY doc_id)
+       |SELECT doc_id, cast($simhashExpr AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+}

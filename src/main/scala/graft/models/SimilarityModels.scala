@@ -1,0 +1,118 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Two tiers (BASELINE.json north star):
+  *  - s01: brute-force cosine top-k — the correctness baseline. The
+  *    query side is a small fixed set, broadcast against the corpus, so
+  *    the corpus is scanned once with no shuffle.
+  *  - s02: random-hyperplane LSH buckets — the 100 TB scale path:
+  *    8 signed projections → 8-bit bucket; ANN candidates are then only
+  *    same-bucket pairs (bucket-partitioned join), shrinking the compare
+  *    space by ~2^8 at constant recall/precision trade-off.
+  *
+  * Dot products run in double (`zip_with` multiply + sequential
+  * `aggregate` fold — same left-to-right order DuckDB's list_sum uses),
+  * then round to 6dp for cross-engine comparison.
+  */
+object SimilarityModels {
+  import graft.catalog.Tables
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** s01: exact cosine top-5 per query vector (queries = vec_id < 10),
+    * self-match excluded. Deterministic order: rounded similarity desc,
+    * then cand_id.
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val corpus = emb
+      .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"),
+        $"label".as("cand_label"))
+    val sim = round(
+      dotD($"q_emb", $"c_emb") /
+        (sqrt(dotD($"q_emb", $"q_emb")) * sqrt(dotD($"c_emb", $"c_emb"))),
+      6).cast(DecimalType(24, 6))
+    val scored = corpus.join(broadcast(queries), $"query_id" =!= $"cand_id")
+      .withColumn("cosine_sim", sim)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine_sim".desc, $"cand_id")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"cand_id", $"cand_label", $"cosine_sim",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val cosineTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cand_id, embedding AS c_emb, label AS cand_label FROM embeddings),
+      |scored AS (
+      |  SELECT q.query_id, c.cand_id, c.cand_label,
+      |         cast(round(
+      |           list_sum(list_transform(range(64), i -> cast(q_emb[i+1] AS DOUBLE) * cast(c_emb[i+1] AS DOUBLE))) /
+      |           (sqrt(list_sum(list_transform(range(64), i -> cast(q_emb[i+1] AS DOUBLE) * cast(q_emb[i+1] AS DOUBLE)))) *
+      |            sqrt(list_sum(list_transform(range(64), i -> cast(c_emb[i+1] AS DOUBLE) * cast(c_emb[i+1] AS DOUBLE))))),
+      |           6) AS DECIMAL(24,6)) AS cosine_sim
+      |  FROM q JOIN c ON q.query_id <> c.cand_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                      ORDER BY cosine_sim DESC, cand_id) AS rk
+      |           FROM scored)
+      |SELECT query_id, cand_id, cand_label, cosine_sim,
+      |       cast(rk AS BIGINT) AS sim_rank
+      |FROM ranked WHERE rk <= 5""".stripMargin
+
+  /** s02: random-hyperplane LSH bucketing. Plane p's weight on dim d is
+    * ±1 from the parity of the first hex digit of md5("p:d") — a
+    * deterministic pseudo-random hyperplane both engines reproduce.
+    * Output: per-bucket population + label diversity (the ANN candidate
+    * generator's bucket histogram).
+    */
+  def lshAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // per plane: dot(emb, w_p) where w_p[d] = parity(md5("p:d")) * 2 - 1
+    val planeBits = (0 until 8).map { p =>
+      val weighted = aggregate(
+        transform(sequence(lit(0), lit(63)), d => {
+          val hexDigit = substring(md5(concat(lit(s"$p:"), d.cast(StringType))), 1, 1)
+          val parity = (instr(lit("0123456789abcdef"), hexDigit) - 1) % 2
+          (parity * 2 - 1).cast(DoubleType) *
+            element_at($"embedding", d + 1).cast(DoubleType)
+        }),
+        lit(0.0d), (acc, x) => acc + x)
+      when(weighted > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    emb
+      .withColumn("bucket", planeBits.reduce(_ + _))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("vec_count"),
+        countDistinct($"label").as("distinct_labels"))
+  }
+
+  val lshAnnBucketsOracle: String = {
+    val planeExprs = (0 until 8).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(64),
+         |  d -> cast(((strpos('0123456789abcdef', substr(md5('$p:' || d), 1, 1)) - 1) % 2) * 2 - 1 AS DOUBLE)
+         |       * cast(embedding[d+1] AS DOUBLE))) > 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, label, cast($planeExprs AS BIGINT) AS bucket
+       |  FROM embeddings)
+       |SELECT bucket, count(*) AS vec_count,
+       |       count(DISTINCT label) AS distinct_labels
+       |FROM bucketed GROUP BY bucket""".stripMargin
+  }
+}

@@ -1,0 +1,177 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language-ID heuristics, quality scoring, token counting, and document
+  * fingerprinting (BASELINE.json north star).
+  *
+  * Scale: every op is a single narrow projection/aggregate over the text
+  * column — codegen'd builtins only, no UDFs, so the scan parallelizes
+  * and the only shuffles are the final small-key aggregates.
+  */
+object TextModels {
+  import graft.catalog.Tables
+
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+  private def toks(c: Column): Column = split(normText(c), " ")
+  private val normSqlDuck =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Stopword list used by the lang-ID + quality heuristics. */
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** t01: per (lang, source) profile — docs, chars, token stats. A1/A2
+    * over text-derived features.
+    */
+  def langProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"lang", $"source", $"n_chars",
+        size(toks($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("doc_count"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_tokens").as("total_tokens"),
+        max($"n_tokens").as("max_tokens"))
+  }
+
+  val langProfileOracle: String =
+    s"""SELECT lang, source, count(*) AS doc_count,
+       |       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       |       cast(sum(cast(len(string_split($normSqlDuck, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+       |       max(cast(len(string_split($normSqlDuck, ' ')) AS BIGINT)) AS max_tokens
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** t02: heuristic language-ID from stopword evidence, scored against
+    * the labeled `lang` column. The n-gram-heuristic stand-in: a doc
+    * "looks English" when ≥15% of its tokens are English stopwords.
+    * Output: confusion summary per (lang, looks_english).
+    */
+  def langIdHeuristic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val stopCount = size(filter(t, x => x.isInCollection(Stopwords)))
+      .cast(LongType)
+    val tokenCount = size(t).cast(LongType)
+    Tables.documents(spark, sfDir)
+      .select($"lang", stopCount.as("stop_tokens"),
+        tokenCount.as("n_tokens"))
+      .withColumn("looks_english",
+        when($"stop_tokens" * 100 >= $"n_tokens" * 15, true).otherwise(false))
+      .groupBy($"lang", $"looks_english")
+      .agg(count(lit(1)).as("doc_count"),
+        sum($"stop_tokens").as("stop_tokens_total"))
+  }
+
+  val langIdHeuristicOracle: String =
+    s"""WITH feats AS (
+       |  SELECT lang,
+       |         cast(len(list_filter(string_split($normSqlDuck, ' '),
+       |                              x -> x IN ($stopSqlList))) AS BIGINT) AS stop_tokens,
+       |         cast(len(string_split($normSqlDuck, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang,
+       |       (stop_tokens * 100 >= n_tokens * 15) AS looks_english,
+       |       count(*) AS doc_count,
+       |       cast(sum(stop_tokens) AS BIGINT) AS stop_tokens_total
+       |FROM feats GROUP BY 1, 2""".stripMargin
+
+  /** t03: quality scoring — length / stopword-ratio / mean-token-length
+    * features combined into an integer score, bucketed. Ratios stay in
+    * exact integer arithmetic (micros idiom) for engine parity.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars",
+        size(t).cast(LongType).as("n_tokens"),
+        size(filter(t, x => x.isInCollection(Stopwords)))
+          .cast(LongType).as("stop_tokens"))
+      // integer-micros ratios: exact floor division in both engines
+      .withColumn("stop_ratio_micros",
+        expr("(stop_tokens * 1000000) div n_tokens"))
+      .withColumn("mean_token_chars_micros",
+        expr("((n_chars - n_tokens + 1) * 1000000) div n_tokens"))
+    val score =
+      when($"n_tokens" >= 40, lit(2)).otherwise(
+        when($"n_tokens" >= 15, lit(1)).otherwise(lit(0))) +
+        when($"stop_ratio_micros" >= 100000, lit(1)).otherwise(lit(0)) +
+        when($"mean_token_chars_micros".between(3000000L, 8000000L), lit(1))
+          .otherwise(lit(0))
+    base
+      .withColumn("quality_score", score.cast(LongType))
+      .groupBy($"lang", $"quality_score")
+      .agg(count(lit(1)).as("doc_count"),
+        min($"n_tokens").as("min_tokens"),
+        max($"n_tokens").as("max_tokens"))
+  }
+
+  val qualityScoreOracle: String =
+    s"""WITH feats AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         cast(len(string_split($normSqlDuck, ' ')) AS BIGINT) AS n_tokens,
+       |         cast(len(list_filter(string_split($normSqlDuck, ' '),
+       |                              x -> x IN ($stopSqlList))) AS BIGINT) AS stop_tokens
+       |  FROM documents),
+       |scored AS (
+       |  SELECT lang, n_tokens,
+       |         (CASE WHEN n_tokens >= 40 THEN 2 WHEN n_tokens >= 15 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN (stop_tokens * 1000000) // n_tokens >= 100000 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN ((n_chars - n_tokens + 1) * 1000000) // n_tokens
+       |                    BETWEEN 3000000 AND 8000000 THEN 1 ELSE 0 END) AS quality_score
+       |  FROM feats)
+       |SELECT lang, cast(quality_score AS BIGINT) AS quality_score,
+       |       count(*) AS doc_count,
+       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM scored GROUP BY 1, 2""".stripMargin
+
+  /** t04: token counting — whitespace tokens plus a BPE-ish
+    * subword-piece estimate (ceil(chars/4) per token), per source.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val exploded = Tables.documents(spark, sfDir)
+      .select($"source", explode(toks($"text")).as("tok"))
+    exploded
+      .groupBy($"source")
+      .agg(count(lit(1)).as("whitespace_tokens"),
+        countDistinct($"tok").as("distinct_tokens"),
+        sum(expr("(length(tok) + 3) div 4")).as("bpe_ish_tokens"))
+  }
+
+  val tokenCountsOracle: String =
+    s"""WITH exploded AS (
+       |  SELECT source, unnest(string_split($normSqlDuck, ' ')) AS tok
+       |  FROM documents)
+       |SELECT source, count(*) AS whitespace_tokens,
+       |       count(DISTINCT tok) AS distinct_tokens,
+       |       cast(sum((length(tok) + 3) // 4) AS BIGINT) AS bpe_ish_tokens
+       |FROM exploded GROUP BY 1""".stripMargin
+
+  /** t05: document fingerprinting — md5 over the sorted distinct token
+    * bag (order-insensitive content fingerprint; the rolling-hash family's
+    * set-normalized variant), grouped to find bag-identical docs.
+    */
+  def fingerprintDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        md5(concat_ws(" ", array_sort(array_distinct(toks($"text")))))
+          .as("bag_fingerprint"))
+      .groupBy($"bag_fingerprint")
+      .agg(count(lit(1)).as("doc_count"),
+        min($"doc_id").as("canonical_doc_id"))
+  }
+
+  val fingerprintDedupOracle: String =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct(string_split($normSqlDuck, ' '))), ' ')) AS bag_fingerprint,
+       |       count(*) AS doc_count,
+       |       min(doc_id) AS canonical_doc_id
+       |FROM documents GROUP BY 1""".stripMargin
+}
