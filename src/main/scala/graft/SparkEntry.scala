@@ -53,6 +53,7 @@ object SparkEntry {
     "t03_quality_score" -> (TextModels.qualityScore _),
     "t04_token_counts" -> (TextModels.tokenCounts _),
     "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
+    "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,6 @@ object SparkEntry {
     "t03_quality_score" -> TextModels.qualityScoreOracle,
     "t04_token_counts" -> TextModels.tokenCountsOracle,
     "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
+    "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
   )
 }

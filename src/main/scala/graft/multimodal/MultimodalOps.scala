@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a decode → feature-extract stage.
+  *
+  * The decode step is a STUB (this container has no image/audio codecs):
+  * `fakeDecode` derives deterministic pseudo-metadata from the bytes'
+  * md5. The Spark-side plumbing is real and is what a production decoder
+  * would drop into: a typed Dataset, `mapPartitions` for per-partition
+  * batch processing (the Scala analog of `mapInPandas` — one iterator
+  * per partition so a decoder can amortize model/codec init), and a
+  * binary+metadata schema.
+  *
+  * Scale: decode is embarrassingly parallel over partitions; binary
+  * payloads never shuffle (features are extracted before any wide op),
+  * and `spark.sql.files.maxPartitionBytes` bounds per-task memory.
+  */
+object MultimodalOps {
+
+  /** A media row: opaque payload + declared format. */
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], format: String)
+
+  /** Extracted features; width/height/channels are decoder outputs. */
+  final case class MediaFeatures(
+      doc_id: Long, format: String, byte_len: Int,
+      width: Int, height: Int, channels: Int)
+
+  /** STUB decoder — deterministic fake standing in for a real codec.
+    * A production build replaces ONLY this function (same signature):
+    * bytes in, dimensions out.
+    */
+  def fakeDecode(media: Array[Byte]): (Int, Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(media)
+    def u(i: Int): Int = md(i) & 0xff
+    (64 + u(0) * 8, 64 + u(1) * 8, if (u(2) % 2 == 0) 3 else 1)
+  }
+
+  /** Lift the documents table into a media table: text bytes as the
+    * opaque payload (the fixture has no real images; the schema and
+    * partition behavior are what's under test).
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("media"),
+        concat(lit("fake/"), $"lang").as("format"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract via mapPartitions: the iterator shape lets
+    * a real decoder initialize once per partition (codec handles, model
+    * weights) and stream records through — the same batch contract
+    * `mapInPandas` gives Python decoders.
+    */
+  def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init would go here (codec/context setup)
+      it.map { r =>
+        val (w, h, c) = fakeDecode(r.media)
+        MediaFeatures(r.doc_id, r.format, r.media.length, w, h, c)
+      }
+    }
+  }
+
+  /** m01: per-format media metadata summary. The md5-derived fake dims
+    * are reproduced in pure SQL so the whole pipeline (binary encode →
+    * "decode" → aggregate) stays oracle-checkable; `decodeFeatures`
+    * computes the same values through the mapPartitions path (asserted
+    * equal in MultimodalSpec).
+    */
+  def mediaMetaSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hexVal: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
+    val media = graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", encode($"text", "UTF-8").as("media"))
+      .withColumn("byte_len", octet_length($"media"))
+      .withColumn("h", md5($"media"))
+      // same bytes fakeDecode reads: md5 byte 0 = hex digits 1-2, etc.
+      .withColumn("width",
+        lit(64) + (hexVal(substring($"h", 1, 1)) * 16 +
+          hexVal(substring($"h", 2, 1))) * 8)
+      .withColumn("height",
+        lit(64) + (hexVal(substring($"h", 3, 1)) * 16 +
+          hexVal(substring($"h", 4, 1))) * 8)
+      .withColumn("channels",
+        when((hexVal(substring($"h", 5, 1)) * 16 +
+          hexVal(substring($"h", 6, 1))) % 2 === 0, 3).otherwise(1))
+    media.groupBy(concat(lit("fake/"), $"lang").as("format"))
+      .agg(count(lit(1)).as("media_count"),
+        sum($"byte_len").cast(LongType).as("total_bytes"),
+        sum($"width").cast(LongType).as("width_sum"),
+        sum($"height").cast(LongType).as("height_sum"),
+        sum($"channels").cast(LongType).as("channel_sum"))
+  }
+
+  val mediaMetaSummaryOracle: String =
+    """WITH media AS (
+      |  SELECT doc_id, lang, encode(text) AS media,
+      |         octet_length(encode(text)) AS byte_len,
+      |         md5(text) AS h
+      |  FROM documents),
+      |decoded AS (
+      |  SELECT lang, byte_len,
+      |         64 + ((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16 +
+      |               (strpos('0123456789abcdef', substr(h,2,1)) - 1)) * 8 AS width,
+      |         64 + ((strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16 +
+      |               (strpos('0123456789abcdef', substr(h,4,1)) - 1)) * 8 AS height,
+      |         CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1)) - 1) * 16 +
+      |                    (strpos('0123456789abcdef', substr(h,6,1)) - 1)) % 2 = 0
+      |              THEN 3 ELSE 1 END AS channels
+      |  FROM media)
+      |SELECT 'fake/' || lang AS format,
+      |       count(*) AS media_count,
+      |       cast(sum(byte_len) AS BIGINT) AS total_bytes,
+      |       cast(sum(width) AS BIGINT) AS width_sum,
+      |       cast(sum(height) AS BIGINT) AS height_sum,
+      |       cast(sum(channels) AS BIGINT) AS channel_sum
+      |FROM decoded GROUP BY 1""".stripMargin
+}

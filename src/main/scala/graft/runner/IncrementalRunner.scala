@@ -1,0 +1,174 @@
+package graft.runner
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cadence of an incremental model — the reference's `incremental_epoch_dict`
+  * (`kin-data-pipeline/execute_snowflake_load.py:45-49`).
+  */
+sealed abstract class Cadence(val truncUnit: String)
+object Cadence {
+  case object Daily extends Cadence("day")
+  case object Weekly extends Cadence("week")
+  case object Monthly extends Cadence("month")
+}
+
+/** One model in the DAG. `build` receives the session and a resolver for
+  * upstream tables (raw sources or other models' outputs); `deps` are the
+  * model names it reads, declared explicitly — the reference relied on
+  * lexicographic path order as an implicit topo-sort
+  * (`execute_snowflake_load.py:69-71`), which SURVEY.md §4 flags as
+  * fragile; we topo-sort a declared DAG instead.
+  */
+final case class ModelDef(
+    name: String,
+    cadence: Cadence,
+    deps: Seq[String],
+    build: (SparkSession, String => DataFrame) => DataFrame,
+    appendOnly: Boolean = false)
+
+/** Spark-native incremental model runner — the engine's replacement for the
+  * reference's orchestrator (`execute_snowflake_load.py` +
+  * `incremental_anchor.sql` + `incremental_cleanup.py`; SURVEY.md §2.9).
+  *
+  * Semantics reproduced:
+  *  1. High-watermark append: keep rows with
+  *     `date_trunc(unit, date_key) > coalesce(max(date_key), epoch)`
+  *     (`incremental_anchor.sql:1-5`, `execute_snowflake_load.py:83-86,100`).
+  *  2. Closed-period gate: `date_key < date_trunc(unit, today)` — only
+  *     complete periods load (`fact_kin_transaction.sql:11`).
+  *  3. Repair: delete-from-date + re-run, honoring an append-only skip
+  *     list (`incremental_cleanup.py:78-88`).
+  *  4. `today` is an injected parameter, never the wall clock
+  *     (SURVEY.md §7.4 trap 1).
+  *
+  * Scale: targets are parquet directories partitioned by `date_key`, so
+  * the watermark probe reads only the partition listing + footer stats and
+  * the incremental predicate prunes partitions on read. Repair rewrites
+  * only the partitions at/after the cut date (dynamic partition overwrite),
+  * not the whole table.
+  */
+final class IncrementalRunner(
+    spark: SparkSession,
+    warehouseDir: String,
+    today: LocalDate) {
+  import spark.implicits._
+
+  /** The reference's epoch default: `coalesce(max(date_key),'2017-01-01')`. */
+  val Epoch = "2017-01-01"
+
+  def targetPath(name: String): String = s"$warehouseDir/$name"
+
+  def exists(name: String): Boolean =
+    new java.io.File(targetPath(name)).exists()
+
+  def readModel(name: String): DataFrame =
+    spark.read.parquet(targetPath(name))
+
+  /** High watermark = max(date_key) already in the target. */
+  def watermark(name: String): String =
+    if (!exists(name)) Epoch
+    else {
+      val row = readModel(name).agg(max($"date_key").cast("string")).head()
+      if (row.isNullAt(0)) Epoch else row.getString(0)
+    }
+
+  /** Rows of `df` above the watermark and inside closed periods only. */
+  private def incrementalSlice(df: DataFrame, m: ModelDef): DataFrame = {
+    val wm = watermark(m.name)
+    df.filter(
+      date_trunc(m.cadence.truncUnit, $"date_key").cast("date") > lit(wm) &&
+        $"date_key" <
+          date_trunc(m.cadence.truncUnit, lit(today.toString)).cast("date"))
+  }
+
+  /** Incremental run: append only the new closed-period slice. Returns the
+    * number of appended rows. A full build happens implicitly on first run
+    * (watermark = epoch).
+    */
+  def runIncremental(m: ModelDef, resolve: String => DataFrame): Long = {
+    val slice = incrementalSlice(m.build(spark, resolve), m)
+    val n = slice.count()
+    if (n > 0)
+      slice.write.mode(SaveMode.Append)
+        .partitionBy("date_key").parquet(targetPath(m.name))
+    n
+  }
+
+  /** Full refresh: CTAS equivalent (`execute_snowflake_load.py:90-91`) —
+    * closed-period gate still applies; watermark does not.
+    */
+  def runFullRefresh(m: ModelDef, resolve: String => DataFrame): Long = {
+    val df = m.build(spark, resolve).filter(
+      $"date_key" <
+        date_trunc(m.cadence.truncUnit, lit(today.toString)).cast("date"))
+    val out = df.cache()
+    val n = out.count()
+    out.write.mode(SaveMode.Overwrite)
+      .partitionBy("date_key").parquet(targetPath(m.name))
+    out.unpersist()
+    n
+  }
+
+  /** Repair: delete target rows with `date_key >= cutoff` (cadence-
+    * truncated, as `incremental_cleanup.py:30-35` does), so the next
+    * incremental run re-fills. Append-only models are skipped
+    * (`incremental_cleanup.py:78`).
+    */
+  def repair(m: ModelDef, cutoff: LocalDate): Boolean = {
+    if (m.appendOnly || !exists(m.name)) return false
+    val cut = cutoff
+    val truncated = m.cadence match {
+      case Cadence.Daily => cut
+      case Cadence.Weekly => cut.minusDays((cut.getDayOfWeek.getValue - 1).toLong)
+      case Cadence.Monthly => cut.withDayOfMonth(1)
+    }
+    val keep = readModel(m.name).filter($"date_key" < lit(truncated.toString))
+    // rewrite via temp dir: parquet sources can't overwrite themselves
+    val tmp = targetPath(m.name) + "__repair_tmp"
+    keep.write.mode(SaveMode.Overwrite).partitionBy("date_key").parquet(tmp)
+    val fs = new java.io.File(targetPath(m.name))
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(fs)
+    new java.io.File(tmp).renameTo(fs)
+  }
+
+  /** Kahn topological order over declared deps (only deps that are
+    * themselves models count; raw sources resolve outside the DAG).
+    */
+  def topoOrder(models: Seq[ModelDef]): Seq[ModelDef] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val inDeg = collection.mutable.Map(models.map(m =>
+      m.name -> m.deps.count(byName.contains)): _*)
+    val queue = collection.mutable.Queue(
+      models.filter(m => inDeg(m.name) == 0).map(_.name).sorted: _*)
+    val out = collection.mutable.ArrayBuffer[ModelDef]()
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      out += byName(n)
+      models.filter(_.deps.contains(n)).foreach { ch =>
+        inDeg(ch.name) -= 1
+        if (inDeg(ch.name) == 0) queue.enqueue(ch.name)
+      }
+    }
+    require(out.size == models.size,
+      s"cycle among models: ${models.map(_.name).diff(out.map(_.name).toSeq)}")
+    out.toSeq
+  }
+
+  /** Run the whole DAG incrementally in dependency order. A model's
+    * resolver serves upstream models from their materialized targets
+    * (the reference reads prior models' tables the same way) and anything
+    * else from `sources`.
+    */
+  def runAll(models: Seq[ModelDef],
+      sources: String => DataFrame): Map[String, Long] = {
+    val resolve: String => DataFrame = name =>
+      if (models.exists(_.name == name)) readModel(name) else sources(name)
+    topoOrder(models).map(m => m.name -> runIncremental(m, resolve)).toMap
+  }
+}

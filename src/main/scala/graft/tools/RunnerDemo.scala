@@ -1,0 +1,60 @@
+package graft.tools
+
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.runner._
+
+/** Dev drive of the incremental protocol over real test data: two daily
+  * runs + a repair, printing watermarks and appended-row counts.
+  * Usage: runMain graft.tools.RunnerDemo [sfDir]
+  */
+object RunnerDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val wh = Files.createTempDirectory("graft-demo-wh").toString
+    val summaryModel = ModelDef(
+      "daily_txn_summary", Cadence.Daily, Seq("events"),
+      (s, resolve) => {
+        resolve("events")
+          .filter($"event_type" =!= "error")
+          .groupBy(to_date($"ts").as("date_key"), $"event_type")
+          .agg(count(lit(1)).as("txn_count"))
+      })
+    val sources: String => org.apache.spark.sql.DataFrame =
+      name => graft.catalog.Tables.load(spark, sfDir, name) match {
+        case df if name == "events" =>
+          graft.catalog.Tables.events(spark, sfDir)
+        case df => df
+      }
+
+    def show(label: String): Unit = {
+      val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-15"))
+      println(s"[$label] watermark=${r.watermark("daily_txn_summary")}")
+    }
+
+    val r1 = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-15"))
+    println(s"[run1 @2024-01-15] appended=${r1.runIncremental(summaryModel, sources)}")
+    show("after run1")
+    val r2 = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-25"))
+    println(s"[run2 @2024-01-25] appended=${r2.runIncremental(summaryModel, sources)}")
+    println(s"[after run2] watermark=${r2.watermark("daily_txn_summary")}")
+    r2.repair(summaryModel, LocalDate.parse("2024-01-20"))
+    println(s"[after repair @2024-01-20] watermark=${r2.watermark("daily_txn_summary")}")
+    println(s"[refill] appended=${r2.runIncremental(summaryModel, sources)}")
+    println(s"[final] rows=${r2.readModel("daily_txn_summary").count()} " +
+      s"watermark=${r2.watermark("daily_txn_summary")}")
+    spark.stop()
+  }
+}

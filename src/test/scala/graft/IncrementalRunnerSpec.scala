@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runner._
+
+/** The §2.9 incremental protocol: watermark append, closed-period gate,
+  * repair, DAG order, and the incremental ≡ full-refresh property
+  * (SURVEY.md §5.3-5.4).
+  */
+class IncrementalRunnerSpec extends AnyFunSuite {
+  val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def sourceDf(days: Int): DataFrame =
+    (1 to days).flatMap(d => Seq(
+      (f"2024-01-$d%02d", d.toLong, BigDecimal(d * 10)),
+      (f"2024-01-$d%02d", d.toLong + 100, BigDecimal(d))))
+      .toDF("dk", "wallet", "amount")
+      .select(to_date($"dk").as("date_key"), $"wallet", $"amount")
+
+  private def dailyModel(src: () => DataFrame) = ModelDef(
+    "daily_totals", Cadence.Daily, Seq("events_src"),
+    (_, resolve) => resolve("events_src")
+      .groupBy($"date_key").agg(sum($"amount").as("total")))
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-runner").toString
+
+  test("first incremental run = full build of closed periods only") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-06"))
+    val m = dailyModel(() => sourceDf(10))
+    val n = r.runIncremental(m, _ => sourceDf(10))
+    // days 1..5 load; day 6 (today) and beyond are open/future periods
+    assert(n == 5)
+    assert(r.watermark("daily_totals") == "2024-01-05")
+  }
+
+  test("second run appends only rows above the watermark") {
+    val wh = tmpDir()
+    val m = dailyModel(() => sourceDf(10))
+    val r1 = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-06"))
+    r1.runIncremental(m, _ => sourceDf(10))
+    // advance the clock 3 days: exactly days 6,7,8 are newly closed
+    val r2 = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    val n2 = r2.runIncremental(m, _ => sourceDf(10))
+    assert(n2 == 3)
+    // watermark boundary is strict: a third run appends nothing
+    assert(r2.runIncremental(m, _ => sourceDf(10)) == 0)
+  }
+
+  test("incremental catch-up equals full refresh (idempotence property)") {
+    val whInc = tmpDir(); val whFull = tmpDir()
+    val m = dailyModel(() => sourceDf(10))
+    val inc1 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-01-04"))
+    inc1.runIncremental(m, _ => sourceDf(10))
+    val inc2 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-01-09"))
+    inc2.runIncremental(m, _ => sourceDf(10))
+    val full = new IncrementalRunner(spark, whFull, LocalDate.parse("2024-01-09"))
+    full.runFullRefresh(m, _ => sourceDf(10))
+    val a = inc2.readModel("daily_totals").orderBy($"date_key")
+      .select($"date_key".cast("string"), $"total").as[(String, BigDecimal)]
+      .collect().toSeq
+    val b = full.readModel("daily_totals").orderBy($"date_key")
+      .select($"date_key".cast("string"), $"total").as[(String, BigDecimal)]
+      .collect().toSeq
+    assert(a == b && a.size == 8)
+  }
+
+  test("repair deletes from cutoff and the next run re-fills") {
+    val wh = tmpDir()
+    val m = dailyModel(() => sourceDf(10))
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    r.runIncremental(m, _ => sourceDf(10))
+    assert(r.repair(m, LocalDate.parse("2024-01-05")))
+    assert(r.watermark("daily_totals") == "2024-01-04")
+    val refilled = r.runIncremental(m, _ => sourceDf(10))
+    assert(refilled == 4) // days 5..8 rebuilt
+  }
+
+  test("append-only models are excluded from repair (skip list)") {
+    val wh = tmpDir()
+    val m = dailyModel(() => sourceDf(10)).copy(appendOnly = true)
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    r.runIncremental(m, _ => sourceDf(10))
+    assert(!r.repair(m, LocalDate.parse("2024-01-05")))
+    assert(r.watermark("daily_totals") == "2024-01-08") // untouched
+  }
+
+  test("DAG executes in declared dependency order") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-06"))
+    val base = ModelDef("m_base", Cadence.Daily, Seq("events_src"),
+      (_, resolve) => resolve("events_src")
+        .groupBy($"date_key").agg(sum($"amount").as("total")))
+    val derived = ModelDef("m_derived", Cadence.Daily, Seq("m_base"),
+      (_, resolve) => resolve("m_base")
+        .select($"date_key", ($"total" * 2).as("doubled")))
+    // pass them in the WRONG order; topo sort must fix it
+    val counts = r.runAll(Seq(derived, base), _ => sourceDf(10))
+    assert(counts("m_base") == 5 && counts("m_derived") == 5)
+    val d = r.readModel("m_derived")
+    assert(d.agg(sum($"doubled")).head().getDecimal(0) ==
+      r.readModel("m_base").agg(sum($"total") * 2).head().getDecimal(0))
+  }
+
+  test("weekly cadence gates on complete weeks") {
+    val wh = tmpDir()
+    val weekly = ModelDef("weekly_totals", Cadence.Weekly, Seq("events_src"),
+      (_, resolve) => resolve("events_src")
+        .groupBy(date_trunc("week", $"date_key").cast("date").as("date_key"))
+        .agg(sum($"amount").as("total")))
+    // 2024-01-01 is a Monday; today Wed Jan-10 → only week of Jan-1 closed
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-10"))
+    val n = r.runIncremental(weekly, _ => sourceDf(10))
+    assert(n == 1)
+    assert(r.watermark("weekly_totals") == "2024-01-01")
+  }
+}
