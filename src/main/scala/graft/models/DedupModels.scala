@@ -124,15 +124,20 @@ object DedupModels {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
+    // candidate set is orders of magnitude smaller than the shingle table:
+    // broadcast it so the big side streams through map-side hash joins
+    // instead of shuffling all shingles twice.
+    val inter = broadcast(cand)
       .join(dsh.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
       .join(dsh.select($"doc_id".as("doc_b"), $"shingle"),
         Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter_count"))
     inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
+      .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))),
+        Seq("doc_a"))
+      .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b"))),
+        Seq("doc_b"))
       .withColumn("union_count", $"n_a" + $"n_b" - $"inter_count")
       .withColumn("jaccard",
         (expr("(inter_count * 1000000) div union_count")

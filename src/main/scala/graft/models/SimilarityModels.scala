@@ -35,14 +35,18 @@ object SimilarityModels {
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
+    // precompute each side's norm ONCE per vector — the higher-order-
+    // function fold is interpreted (not codegen), so recomputing norms
+    // per (query, cand) pair would triple the hot-loop cost
     val queries = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        sqrt(dotD($"embedding", $"embedding")).as("q_norm"))
     val corpus = emb
       .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"),
-        $"label".as("cand_label"))
+        $"label".as("cand_label"),
+        sqrt(dotD($"embedding", $"embedding")).as("c_norm"))
     val sim = round(
-      dotD($"q_emb", $"c_emb") /
-        (sqrt(dotD($"q_emb", $"q_emb")) * sqrt(dotD($"c_emb", $"c_emb"))),
+      dotD($"q_emb", $"c_emb") / ($"q_norm" * $"c_norm"),
       6).cast(DecimalType(24, 6))
     val scored = corpus.join(broadcast(queries), $"query_id" =!= $"cand_id")
       .withColumn("cosine_sim", sim)
