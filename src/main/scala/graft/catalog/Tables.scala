@@ -40,4 +40,13 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** S4 zero-copy clone: publish an existing model under another name as
+    * a metadata-only view — no data copied, reads hit the source files
+    * (the Spark equivalent of Snowflake `CREATE TABLE … CLONE`,
+    * `kin-data-pipeline/load_scripts/.../clones/` models).
+    */
+  def registerClone(s: SparkSession, cloneName: String,
+      sourcePath: String): Unit =
+    s.read.parquet(sourcePath).createOrReplaceTempView(cloneName)
 }

@@ -73,9 +73,11 @@ object ActivityModels {
   def dailyActiveUnion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fact = factTxn(spark, sfDir)
-    val spenders = fact.filter($"txn_type" === "purchase")
+    // type-membership filters use isin (the reference's `type in (2,3)` /
+    // `(1,3)` spender/earner split, P6)
+    val spenders = fact.filter($"txn_type".isin("purchase", "click"))
       .select($"date_key", $"wallet_id")
-    val earners = fact.filter($"txn_type" === "signup")
+    val earners = fact.filter($"txn_type".isin("signup", "view"))
       .select($"date_key", $"wallet_id")
     spenders.union(earners).distinct() // SQL UNION ≡ union + dedupe
       .groupBy($"date_key")
@@ -87,9 +89,9 @@ object ActivityModels {
       |                     event_type AS txn_type
       |              FROM events WHERE event_type <> 'error'),
       |active AS (
-      |  SELECT date_key, wallet_id FROM fact WHERE txn_type = 'purchase'
+      |  SELECT date_key, wallet_id FROM fact WHERE txn_type IN ('purchase', 'click')
       |  UNION
-      |  SELECT date_key, wallet_id FROM fact WHERE txn_type = 'signup')
+      |  SELECT date_key, wallet_id FROM fact WHERE txn_type IN ('signup', 'view'))
       |SELECT date_key, count(*) AS active_users FROM active GROUP BY 1""".stripMargin
 
   /** q12: latest per-wallet daily state via `dense_rank() over

@@ -1,0 +1,71 @@
+package graft.seed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** External-data seeding: the engine's analog of the reference's
+  * `external_endpoint_data_seed.py` (SURVEY.md §2.1 S5/S6) with the
+  * network boundary factored out — callers fetch bytes however they
+  * like (the reference used REST; tests use fixture strings) and these
+  * builders own the parse/shape/publish semantics.
+  */
+object ExternalSeed {
+
+  /** S5: app-directory JSON payload → dim table. Reproduces the
+    * `PARSE_JSON` + lateral `FLATTEN` + `trim(value:name,'"')` pipeline
+    * (`external_endpoint_data_seed.py:46-71,144-149`): Spark-side this is
+    * `from_json(ArrayType(...))` + `explode` (the Generator FLATTEN maps
+    * to) + per-field extraction.
+    */
+  val appSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("name", StringType),
+    StructField("status", StringType),
+    StructField("public_wallet", StringType),
+    StructField("created_date", StringType),
+    StructField("updated_date", StringType)))
+
+  def seedDimAppFromJson(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    Seq(json).toDF("payload")
+      .select(explode(from_json($"payload", ArrayType(appSchema)))
+        .as("app"))
+      .select(
+        $"app.id".as("id"),
+        // the reference trims stray quotes the API leaves in names
+        trim($"app.name", "\"").as("name"),
+        $"app.status".as("status"),
+        $"app.public_wallet".as("public_wallet"),
+        to_date($"app.created_date").as("created_date"),
+        to_date($"app.updated_date").as("updated_date"))
+  }
+
+  /** S6: market-chart series merge → price dim. Reproduces the CoinGecko
+    * seed (`external_endpoint_data_seed.py:74-120`): three per-key series
+    * (prices / market_caps / total_volumes, each (ts_millis, value))
+    * joined on timestamp; `date_key` shifted −1 day (a close at 00:00 UTC
+    * describes the PREVIOUS day); the max-timestamp row (open period) is
+    * dropped.
+    *
+    * Scale: the three-way join is on the same key with tiny daily rows —
+    * Catalyst broadcasts; the open-row filter uses a max over a window
+    * of the whole (small) series rather than a driver collect.
+    */
+  def buildPriceDim(spark: SparkSession, prices: DataFrame,
+      marketCaps: DataFrame, totalVolumes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val joined = prices.select($"ts", $"value".as("prices"))
+      .join(marketCaps.select($"ts", $"value".as("market_caps")), Seq("ts"))
+      .join(totalVolumes.select($"ts", $"value".as("total_volumes")), Seq("ts"))
+    val w = Window.partitionBy(lit(1))
+    joined
+      .withColumn("max_ts", max($"ts").over(w))
+      .filter($"ts" < $"max_ts") // drop the open (still-running) period
+      .select(
+        to_date(timestamp_millis($"ts") - expr("INTERVAL 1 DAY"))
+          .as("date_key"),
+        $"prices", $"market_caps", $"total_volumes")
+  }
+}

@@ -55,6 +55,26 @@ object RunnerDemo {
     println(s"[refill] appended=${r2.runIncremental(summaryModel, sources)}")
     println(s"[final] rows=${r2.readModel("daily_txn_summary").count()} " +
       s"watermark=${r2.watermark("daily_txn_summary")}")
+
+    // the reference's full daily pipeline shape: seed -> model -> replicate
+    // (sf_daily_pipeline.yaml order), plus a clone publication
+    val dim = graft.seed.ExternalSeed.seedDimAppFromJson(spark,
+      """[{"id": 1, "name": "\"DemoApp\"", "status": "Active",
+        |  "public_wallet": "w1", "created_date": "2021-01-05",
+        |  "updated_date": "2021-06-01"}]""".stripMargin)
+    println(s"[seed] dim_app rows=${dim.count()} name=${dim.head().getString(1)}")
+    val serving = Files.createTempDirectory("graft-demo-serving").toString
+    val rep = new graft.sinks.Replicator(spark, serving)
+    val n1 = rep.replicate("daily_txn_summary", r2.readModel("daily_txn_summary"))
+    val n2 = rep.replicate("daily_txn_summary", r2.readModel("daily_txn_summary"))
+    println(s"[replicate] first=$n1 second(idempotent)=$n2 " +
+      s"sinkWatermark=${rep.sinkWatermark("daily_txn_summary")}")
+    println(s"[replicate] sink columns=" +
+      spark.read.parquet(rep.sinkPath("daily_txn_summary"))
+        .columns.sorted.mkString(","))
+    graft.catalog.Tables.registerClone(spark, "daily_txn_summary_clone",
+      wh + "/daily_txn_summary")
+    println(s"[clone] rows=${spark.table("daily_txn_summary_clone").count()}")
     spark.stop()
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.seed.ExternalSeed
+import graft.sinks.Replicator
+
+/** §2.1 source/sink operators: S5 JSON dim seed, S6 price-series merge,
+  * S7 replicator with sink-side watermark, S4 clone-as-view.
+  */
+class SeedAndSinkSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("S5: JSON payload seeds the app dimension (FLATTEN ≡ explode)") {
+    val json =
+      """[{"id": 1, "name": "\"Kik\"", "status": "Active",
+        |  "public_wallet": "wallet1", "created_date": "2021-01-05",
+        |  "updated_date": "2021-06-01"},
+        | {"id": 2, "name": "PERQ", "status": "Inactive",
+        |  "public_wallet": "wallet2", "created_date": "2020-03-09",
+        |  "updated_date": null}]""".stripMargin
+    val dim = ExternalSeed.seedDimAppFromJson(spark, json)
+    val rows = dim.orderBy($"id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "Kik") // quotes trimmed
+    assert(rows(1).isNullAt(5)) // null updated_date survives
+    assert(dim.schema("created_date").dataType.typeName == "date")
+  }
+
+  test("S6: price series merge shifts -1 day and drops the open period") {
+    def series(v: Double) = Seq(
+      (1700000000000L, v), (1700086400000L, v * 2), (1700172800000L, v * 3))
+      .toDF("ts", "value")
+    val dim = ExternalSeed.buildPriceDim(spark,
+      series(1.0), series(10.0), series(100.0))
+    val rows = dim.orderBy($"date_key").collect()
+    assert(rows.length == 2) // max-ts (open) row dropped
+    // 1700000000000 = 2023-11-14 22:13 UTC → date 2023-11-14, shifted -1
+    assert(rows(0).getDate(0).toString == "2023-11-13")
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getDouble(2) == 10.0 &&
+      rows(0).getDouble(3) == 100.0)
+  }
+
+  test("S7: replicator camelizes and appends only past the sink watermark") {
+    val serving = Files.createTempDirectory("graft-serving").toString
+    val rep = new Replicator(spark, serving)
+    def src(days: Int) = (1 to days).map(d =>
+      (f"2024-01-$d%02d", d.toLong, d * 10L))
+      .toDF("dk", "app_id", "total_amount")
+      .select(to_date($"dk").as("date_key"), $"app_id", $"total_amount")
+    assert(rep.sinkWatermark("daily_summary").isEmpty)
+    assert(rep.replicate("daily_summary", src(3)) == 3)
+    assert(rep.sinkWatermark("daily_summary").contains("2024-01-03"))
+    // second replication with 5 source days appends exactly the 2 new
+    assert(rep.replicate("daily_summary", src(5)) == 2)
+    val sink = spark.read.parquet(rep.sinkPath("daily_summary"))
+    assert(sink.columns.sorted.toSeq == Seq("appId", "dateKey", "totalAmount"))
+    assert(sink.count() == 5)
+    // rebuild replaces wholesale
+    assert(rep.replicate("daily_summary", src(2), rebuild = true) == 2)
+    assert(spark.read.parquet(rep.sinkPath("daily_summary")).count() == 2)
+  }
+
+  test("S4: a clone is a view over the source files (no copy)") {
+    val dir = Files.createTempDirectory("graft-clone").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/model")
+    graft.catalog.Tables.registerClone(spark, "model_clone", s"$dir/model")
+    assert(spark.table("model_clone").count() == 2)
+    // the clone tracks the source: append more data, the view sees it
+    Seq((3, "c")).toDF("k", "v").write.mode("append").parquet(s"$dir/model")
+    graft.catalog.Tables.registerClone(spark, "model_clone", s"$dir/model")
+    assert(spark.table("model_clone").count() == 3)
+  }
+}
