@@ -41,6 +41,9 @@ object SparkEntry {
     "q23_weekly_top_apps_json" -> (PayoutModels.weeklyTopAppsJson _),
     "q24_market_summary" -> (TpchModels.marketSummary _),
     "q25_creates_by_segment" -> (TpchModels.createsBySegment _),
+    "q26_daily_payout" -> (KreModels.dailyPayout _),
+    "q27_volatility_factor" -> (KreModels.volatilityFactor _),
+    "q28_active_user_balance" -> (KreModels.activeUserBalance _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -84,6 +87,9 @@ object SparkEntry {
     "q23_weekly_top_apps_json" -> PayoutModels.weeklyTopAppsJsonOracle,
     "q24_market_summary" -> TpchModels.marketSummaryOracle,
     "q25_creates_by_segment" -> TpchModels.createsBySegmentOracle,
+    "q26_daily_payout" -> KreModels.dailyPayoutOracle,
+    "q27_volatility_factor" -> KreModels.volatilityFactorOracle,
+    "q28_active_user_balance" -> KreModels.activeUserBalanceOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,
