@@ -186,10 +186,16 @@ object KreModels {
     */
   def dailyPayout(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // cache the tiny post-aggregate inputs: the plan references `pre`
+    // from four branches (top/second/staged), and without a cache each
+    // branch recomputes the whole upstream DAG (closing balance + AU
+    // explode + VF). In the runner these are materialized models; inside
+    // the standalone query, caching plays that role. Row counts are
+    // calendar-bounded (days × apps), so memory cost is trivial.
     val aub = activeUserBalance(spark, sfDir)
-      .select($"date_key", $"app_id", $"capped_aub")
+      .select($"date_key", $"app_id", $"capped_aub").cache()
     val vf = volatilityFactor(spark, sfDir)
-      .select($"date_key", $"volatility_factor", $"average_price")
+      .select($"date_key", $"volatility_factor", $"average_price").cache()
     val total = aub.groupBy($"date_key")
       .agg(sum($"capped_aub").cast(DecimalType(38, 2)).as("total_aub"))
     val budget = lit(250000000.0d)
@@ -201,6 +207,7 @@ object KreModels {
           (lit(1.0d) - $"volatility_factor".cast(DoubleType))))
       .withColumn("rk", dense_rank().over(
         Window.partitionBy($"date_key").orderBy($"payout".desc)))
+      .cache()
     val top = pre.filter($"rk" === 1)
       .select($"date_key", $"app_aub_share".as("s1"))
     val second = pre.filter($"rk" === 2)

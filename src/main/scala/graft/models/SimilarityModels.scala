@@ -23,10 +23,16 @@ import org.apache.spark.sql.types._
 object SimilarityModels {
   import graft.catalog.Tables
 
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0d), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd expression
+    * (graft.functions.FloatDotProduct) — identical fold order and double
+    * arithmetic to the builtin `aggregate(zip_with(...))` formulation it
+    * replaced, but whole-stage-codegen'd instead of interpreted.
+    */
+  private def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.FloatDotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   /** s01: exact cosine top-5 per query vector (queries = vec_id < 10),
     * self-match excluded. Deterministic order: rounded similarity desc,
@@ -83,19 +89,26 @@ object SimilarityModels {
     * Output: per-bucket population + label diversity (the ANN candidate
     * generator's bucket histogram).
     */
+  /** Plane p's ±1 weights, derived at plan time from md5("p:d") hex-digit
+    * parity — byte-identical to the oracle's SQL derivation (the first
+    * hex digit is the high nibble of digest byte 0).
+    */
+  private def planeWeights(p: Int): Array[Float] = {
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    (0 until 64).map { d =>
+      val digest = mdInst.digest(s"$p:$d".getBytes("UTF-8"))
+      val firstHexDigit = (digest(0) >> 4) & 0xf
+      ((firstHexDigit % 2) * 2 - 1).toFloat
+    }.toArray
+  }
+
   def lshAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    // per plane: dot(emb, w_p) where w_p[d] = parity(md5("p:d")) * 2 - 1
+    // per plane: dot(emb, w_p) via the native codegen'd expression; the
+    // constant plane vectors fold into the plan as array literals
     val planeBits = (0 until 8).map { p =>
-      val weighted = aggregate(
-        transform(sequence(lit(0), lit(63)), d => {
-          val hexDigit = substring(md5(concat(lit(s"$p:"), d.cast(StringType))), 1, 1)
-          val parity = (instr(lit("0123456789abcdef"), hexDigit) - 1) % 2
-          (parity * 2 - 1).cast(DoubleType) *
-            element_at($"embedding", d + 1).cast(DoubleType)
-        }),
-        lit(0.0d), (acc, x) => acc + x)
+      val weighted = dotD($"embedding", typedLit(planeWeights(p)))
       when(weighted > 0, lit(1L << p)).otherwise(lit(0L))
     }
     emb
