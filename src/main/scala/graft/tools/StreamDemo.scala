@@ -2,6 +2,7 @@ package graft.tools
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.streaming.StreamingSummary
 
 /** Dev drive of the Structured Streaming path: stage the events fixture as
@@ -30,6 +31,21 @@ object StreamDemo {
     println(s"[stream] emitted rows=${out.count()} " +
       s"days=${out.select($"date_key").distinct().count()}")
     out.orderBy($"date_key", $"txn_type").show(6)
+
+    // stateful path: flatMapGroupsWithState running balances
+    val q2 = graft.streaming.StatefulBalance.runningBalances(spark, in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("demo_balances")
+      .option("checkpointLocation", s"$base/ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val bal = spark.table("demo_balances")
+    println(s"[stateful] updates=${bal.count()} wallets=" +
+      bal.select($"wallet_id").distinct().count())
+    bal.groupBy($"wallet_id").agg(max($"events").as("events"),
+        org.apache.spark.sql.functions.max_by($"balance", $"events").as("final_balance"))
+      .orderBy($"wallet_id").show(5)
     spark.stop()
   }
 }
