@@ -15,6 +15,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it only as
       // long under this flag (graft.catalog.Tables.events normalizes back).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit (Spark 4 defaults): runtime re-planning + skew-join
+      // splitting — hot wallets/apps are skewed keys (SURVEY §7.4.5)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

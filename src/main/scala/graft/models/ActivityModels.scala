@@ -123,9 +123,12 @@ object ActivityModels {
     * gated 30 days behind the data edge. Ops: J5 forward-range anti join
     * (`daily_churn_volume.sql:43-48`), P3-style closed-period gate.
     *
-    * Scale: the anti join keeps the `o_custkey` equi key so Spark plans a
-    * shuffled hash/SMJ anti join with the range as residual — never a
-    * nested-loop. Input is pre-deduped to distinct (cust, day).
+    * Scale: the reference's formulation is a range anti self-join, which
+    * shuffles |orders| × orders-per-customer intermediate rows (and skews
+    * on hot customers). Only the NEXT order decides churn, so this is
+    * re-expressed as `lead(date) over (partition by customer order by
+    * date)` — one linear shuffle on the customer key, identical result:
+    * churned ⇔ next order is null or > d+30.
     */
   def churn30d(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -133,15 +136,12 @@ object ActivityModels {
       .select($"o_custkey".as("cust_id"), to_date($"o_orderdate").as("date_key"))
       .distinct()
     val maxDay = custDays.agg(max($"date_key").as("max_date"))
-    val gated = custDays.crossJoin(broadcast(maxDay))
+    val w = Window.partitionBy($"cust_id").orderBy($"date_key")
+    custDays
+      .withColumn("next_date", lead($"date_key", 1).over(w))
+      .crossJoin(broadcast(maxDay))
       .filter($"date_key" <= date_sub($"max_date", 30))
-      .select($"cust_id", $"date_key")
-    val next = custDays
-      .select($"cust_id".as("n_cust"), $"date_key".as("n_date"))
-    gated.join(next,
-        $"cust_id" === $"n_cust" && $"n_date" > $"date_key" &&
-          $"n_date" <= date_add($"date_key", 30),
-        "left_anti")
+      .filter($"next_date".isNull || $"next_date" > date_add($"date_key", 30))
       .groupBy($"date_key")
       .agg(count(lit(1)).as("churned_customers"))
   }
@@ -149,12 +149,13 @@ object ActivityModels {
   val churn30dOracle: String =
     """WITH cd AS (SELECT DISTINCT o_custkey AS cust_id, cast(o_orderdate AS DATE) AS date_key
       |            FROM orders),
-      |gated AS (SELECT * FROM cd WHERE date_key <= (SELECT max(date_key) FROM cd) - 30)
-      |SELECT g.date_key, count(*) AS churned_customers
-      |FROM gated g LEFT JOIN cd n
-      |  ON n.cust_id = g.cust_id AND n.date_key > g.date_key
-      | AND n.date_key <= g.date_key + 30
-      |WHERE n.cust_id IS NULL
+      |nxt AS (SELECT cust_id, date_key,
+      |               lead(date_key) OVER (PARTITION BY cust_id ORDER BY date_key) AS next_date
+      |        FROM cd)
+      |SELECT date_key, count(*) AS churned_customers
+      |FROM nxt
+      |WHERE date_key <= (SELECT max(date_key) FROM cd) - 30
+      |  AND (next_date IS NULL OR next_date > date_key + 30)
       |GROUP BY 1""".stripMargin
 
   /** q16: rolling 7-day distinct actives per day. Ops: J4 range join,
