@@ -49,6 +49,7 @@ object SparkEntry {
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
     "d03_lsh_near_dup_pairs" -> (DedupModels.lshNearDupPairs _),
     "d04_simhash16" -> (DedupModels.simhash16 _),
+    "d05_embedding_near_dup" -> (SimilarityModels.embeddingNearDupPairs _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "t01_lang_profile" -> (TextModels.langProfile _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,
     "d04_simhash16" -> DedupModels.simhash16Oracle,
+    "d05_embedding_near_dup" -> SimilarityModels.embeddingNearDupPairsOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,

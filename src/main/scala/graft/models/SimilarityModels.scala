@@ -102,7 +102,10 @@ object SimilarityModels {
     }.toArray
   }
 
-  def lshAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
+    * input of the ANN histogram (s02) and near-dup pair search (d05).
+    */
+  private def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     // per plane: dot(emb, w_p) via the native codegen'd expression; the
@@ -111,11 +114,68 @@ object SimilarityModels {
       val weighted = dotD($"embedding", typedLit(planeWeights(p)))
       when(weighted > 0, lit(1L << p)).otherwise(lit(0L))
     }
-    emb
-      .withColumn("bucket", planeBits.reduce(_ + _))
+    emb.withColumn("bucket", planeBits.reduce(_ + _))
+      .withColumn("norm", sqrt(dotD($"embedding", $"embedding")))
+  }
+
+  def lshAnnBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bucketed(spark, sfDir)
       .groupBy($"bucket")
       .agg(count(lit(1)).as("vec_count"),
         countDistinct($"label").as("distinct_labels"))
+  }
+
+  /** d05: embedding near-duplicate candidate generation + cosine verify.
+    * Candidates are same-bucket pairs only (the ANN contract: the
+    * bucket-join shrinks the O(n²) compare space ~2^planes); each pair
+    * is verified with the native cosine. Output: per-bucket pair stats.
+    *
+    * Scale: the self-join key is the bucket id — a plain shuffled equi
+    * join whose volume is Σ bucket_size², bounded by the LSH spread (at
+    * 100 TB: more planes → smaller buckets → same query shape).
+    */
+  def embeddingNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = bucketed(spark, sfDir)
+      .select($"bucket", $"vec_id", $"embedding", $"norm")
+    val pairs = b.as("a")
+      .join(b.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("embedding", "emb_b")
+        .withColumnRenamed("norm", "norm_b").as("c"),
+        $"a.bucket" === $"c.bucket" && $"a.vec_id" < $"vec_b")
+    pairs
+      .withColumn("cos", round(
+        dotD($"a.embedding", $"emb_b") / ($"a.norm" * $"norm_b"), 6)
+        .cast(DecimalType(24, 6)))
+      .groupBy($"a.bucket".as("bucket"))
+      .agg(count(lit(1)).as("pair_count"),
+        max($"cos").as("max_cosine"),
+        min($"cos").as("min_cosine"))
+  }
+
+  val embeddingNearDupPairsOracle: String = {
+    val planeExprs = (0 until 8).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(64),
+         |  d -> cast(((strpos('0123456789abcdef', substr(md5('$p:' || d), 1, 1)) - 1) % 2) * 2 - 1 AS DOUBLE)
+         |       * cast(embedding[d+1] AS DOUBLE))) > 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, cast($planeExprs AS BIGINT) AS bucket,
+       |         sqrt(list_sum(list_transform(range(64),
+       |              i -> cast(embedding[i+1] AS DOUBLE) * cast(embedding[i+1] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.bucket,
+       |         cast(round(
+       |           list_sum(list_transform(range(64),
+       |             i -> cast(a.embedding[i+1] AS DOUBLE) * cast(c.embedding[i+1] AS DOUBLE))) /
+       |           (a.norm * c.norm), 6) AS DECIMAL(24,6)) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT bucket, count(*) AS pair_count,
+       |       max(cos) AS max_cosine, min(cos) AS min_cosine
+       |FROM pairs GROUP BY bucket""".stripMargin
   }
 
   val lshAnnBucketsOracle: String = {
