@@ -88,8 +88,14 @@ object PayoutModels {
         $"txn_type")
       .agg(count(lit(1)).as("txn_count"),
         sum($"amount").cast(DecimalType(38, 2)).as("total_amount"),
-        ratio6(sum($"amount").cast(DoubleType) / count(lit(1)))
-          .as("avg_amount"))
+        sum($"amount").as("amt_sum_raw"))
+      // exact micros average — see q08's formulation note
+      .withColumn("avg_amount",
+        (expr("cast(amt_sum_raw * 1000000 as bigint) div txn_count")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .drop("amt_sum_raw")
   }
 
   def periodTxnRollupOracle(unit: String): String =
@@ -99,7 +105,8 @@ object PayoutModels {
        |SELECT cast(date_trunc('$unit', date_key) AS DATE) AS period_key, txn_type,
        |       count(*) AS txn_count,
        |       cast(sum(amount) AS DECIMAL(38,2)) AS total_amount,
-       |       cast(round(cast(sum(amount) AS DOUBLE)/count(*), 6) AS DECIMAL(24,6)) AS avg_amount
+       |       cast((cast(sum(amount) * 1000000 AS BIGINT) // count(*)) *
+       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS avg_amount
        |FROM fact GROUP BY 1, 2""".stripMargin
 
   /** q11: top-3 apps by daily payout via dense_rank. Ops: W1 ranking

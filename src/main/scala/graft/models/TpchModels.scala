@@ -131,9 +131,14 @@ object TpchModels {
       .orderBy(datediff($"date_key", lit("1995-01-01")))
       .rangeBetween(-29, 0)
     daily
+      .withColumn("win_sum", sum($"day_price_sum").over(w))
+      .withColumn("win_obs", sum($"day_obs").over(w))
+      // exact micros average over the window sums (portable floor division)
       .withColumn("rolling_avg_price",
-        ratio6(sum($"day_price_sum").over(w).cast(DoubleType) /
-          sum($"day_obs").over(w)))
+        (expr("cast(win_sum * 1000000 as bigint) div win_obs")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
       .select($"date_key",
         $"day_price_sum".cast(DecimalType(38, 2)).as("day_price_sum"),
         $"day_obs", $"rolling_avg_price")
@@ -148,9 +153,9 @@ object TpchModels {
       |SELECT date_key,
       |       cast(day_price_sum AS DECIMAL(38,2)) AS day_price_sum,
       |       day_obs,
-      |       cast(round(
-      |         cast(sum(day_price_sum) OVER w AS DOUBLE) /
-      |         sum(day_obs) OVER w, 6) AS DECIMAL(24,6)) AS rolling_avg_price
+      |       cast((cast(sum(day_price_sum) OVER w * 1000000 AS BIGINT) //
+      |             sum(day_obs) OVER w) *
+      |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS rolling_avg_price
       |FROM daily
       |WINDOW w AS (ORDER BY datediff('day', DATE '1995-01-01', date_key)
       |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
@@ -233,19 +238,27 @@ object TpchModels {
         sum($"l_extendedprice".cast(Money)).cast(DecimalType(38, 2))
           .as("market_cap"),
         sum($"l_quantity".cast(Money)).cast(DecimalType(38, 2))
-          .as("volume"),
-        ratio6(sum($"l_extendedprice".cast(Money)).cast(DoubleType) /
-          sum($"l_quantity".cast(Money)).cast(DoubleType))
-          .as("avg_price"))
+          .as("volume"))
+      // avg_price = mcap/volume in exact cent-integer arithmetic:
+      // micros = (mcap_cents * 1e6) div volume_cents
+      .withColumn("avg_price",
+        (expr("(cast(market_cap * 100 as bigint) * 1000000) div cast(volume * 100 as bigint)")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
   }
 
   val marketSummaryOracle: String =
-    """SELECT cast(l_shipdate AS DATE) AS date_key,
-      |       cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS market_cap,
-      |       cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
-      |       cast(round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) /
-      |                  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS DECIMAL(24,6)) AS avg_price
-      |FROM lineitem GROUP BY 1""".stripMargin
+    """WITH daily AS (
+      |  SELECT cast(l_shipdate AS DATE) AS date_key,
+      |         cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS market_cap,
+      |         cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume
+      |  FROM lineitem GROUP BY 1)
+      |SELECT date_key, market_cap, volume,
+      |       cast(((cast(market_cap * 100 AS BIGINT) * 1000000) //
+      |             cast(volume * 100 AS BIGINT)) *
+      |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS avg_price
+      |FROM daily""".stripMargin
 
   /** q25: creations per (day, market segment) — fact ⋈ broadcast dim then
     * aggregate. Ops: A1, J3 dim-lookup join

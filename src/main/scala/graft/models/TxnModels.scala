@@ -67,12 +67,18 @@ object TxnModels {
       .agg(
         count(lit(1)).as("txn_count"),
         sum($"amount").cast(DecimalType(38, 2)).as("total_amount"),
-        ratio6(sum($"amount").cast(DoubleType) / count(lit(1)))
-          .as("avg_amount"),
+        sum($"amount").as("amt_sum_raw"),
         ratio6(percentile($"amount".cast(DoubleType), lit(0.5)))
           .as("median_amount"),
         sum(lit(new java.math.BigDecimal("0.00001")).cast(DecimalType(38, 10)))
           .as("total_fees"))
+      // exact micros average (see q08): floor((sum*1e6)/n) — portable
+      .withColumn("avg_amount",
+        (expr("cast(amt_sum_raw * 1000000 as bigint) div txn_count")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .drop("amt_sum_raw")
   }
 
   val dailyTxnSummaryOracle: String =
@@ -83,7 +89,8 @@ object TxnModels {
       |SELECT date_key, txn_type,
       |       count(*) AS txn_count,
       |       cast(sum(amount) AS DECIMAL(38,2)) AS total_amount,
-      |       cast(round(cast(sum(amount) AS DOUBLE)/count(*), 6) AS DECIMAL(24,6)) AS avg_amount,
+      |       cast((cast(sum(amount) * 1000000 AS BIGINT) // count(*)) *
+      |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS avg_amount,
       |       cast(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY cast(amount AS DOUBLE)), 6) AS DECIMAL(24,6)) AS median_amount,
       |       sum(cast(0.00001 AS DECIMAL(38,10))) AS total_fees
       |FROM fact GROUP BY date_key, txn_type""".stripMargin
