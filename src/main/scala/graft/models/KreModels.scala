@@ -50,13 +50,16 @@ object KreModels {
     */
   def volatilityFactor(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val price = dailyPriceMicros(spark, sfDir)
+    // price is one row per day; caching it collapses the three plan
+    // branches (days, served, mean) to a single scan+aggregate of events
+    val price = dailyPriceMicros(spark, sfDir).cache()
     val days = price.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
     val served = price
       .withColumn("anchor_date",
         explode(sequence($"date_key", date_add($"date_key", 29))))
       .join(broadcast(days), Seq("anchor_date"), "left_semi")
+      .cache() // referenced by both the mean and the deviation pass
     val mean = served.groupBy($"anchor_date")
       .agg(expr("cast(sum(price_micros) as bigint) div count(1)")
         .as("mean_micros"))
@@ -107,7 +110,11 @@ object KreModels {
     */
   def activeUserBalance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // one parse of the fact slice feeds both the spend stream and the
+    // anchor-day set (two plan branches would otherwise re-scan + re-parse
+    // the JSON app key)
     val fact = factTxn(spark, sfDir)
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
     val spends = fact.filter($"txn_type" === "purchase")
       .select($"date_key", $"app_id", $"wallet_id")
     val days = fact.select($"date_key").distinct()
