@@ -203,6 +203,19 @@ object KreModels {
       .select($"date_key", $"app_id", $"capped_aub").cache()
     val vf = volatilityFactor(spark, sfDir)
       .select($"date_key", $"volatility_factor", $"average_price").cache()
+    val dim = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    dailyPayoutFrom(spark, aub, vf, dim)
+  }
+
+  /** The payout share algebra over already-built inputs — separated so
+    * the monopoly-cap branches are unit-testable with crafted AUB/VF
+    * frames (PayoutEdgeSpec) independent of the upstream DAG.
+    * `aub`: (date_key, app_id, capped_aub); `vf`: (date_key,
+    * volatility_factor, average_price); `dim`: (n_nationkey, n_name).
+    */
+  def dailyPayoutFrom(spark: SparkSession, aub: DataFrame, vf: DataFrame,
+      dim: DataFrame): DataFrame = {
+    import spark.implicits._
     val total = aub.groupBy($"date_key")
       .agg(sum($"capped_aub").cast(DecimalType(38, 2)).as("total_aub"))
     val budget = lit(250000000.0d)
@@ -249,7 +262,6 @@ object KreModels {
         budget * (lit(1.0d) - $"volatility_factor".cast(DoubleType)))
       .withColumn("post_monopoly_payout",
         $"payout_budget" * $"post_monopoly_app_share")
-    val dim = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
     staged
       .join(broadcast(dim), $"app_id" === $"n_nationkey", "left")
       .select($"date_key", $"app_id",
