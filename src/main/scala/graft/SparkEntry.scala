@@ -44,6 +44,7 @@ object SparkEntry {
     "q26_daily_payout" -> (KreModels.dailyPayout _),
     "q27_volatility_factor" -> (KreModels.volatilityFactor _),
     "q28_active_user_balance" -> (KreModels.activeUserBalance _),
+    "q29_kre_weekly_payout" -> (KreModels.kreWeeklyPayout _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q26_daily_payout" -> KreModels.dailyPayoutOracle,
     "q27_volatility_factor" -> KreModels.volatilityFactorOracle,
     "q28_active_user_balance" -> KreModels.activeUserBalanceOracle,
+    "q29_kre_weekly_payout" -> KreModels.kreWeeklyPayoutOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

@@ -73,28 +73,32 @@ object DedupModels {
        |        FROM ok)""".stripMargin
 
   /** d02: 4-permutation MinHash signature per document.
-    * minhash_j = min over shingles of md5("j:" ++ shingle) — the salted
-    * hash plays the role of the j-th random permutation.
+    * The j-th permutation is the ordering induced by hex slice j of ONE
+    * md5 per shingle (bytes of a cryptographic digest are independent),
+    * so the whole signature costs a single hash pass — 4× cheaper than
+    * salting, same LSH statistics.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    shingleDf(spark, sfDir)
-      .groupBy($"doc_id")
+    val hashed = shingleDf(spark, sfDir)
+      .select($"doc_id", md5($"shingle").as("h"))
+    hashed.groupBy($"doc_id")
       .agg(
-        min(md5(concat(lit("0:"), $"shingle"))).as("mh0"),
-        min(md5(concat(lit("1:"), $"shingle"))).as("mh1"),
-        min(md5(concat(lit("2:"), $"shingle"))).as("mh2"),
-        min(md5(concat(lit("3:"), $"shingle"))).as("mh3"))
+        min(substring($"h", 1, 8)).as("mh0"),
+        min(substring($"h", 9, 8)).as("mh1"),
+        min(substring($"h", 17, 8)).as("mh2"),
+        min(substring($"h", 25, 8)).as("mh3"))
   }
 
   val minhashSignaturesOracle: String =
-    s"""WITH $shingleSqlDuck
+    s"""WITH $shingleSqlDuck,
+       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM dsh)
        |SELECT doc_id,
-       |       min(md5('0:' || shingle)) AS mh0,
-       |       min(md5('1:' || shingle)) AS mh1,
-       |       min(md5('2:' || shingle)) AS mh2,
-       |       min(md5('3:' || shingle)) AS mh3
-       |FROM dsh GROUP BY doc_id""".stripMargin
+       |       min(substr(h, 1, 8)) AS mh0,
+       |       min(substr(h, 9, 8)) AS mh1,
+       |       min(substr(h, 17, 8)) AS mh2,
+       |       min(substr(h, 25, 8)) AS mh3
+       |FROM hashed GROUP BY doc_id""".stripMargin
 
   /** d03: MinHash-LSH near-duplicate candidate pairs + exact n-gram
     * Jaccard verification. Two bands of two hashes each; candidates =
@@ -107,12 +111,13 @@ object DedupModels {
   def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dsh = shingleDf(spark, sfDir).cache()
-    val sig = dsh.groupBy($"doc_id")
+    val hashed = dsh.select($"doc_id", md5($"shingle").as("h"))
+    val sig = hashed.groupBy($"doc_id")
       .agg(
-        min(md5(concat(lit("0:"), $"shingle"))).as("mh0"),
-        min(md5(concat(lit("1:"), $"shingle"))).as("mh1"),
-        min(md5(concat(lit("2:"), $"shingle"))).as("mh2"),
-        min(md5(concat(lit("3:"), $"shingle"))).as("mh3"))
+        min(substring($"h", 1, 8)).as("mh0"),
+        min(substring($"h", 9, 8)).as("mh1"),
+        min(substring($"h", 17, 8)).as("mh2"),
+        min(substring($"h", 25, 8)).as("mh3"))
     val bands = sig.select($"doc_id", lit(0).as("band_idx"),
         md5(concat($"mh0", $"mh1")).as("band_val"))
       .union(sig.select($"doc_id", lit(1).as("band_idx"),
@@ -149,10 +154,11 @@ object DedupModels {
 
   val lshNearDupPairsOracle: String =
     s"""WITH $shingleSqlDuck,
+       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM dsh),
        |sig AS (SELECT doc_id,
-       |               min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-       |               min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
-       |        FROM dsh GROUP BY doc_id),
+       |               min(substr(h, 1, 8)) AS mh0, min(substr(h, 9, 8)) AS mh1,
+       |               min(substr(h, 17, 8)) AS mh2, min(substr(h, 25, 8)) AS mh3
+       |        FROM hashed GROUP BY doc_id),
        |bands AS (SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_val FROM sig
        |          UNION ALL
        |          SELECT doc_id, 1, md5(mh2 || mh3) FROM sig),

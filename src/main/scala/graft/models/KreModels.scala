@@ -279,6 +279,64 @@ object KreModels {
           .as("post_monopoly_payout_usd"))
   }
 
+  /** q29: weekly payout rollup — `kre_weekly_payout.sql`. The window per
+    * week-anchor W (a Monday) is reproduced LITERALLY from the
+    * reference's Sunday-anchored arithmetic (SURVEY §7.4.3 — don't
+    * "fix" it): from = dateadd(week,-1,dateadd(day,-1,W)) = W−8;
+    * to = dateadd(day,-2,W) = W−2 — i.e. previous-week Sunday through
+    * Saturday. Ops: J4 weekly range join (tiny broadcast anchor set),
+    * A1, J3 dim decoration, O1.
+    */
+  def kreWeeklyPayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payout = dailyPayout(spark, sfDir)
+      .select($"date_key", $"app_id", $"app_name",
+        $"post_monopoly_payout", $"post_monopoly_payout_usd").cache()
+    val weeks = payout
+      .select(date_trunc("week", $"date_key").cast(DateType).as("week_key"))
+      .distinct()
+    payout
+      .join(broadcast(weeks),
+        $"date_key" >= date_sub($"week_key", 8) &&
+          $"date_key" <= date_sub($"week_key", 2))
+      .groupBy($"week_key", $"app_id", $"app_name")
+      .agg(
+        sum($"post_monopoly_payout").cast(DecimalType(38, 2))
+          .as("weekly_kin_payout"),
+        sum($"post_monopoly_payout_usd").cast(DecimalType(38, 2))
+          .as("weekly_usd_payout"))
+      .select($"week_key", $"app_id", $"app_name",
+        $"weekly_kin_payout", $"weekly_usd_payout",
+        $"week_key".as("run_date"),
+        date_sub($"week_key", 8).as("from_date"),
+        date_sub($"week_key", 2).as("to_date"))
+      .orderBy($"week_key", $"app_id")
+  }
+
+  // lazy: composes dailyPayoutOracle, which is declared later in this
+  // object — a strict val would capture null at init order
+  lazy val kreWeeklyPayoutOracle: String = {
+    s"""WITH payout AS (SELECT date_key, app_id, app_name,
+       |                       post_monopoly_payout, post_monopoly_payout_usd
+       |                FROM (${dailyPayoutSelect}) t),
+       |weeks AS (SELECT DISTINCT cast(date_trunc('week', date_key) AS DATE) AS week_key
+       |          FROM payout)
+       |SELECT w.week_key, p.app_id, p.app_name,
+       |       cast(sum(p.post_monopoly_payout) AS DECIMAL(38,2)) AS weekly_kin_payout,
+       |       cast(sum(p.post_monopoly_payout_usd) AS DECIMAL(38,2)) AS weekly_usd_payout,
+       |       w.week_key AS run_date,
+       |       w.week_key - 8 AS from_date,
+       |       w.week_key - 2 AS to_date
+       |FROM weeks w JOIN payout p
+       |  ON p.date_key BETWEEN w.week_key - 8 AND w.week_key - 2
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** The full q26 oracle as a parenthesizable SELECT (DuckDB allows a
+    * nested WITH inside a subquery), reused by the q29 oracle.
+    */
+  private def dailyPayoutSelect: String = dailyPayoutOracle
+
   val dailyPayoutOracle: String = {
     s"""WITH $auBalCtes,
        |aub AS (SELECT au.anchor_date AS date_key, au.app_id,
