@@ -236,9 +236,14 @@ object ActivityModels {
     * (wallet, day) — vs. the reference's OR-join which degrades to a
     * nested loop. Row_number (not max-struct) keeps it whole-stage-codegen.
     */
-  def closingBalance(spark: SparkSession, sfDir: String): DataFrame = {
+  def closingBalance(spark: SparkSession, sfDir: String): DataFrame =
+    closingBalanceFrom(graft.catalog.Tables.events(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def closingBalanceFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val ev = graft.catalog.Tables.events(spark, sfDir)
+    val ev = events
       .filter($"event_type" =!= "error")
       .select($"ts", $"event_id", $"user_id",
         coalesce(get_json_object($"props", "$.k").cast(IntegerType), lit(0))

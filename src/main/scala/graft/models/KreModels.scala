@@ -30,9 +30,12 @@ object KreModels {
   /** Daily "price": mean event value per day in exact integer micros
     * (the events-world analog of the price dim feeding VF).
     */
-  private def dailyPriceMicros(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    factTxn(spark, sfDir)
+  private def dailyPriceMicros(spark: SparkSession, sfDir: String): DataFrame =
+    dailyPriceMicrosFrom(factTxn(spark, sfDir))
+
+  private def dailyPriceMicrosFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    fact
       .groupBy($"date_key")
       .agg(sum($"amount").as("amt_sum"), count(lit(1)).as("n"))
       .select($"date_key",
@@ -48,11 +51,16 @@ object KreModels {
     * Scale: explode factor is a constant 30 over one-row-per-day input —
     * bounded fan-out, plain hash aggregates, no BNLJ.
     */
-  def volatilityFactor(spark: SparkSession, sfDir: String): DataFrame = {
+  def volatilityFactor(spark: SparkSession, sfDir: String): DataFrame =
+    volatilityFactorFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def volatilityFactorFrom(fact: DataFrame): DataFrame = {
+    val spark = fact.sparkSession
     import spark.implicits._
     // price is one row per day; caching it collapses the three plan
     // branches (days, served, mean) to a single scan+aggregate of events
-    val price = dailyPriceMicros(spark, sfDir).cache()
+    val price = dailyPriceMicrosFrom(fact).cache()
     val days = price.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
     val served = price
@@ -108,12 +116,19 @@ object KreModels {
     * capped_aub = least(aub, au × 1000) (the AU×100000 cap rule, :67-70).
     * Ops: J4 (explode ×30 after dedupe), P9, J2, A1, A9.
     */
-  def activeUserBalance(spark: SparkSession, sfDir: String): DataFrame = {
+  def activeUserBalance(spark: SparkSession, sfDir: String): DataFrame =
+    activeUserBalanceFrom(factTxn(spark, sfDir),
+      ActivityModels.closingBalance(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def activeUserBalanceFrom(factIn: DataFrame,
+      closingBalance: DataFrame): DataFrame = {
+    val spark = factIn.sparkSession
     import spark.implicits._
     // one parse of the fact slice feeds both the spend stream and the
     // anchor-day set (two plan branches would otherwise re-scan + re-parse
     // the JSON app key)
-    val fact = factTxn(spark, sfDir)
+    val fact = factIn
       .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
     val spends = fact.filter($"txn_type" === "purchase")
       .select($"date_key", $"app_id", $"wallet_id")
@@ -126,7 +141,7 @@ object KreModels {
       .groupBy($"anchor_date", $"app_id", $"wallet_id")
       .agg(count(lit(1)).as("spend_count"))
       .filter($"spend_count" >= 3)
-    val balance = ActivityModels.closingBalance(spark, sfDir)
+    val balance = closingBalance
       .select($"date_key".as("anchor_date"), $"wallet_id",
         $"closing_balance")
     au.join(balance, Seq("anchor_date", "wallet_id"), "left")

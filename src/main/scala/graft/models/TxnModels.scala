@@ -35,9 +35,15 @@ object TxnModels {
   /** q01: cleaned transaction fact. Ops: A6 (dedupe), P1 (project/rename),
     * P2 (status filter), casts, null→0 app_id (§1.2).
     */
-  def factTxn(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    graft.catalog.Tables.events(spark, sfDir)
+  def factTxn(spark: SparkSession, sfDir: String): DataFrame =
+    factTxnFrom(graft.catalog.Tables.events(spark, sfDir))
+
+  /** Frame-parameterized fact builder (used by the model registry, where
+    * the events source is resolved by the runner).
+    */
+  def factTxnFrom(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .dropDuplicates("event_id") // upstream may duplicate (fact_kin_transaction.sql:2-5)
       .filter($"event_type" =!= "error") // status='Ok' analog
       .select(

@@ -93,6 +93,11 @@ final class IncrementalRunner(
     if (n > 0)
       slice.write.mode(SaveMode.Append)
         .partitionBy("date_key").parquet(targetPath(m.name))
+    else if (!exists(m.name))
+      // the reference's CTAS always creates the table; materialize an
+      // empty schema-bearing target so downstream models can resolve it
+      // (unpartitioned: a partitioned empty write emits no files)
+      slice.write.mode(SaveMode.Overwrite).parquet(targetPath(m.name))
     n
   }
 

@@ -75,6 +75,21 @@ object RunnerDemo {
     graft.catalog.Tables.registerClone(spark, "daily_txn_summary_clone",
       wh + "/daily_txn_summary")
     println(s"[clone] rows=${spark.table("daily_txn_summary_clone").count()}")
+
+    // the full declared KRE DAG through the runner (ModelRegistry):
+    // empty models (e.g. AU at tiny SFs) still materialize schema-bearing
+    // targets so downstream models resolve
+    val dagWh = Files.createTempDirectory("graft-demo-dag").toString
+    val dagRunner = new IncrementalRunner(spark, dagWh,
+      LocalDate.parse("2024-02-05"))
+    val dagSources: String => org.apache.spark.sql.DataFrame = {
+      case "events" => graft.catalog.Tables.events(spark, sfDir)
+      case other => graft.catalog.Tables.load(spark, sfDir, other)
+    }
+    val counts = dagRunner.runAll(graft.runner.ModelRegistry.kreDag, dagSources)
+    counts.toSeq.sortBy(_._1).foreach { case (m, n) =>
+      println(s"[dag] $m appended=$n")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runner._
+
+/** End-to-end DAG test (SURVEY §5.4): the full KRE model chain through
+  * the incremental runner on real test data — full refresh vs two-step
+  * incremental must converge to the same payout tables.
+  */
+class ModelDagSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // sf0.01: the smallest SF where the KRE ≥3-spends-in-30d rule yields
+  // non-empty active-user sets (sf0.001 has ~0.13 spends per (app,wallet))
+  private val sfDir = "/root/testdata/sf0.01"
+  private def sources: String => DataFrame = {
+    case "events" => graft.catalog.Tables.events(spark, sfDir)
+    case other => graft.catalog.Tables.load(spark, sfDir, other)
+  }
+
+  private def tableHash(df: DataFrame): Seq[String] =
+    df.select(df.columns.sorted.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("full KRE DAG runs through the incremental runner end-to-end") {
+    val wh = Files.createTempDirectory("graft-dag").toString
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-02-05"))
+    val counts = r.runAll(ModelRegistry.kreDag, sources)
+    assert(counts("fact_txn") > 0)
+    assert(counts("daily_payout") > 0)
+    assert(counts("weekly_payout") > 0)
+    // downstream reads materialized upstream: payout dates ⊆ aub dates
+    val payoutDays = r.readModel("daily_payout")
+      .select($"date_key").distinct().count()
+    assert(payoutDays > 0 && payoutDays <=
+      r.readModel("active_user_balance").select($"date_key").distinct().count())
+  }
+
+  test("incremental catch-up converges to full refresh across the DAG") {
+    val whInc = Files.createTempDirectory("graft-dag-inc").toString
+    val whFull = Files.createTempDirectory("graft-dag-full").toString
+    // step 1: world as of Jan 20
+    val r1 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-01-20"))
+    r1.runAll(ModelRegistry.kreDag, sources)
+    // step 2: catch up to Feb 5
+    val r2 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-02-05"))
+    val appended = r2.runAll(ModelRegistry.kreDag, sources)
+    assert(appended.values.sum > 0) // something new arrived everywhere
+    // full refresh as of Feb 5
+    val rf = new IncrementalRunner(spark, whFull, LocalDate.parse("2024-02-05"))
+    rf.runAll(ModelRegistry.kreDag, sources)
+    for (m <- Seq("fact_txn", "volatility_factor", "daily_payout",
+        "weekly_payout")) {
+      assert(tableHash(r2.readModel(m)) == tableHash(rf.readModel(m)),
+        s"model $m diverged between incremental and full refresh")
+    }
+  }
+}
