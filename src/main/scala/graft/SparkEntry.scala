@@ -45,6 +45,7 @@ object SparkEntry {
     "q27_volatility_factor" -> (KreModels.volatilityFactor _),
     "q28_active_user_balance" -> (KreModels.activeUserBalance _),
     "q29_kre_weekly_payout" -> (KreModels.kreWeeklyPayout _),
+    "q30_gc_impacted_accounts" -> (TpchModels.gcImpactedAccounts _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q27_volatility_factor" -> KreModels.volatilityFactorOracle,
     "q28_active_user_balance" -> KreModels.activeUserBalanceOracle,
     "q29_kre_weekly_payout" -> KreModels.kreWeeklyPayoutOracle,
+    "q30_gc_impacted_accounts" -> TpchModels.gcImpactedAccountsOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

@@ -226,6 +226,56 @@ object TpchModels {
       |       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
       |FROM orders GROUP BY 1 HAVING count(*) >= 10""".stripMargin
 
+  /** q30: the GC composite — `multi_create_impacted_accounts.sql`'s
+    * shape end-to-end: multi-instruction transactions (HAVING count>1,
+    * A8/P9) → impacted accounts via semi join (J6) → latest state per
+    * account via dense_rank desc = 1 (W2/W3) → stamped output. The
+    * reference stamps `current_date` (line 38); here the stamp is an
+    * injected literal (SURVEY §7.4.1 — never the wall clock).
+    */
+  def gcImpactedAccounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val multiLine = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("instruction_count"))
+      .filter($"instruction_count" > 5) // HAVING over the line count
+      .select($"l_orderkey")
+    val impactedOrders = Tables.orders(spark, sfDir)
+      .join(multiLine, $"o_orderkey" === $"l_orderkey", "left_semi")
+    val impactedCusts = impactedOrders.select($"o_custkey").distinct()
+    val allOrders = Tables.orders(spark, sfDir)
+      .join(impactedCusts.withColumnRenamed("o_custkey", "ic"),
+        $"o_custkey" === $"ic", "left_semi")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    allOrders
+      .withColumn("rk", dense_rank().over(w))
+      .filter($"rk" === 1)
+      .select($"o_custkey".as("cust_id"),
+        to_date($"o_orderdate").as("latest_order_date"),
+        $"o_orderkey".as("latest_order"),
+        $"o_totalprice".cast(Money).as("latest_total"),
+        lit("2002-01-01").cast(DateType).as("flagged_date"))
+  }
+
+  val gcImpactedAccountsOracle: String =
+    """WITH multi AS (SELECT l_orderkey FROM lineitem
+      |               GROUP BY 1 HAVING count(*) > 5),
+      |impacted AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE o_orderkey IN (SELECT l_orderkey FROM multi)),
+      |ranked AS (
+      |  SELECT o.*, dense_rank() OVER (PARTITION BY o.o_custkey
+      |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+      |  FROM orders o
+      |  WHERE o.o_custkey IN (SELECT o_custkey FROM impacted))
+      |SELECT o_custkey AS cust_id,
+      |       cast(o_orderdate AS DATE) AS latest_order_date,
+      |       o_orderkey AS latest_order,
+      |       cast(o_totalprice AS DECIMAL(18,2)) AS latest_total,
+      |       DATE '2002-01-01' AS flagged_date
+      |FROM ranked WHERE rk = 1""".stripMargin
+
   /** q24: market summary — price/volume plus the derived
     * circulating-supply ratio. Ops: P1 + arithmetic
     * (`daily_market_summary.sql:4-20`: supply = mcap/price).
