@@ -46,6 +46,8 @@ object SparkEntry {
     "q28_active_user_balance" -> (KreModels.activeUserBalance _),
     "q29_kre_weekly_payout" -> (KreModels.kreWeeklyPayout _),
     "q30_gc_impacted_accounts" -> (TpchModels.gcImpactedAccounts _),
+    "q31_balance_buckets" -> (ActivityModels.balanceBuckets _),
+    "q32_monthly_inactive_wallets" -> (ActivityModels.monthlyInactiveWallets _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -95,6 +97,8 @@ object SparkEntry {
     "q28_active_user_balance" -> KreModels.activeUserBalanceOracle,
     "q29_kre_weekly_payout" -> KreModels.kreWeeklyPayoutOracle,
     "q30_gc_impacted_accounts" -> TpchModels.gcImpactedAccountsOracle,
+    "q31_balance_buckets" -> ActivityModels.balanceBucketsOracle,
+    "q32_monthly_inactive_wallets" -> ActivityModels.monthlyInactiveWalletsOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

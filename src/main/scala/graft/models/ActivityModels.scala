@@ -226,6 +226,75 @@ object ActivityModels {
       |            ELSE 'Contraction' END AS direction
       |FROM daily""".stripMargin
 
+  /** q31: account-balance histogram per day — the
+    * `account_balance_buckets_app.sql` composite: closing balances (J9
+    * pipeline) bucketed by CASE ranges (A11), counted per (day, bucket)
+    * with a GROUP-BY-as-dedup upstream (A7).
+    */
+  def balanceBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = when($"closing_balance" < 25, "b00_025")
+      .when($"closing_balance" < 100, "b025_100")
+      .when($"closing_balance" < 250, "b100_250")
+      .otherwise("b250_plus")
+    closingBalance(spark, sfDir)
+      .groupBy($"date_key", bucket.as("balance_bucket"))
+      .agg(count(lit(1)).as("account_count"),
+        sum($"closing_balance").cast(DecimalType(38, 2))
+          .as("bucket_balance"))
+  }
+
+  lazy val balanceBucketsOracle: String = {
+    val closing = closingBalanceOracle
+    s"""WITH closing AS (SELECT * FROM ($closing) t)
+       |SELECT date_key,
+       |       CASE WHEN closing_balance < 25 THEN 'b00_025'
+       |            WHEN closing_balance < 100 THEN 'b025_100'
+       |            WHEN closing_balance < 250 THEN 'b100_250'
+       |            ELSE 'b250_plus' END AS balance_bucket,
+       |       count(*) AS account_count,
+       |       cast(sum(closing_balance) AS DECIMAL(38,2)) AS bucket_balance
+       |FROM closing GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q32: monthly inactive wallets — `monthly_inactive_wallets.sql`'s
+    * composite: wallets whose LAST low-balance day (A4 max) falls in a
+    * target month, with no later above-threshold balance (J7 NOT IN ≡
+    * left_anti; keys non-null per SURVEY §7.4.6).
+    */
+  def monthlyInactiveWallets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bal = closingBalance(spark, sfDir)
+    val lastLow = bal.filter($"closing_balance" <= 50)
+      .groupBy($"wallet_id")
+      .agg(max($"date_key").as("last_low_date"))
+    val laterActive = bal.as("b").join(lastLow.as("l"),
+        $"b.wallet_id" === $"l.wallet_id" &&
+          $"b.date_key" > $"l.last_low_date" &&
+          $"b.closing_balance" > 50)
+      .select($"b.wallet_id").distinct()
+    lastLow
+      .join(laterActive.withColumnRenamed("wallet_id", "aw"),
+        $"wallet_id" === $"aw", "left_anti")
+      .select($"wallet_id", $"last_low_date",
+        date_trunc("month", $"last_low_date").cast(DateType)
+          .as("inactive_month"))
+  }
+
+  lazy val monthlyInactiveWalletsOracle: String = {
+    val closing = closingBalanceOracle
+    s"""WITH closing AS (SELECT * FROM ($closing) t),
+       |last_low AS (SELECT wallet_id, max(date_key) AS last_low_date
+       |             FROM closing WHERE closing_balance <= 50 GROUP BY 1)
+       |SELECT l.wallet_id, l.last_low_date,
+       |       cast(date_trunc('month', l.last_low_date) AS DATE) AS inactive_month
+       |FROM last_low l
+       |WHERE l.wallet_id NOT IN (
+       |  SELECT b.wallet_id FROM closing b
+       |  JOIN last_low l2 ON b.wallet_id = l2.wallet_id
+       |  WHERE b.date_key > l2.last_low_date AND b.closing_balance > 50)""".stripMargin
+  }
+
   /** q19: closing balance per wallet per day. Ops: J9 disjunctive
     * from-or-to join, realized with the unpivot-then-equi rewrite
     * (SURVEY.md §2.3 J9): each event contributes a from-side and a derived
