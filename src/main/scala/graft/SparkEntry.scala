@@ -54,6 +54,7 @@ object SparkEntry {
     "d03_lsh_near_dup_pairs" -> (DedupModels.lshNearDupPairs _),
     "d04_simhash16" -> (DedupModels.simhash16 _),
     "d05_embedding_near_dup" -> (SimilarityModels.embeddingNearDupPairs _),
+    "d06_edit_distance_pairs" -> (DedupModels.editDistancePairs _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "t01_lang_profile" -> (TextModels.langProfile _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,
     "d04_simhash16" -> DedupModels.simhash16Oracle,
     "d05_embedding_near_dup" -> SimilarityModels.embeddingNearDupPairsOracle,
+    "d06_edit_distance_pairs" -> DedupModels.editDistancePairsOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,

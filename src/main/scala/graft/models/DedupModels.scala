@@ -180,6 +180,54 @@ object DedupModels {
        |JOIN sizes sa ON sa.doc_id = i.doc_a
        |JOIN sizes sb ON sb.doc_id = i.doc_b""".stripMargin
 
+  /** d06: edit-distance verification of the LSH candidate pairs — the
+    * fuzzy-dedup tier below token-set Jaccard: raw `levenshtein` over
+    * the normalized texts of each candidate pair, plus a normalized
+    * similarity in exact integer micros.
+    *
+    * Scale: levenshtein is O(len²) per pair — viable ONLY because the
+    * candidate set is LSH-pruned first; running it all-pairs would be
+    * quadratic in corpus size AND document length.
+    */
+  def editDistancePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cand = lshNearDupPairs(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", normText($"text").as("norm"))
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"norm".as("text_a")),
+        Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"norm".as("text_b")),
+        Seq("doc_b"))
+      .withColumn("edit_distance",
+        levenshtein($"text_a", $"text_b").cast(LongType))
+      .withColumn("max_len",
+        greatest(length($"text_a"), length($"text_b")).cast(LongType))
+      .withColumn("similarity",
+        (expr("((max_len - edit_distance) * 1000000) div max_len")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .select($"doc_a", $"doc_b", $"edit_distance", $"max_len",
+        $"similarity")
+  }
+
+  lazy val editDistancePairsOracle: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsOracle) t),
+       |docs AS (SELECT doc_id, $normSqlDuck AS norm FROM documents),
+       |joined AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         cast(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_distance,
+       |         cast(greatest(length(a.norm), length(b.norm)) AS BIGINT) AS max_len
+       |  FROM pairs p
+       |  JOIN docs a ON a.doc_id = p.doc_a
+       |  JOIN docs b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, edit_distance, max_len,
+       |       cast((((max_len - edit_distance) * 1000000) // max_len) *
+       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS similarity
+       |FROM joined""".stripMargin
+
   /** d04: 16-bit SimHash per document from md5 token hashes. Bit i's vote
     * is +1/−1 by bit i of the token hash (first 4 hex digits); the final
     * bit is 1 iff the vote sum is strictly positive.
