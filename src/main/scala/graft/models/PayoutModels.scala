@@ -121,8 +121,11 @@ object PayoutModels {
       .groupBy($"date_key", $"app_id")
       .agg(sum($"amount").cast(DecimalType(38, 2)).as("payout"))
     val w = Window.partitionBy($"date_key").orderBy($"payout".desc)
+    // rank as BIGINT: Spark's dense_rank is INT32, DuckDB's is BIGINT —
+    // the driver compares output schemas, so widen at the projection
     payout.withColumn("payout_rank", dense_rank().over(w))
       .filter($"payout_rank" <= 3)
+      .withColumn("payout_rank", $"payout_rank".cast("long"))
   }
 
   val topAppsDailyOracle: String =

@@ -4,48 +4,67 @@ not part of the shipped library). Usage:
   python3 tools/check.py <sfDir> <outDir> [query ...]
 Reads <outDir>/<name>/ parquet (written by graft.Verify), runs the oracle
 SQL from <outDir>/oracle_sql.json in DuckDB against <sfDir> tables, and
-compares sorted rows/columns exactly."""
+compares sorted rows/columns exactly.
+
+IMPORTANT (round-1 lesson): the compare is SCALE-PRESERVING. Both sides
+are read as Arrow and stringified with to_pylist() — a Spark
+DECIMAL(38,2) value renders '51.20' while DuckDB DOUBLE renders '51.2',
+and the driver's hash sees that difference. The old pandas .df() path
+collapsed decimals to float64 and masked exactly the defect that turned
+29/46 queries red in CORRECTNESS_r01.json. Never compare via pandas.
+"""
 import duckdb, sys, json, glob, os
-import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(p)[:-len(".parquet")]
+    name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+
+def canon(arrow_table):
+    """Sorted-by-name columns -> row tuples of scale-preserving strings,
+    sorted: the same canonicalization idea as the driver's hash."""
+    cols = sorted(arrow_table.column_names)
+    data = {c: arrow_table.column(c).to_pylist() for c in cols}
+    n = arrow_table.num_rows
+    rows = [tuple(str(data[c][i]) for c in cols) for i in range(n)]
+    rows.sort()
+    return cols, rows
+
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
     try:
-        mine = con.sql(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
-        ref = con.sql(sql).df()
+        mine_t = con.sql(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").arrow()
+        ref_t = con.sql(sql).arrow()
     except Exception as e:
         print(f"{name}: ERROR {e}")
         fails += 1
         continue
-    if sorted(mine.columns) != sorted(ref.columns):
-        print(f"{name}: COLUMN MISMATCH spark={sorted(mine.columns)} oracle={sorted(ref.columns)}")
+    mc, mrows = canon(mine_t)
+    rc, rrows = canon(ref_t)
+    if mc != rc:
+        print(f"{name}: COLUMN MISMATCH spark={mc} oracle={rc}")
         fails += 1
         continue
-    mine = mine[sorted(mine.columns)].astype(str)
-    ref = ref[sorted(ref.columns)].astype(str)
-    mine = mine.sort_values(by=list(mine.columns)).reset_index(drop=True)
-    ref = ref.sort_values(by=list(ref.columns)).reset_index(drop=True)
-    if len(mine) != len(ref):
-        print(f"{name}: ROWCOUNT MISMATCH spark={len(mine)} oracle={len(ref)}")
+    if len(mrows) != len(rrows):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(mrows)} oracle={len(rrows)}")
         fails += 1
         continue
-    if mine.equals(ref):
-        print(f"{name}: OK ({len(ref)} rows)")
+    if mrows == rrows:
+        print(f"{name}: OK ({len(rrows)} rows)")
     else:
-        neq = (mine != ref).any(axis=1)
-        print(f"{name}: VALUE MISMATCH on {int(neq.sum())}/{len(ref)} rows")
-        print("  spark:", mine[neq].head(3).to_dict("records"))
-        print("  oracle:", ref[neq].head(3).to_dict("records"))
+        bad = [i for i, (a, b) in enumerate(zip(mrows, rrows)) if a != b]
+        print(f"{name}: VALUE MISMATCH on {len(bad)}/{len(rrows)} rows")
+        for i in bad[:3]:
+            print(f"  spark:  {dict(zip(mc, mrows[i]))}")
+            print(f"  oracle: {dict(zip(rc, rrows[i]))}")
         fails += 1
 print("FAILURES:", fails)
 sys.exit(1 if fails else 0)
