@@ -118,10 +118,16 @@ object DedupModels {
         min(substring($"h", 9, 8)).as("mh1"),
         min(substring($"h", 17, 8)).as("mh2"),
         min(substring($"h", 25, 8)).as("mh3"))
-    val bands = sig.select($"doc_id", lit(0).as("band_idx"),
-        md5(concat($"mh0", $"mh1")).as("band_val"))
-      .union(sig.select($"doc_id", lit(1).as("band_idx"),
-        md5(concat($"mh2", $"mh3")).as("band_val")))
+    // both band values in ONE projection over sig, then unpivot with
+    // stack — a sig.union(sig) would run the minhash aggregation twice.
+    // cache() because the self-join below references `bands` on both
+    // sides, and Spark recomputes a reused subtree per join branch
+    // (2 short rows per doc: cheap to hold, spills to disk if not).
+    val bands = sig.select($"doc_id",
+        md5(concat($"mh0", $"mh1")).as("b0"),
+        md5(concat($"mh2", $"mh3")).as("b1"))
+      .selectExpr("doc_id", "stack(2, 0, b0, 1, b1) AS (band_idx, band_val)")
+      .cache()
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
@@ -129,20 +135,20 @@ object DedupModels {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     val sizes = dsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // candidate set is orders of magnitude smaller than the shingle table:
-    // broadcast it so the big side streams through map-side hash joins
-    // instead of shuffling all shingles twice.
-    val inter = broadcast(cand)
+    // NO forced broadcast: the candidate-pair and size sets grow with the
+    // corpus (superlinearly with duplication rate for cand) and would not
+    // fit in a broadcast at 100 TB — plain shuffled equi-joins here, and
+    // AQE still converts to broadcast at runtime when a side actually
+    // fits under the threshold.
+    val inter = cand
       .join(dsh.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
       .join(dsh.select($"doc_id".as("doc_b"), $"shingle"),
         Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter_count"))
     inter
-      .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))),
-        Seq("doc_a"))
-      .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b"))),
-        Seq("doc_b"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
       .withColumn("union_count", $"n_a" + $"n_b" - $"inter_count")
       .withColumn("jaccard",
         (expr("(inter_count * 1000000) div union_count")
