@@ -81,6 +81,9 @@ object SparkEntry {
     "q30_gc_impacted_accounts" -> (TpchModels.gcImpactedAccounts _),
     "q31_balance_buckets" -> (ActivityModels.balanceBuckets _),
     "q32_monthly_inactive_wallets" -> (ActivityModels.monthlyInactiveWallets _),
+    "q33_daily_net_inflation" -> (CompositeModels.dailyNetInflation _),
+    "q34_monthly_active_accounts" -> (CompositeModels.monthlyActiveAccounts _),
+    "q35_daily_kre_summary" -> (CompositeModels.dailyKreSummary _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -88,6 +91,7 @@ object SparkEntry {
     "d04_simhash16" -> (DedupModels.simhash16 _),
     "d05_embedding_near_dup" -> (SimilarityModels.embeddingNearDupPairs _),
     "d06_edit_distance_pairs" -> (DedupModels.editDistancePairs _),
+    "d07_near_dup_clusters" -> (DedupModels.nearDupClusters _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "t01_lang_profile" -> (TextModels.langProfile _),
@@ -131,6 +135,11 @@ object SparkEntry {
     "q29_kre_weekly_payout" -> Seq("weekly_kin_payout", "weekly_usd_payout"),
     "q30_gc_impacted_accounts" -> Seq("latest_total"),
     "q31_balance_buckets" -> Seq("bucket_balance"),
+    "q33_daily_net_inflation" -> Seq("daily_payout", "current_balance",
+      "prev_balance", "churn_amount", "net_inflation"),
+    "q35_daily_kre_summary" -> Seq("active_user_balance",
+      "active_capped_user_balance", "volatility_factor", "kin_payout",
+      "usd_payout"),
     "d03_lsh_near_dup_pairs" -> Seq("jaccard"),
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
     "d06_edit_distance_pairs" -> Seq("similarity"),
@@ -186,12 +195,16 @@ object SparkEntry {
     "q30_gc_impacted_accounts" -> TpchModels.gcImpactedAccountsOracle,
     "q31_balance_buckets" -> ActivityModels.balanceBucketsOracle,
     "q32_monthly_inactive_wallets" -> ActivityModels.monthlyInactiveWalletsOracle,
+    "q33_daily_net_inflation" -> CompositeModels.dailyNetInflationOracle,
+    "q34_monthly_active_accounts" -> CompositeModels.monthlyActiveAccountsOracle,
+    "q35_daily_kre_summary" -> CompositeModels.dailyKreSummaryOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,
     "d04_simhash16" -> DedupModels.simhash16Oracle,
     "d05_embedding_near_dup" -> SimilarityModels.embeddingNearDupPairsOracle,
     "d06_edit_distance_pairs" -> DedupModels.editDistancePairsOracle,
+    "d07_near_dup_clusters" -> DedupModels.nearDupClustersOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,

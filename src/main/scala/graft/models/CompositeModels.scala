@@ -1,0 +1,298 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-mart composites: models that join several independently-built
+  * upstream models into one reporting row — the reference's
+  * `summary_stats` / `active_accounts` / `api` families.
+  *
+  * Scale design: every leg here is a calendar-bounded aggregate (one row
+  * per day or per (day, app)), so the final joins are broadcast-sized no
+  * matter how large the fact data is; the heavy lifting happens once in
+  * the upstream models (materialized by the runner at scale — see
+  * `graft.runner.ModelRegistry`).
+  */
+object CompositeModels {
+  import TxnModels.factTxn
+
+  private val Money = DecimalType(38, 2)
+  private def zeroMoney =
+    lit(new java.math.BigDecimal("0.00")).cast(Money)
+
+  /** q33: daily net inflation — `daily_net_inflation.sql:40-55`:
+    * payout − Δbalance − churn, flagged Inflation/Contraction/None.
+    * Legs: daily payout (q26 rollup), total closing balance (q19 rollup,
+    * current and previous day via a date-shifted self of the same
+    * aggregate), churn volume (`daily_churn_volume.sql:36-48` — balances
+    * of wallets with NO later balance observation within the window,
+    * re-expressed as a lead-window like q15 instead of the reference's
+    * range anti-join: one linear shuffle on wallet_id).
+    * Anchored to complete days only (`daily_net_inflation.sql:8-10`'s
+    * complete-day gate re-anchored to the data edge as in q15). The
+    * churn window is 7 days here — the reference's 40-day gate assumes
+    * years of history, while the events calendar spans ~30 days, and a
+    * window that swallows the whole calendar would make the model
+    * vacuously empty; the algebra is window-size-independent.
+    */
+  private val ChurnWindowDays = 7
+
+  def dailyNetInflation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bal = ActivityModels.closingBalance(spark, sfDir).cache()
+    val maxDay = bal.agg(max($"date_key").as("max_date"))
+    val payouts = KreModels.dailyPayout(spark, sfDir)
+      .groupBy($"date_key")
+      .agg(sum($"post_monopoly_payout").cast(Money).as("daily_payout"))
+      .crossJoin(broadcast(maxDay))
+      .filter($"date_key" <= date_sub($"max_date", ChurnWindowDays))
+      .drop("max_date")
+    val balances = bal.groupBy($"date_key")
+      .agg(sum($"closing_balance").cast(Money).as("balance"))
+    val w = Window.partitionBy($"wallet_id").orderBy($"date_key")
+    val churn = bal
+      .withColumn("next_date", lead($"date_key", 1).over(w))
+      .filter($"next_date".isNull ||
+        $"next_date" > date_add($"date_key", ChurnWindowDays))
+      .groupBy($"date_key")
+      .agg(sum($"closing_balance").cast(Money).as("churn_amount"))
+    payouts
+      .join(balances.select($"date_key", $"balance".as("current_balance")),
+        Seq("date_key"), "left")
+      .join(balances.select(date_add($"date_key", 1).as("date_key"),
+        $"balance".as("prev_balance")), Seq("date_key"), "left")
+      .join(churn, Seq("date_key"), "left")
+      .select($"date_key", $"daily_payout",
+        coalesce($"current_balance", zeroMoney).as("current_balance"),
+        coalesce($"prev_balance", zeroMoney).as("prev_balance"),
+        coalesce($"churn_amount", zeroMoney).as("churn_amount"))
+      .withColumn("net_inflation",
+        ($"daily_payout" - ($"current_balance" - $"prev_balance") -
+          $"churn_amount").cast(Money))
+      .withColumn("inflation_flag",
+        when($"net_inflation" > 0, "Inflation")
+          .when($"net_inflation" < 0, "Contraction")
+          .otherwise("None"))
+  }
+
+  lazy val dailyNetInflationOracle: String =
+    s"""WITH bal AS (SELECT * FROM (${ActivityModels.closingBalanceOracle}) t),
+       |maxd AS (SELECT max(date_key) AS max_date FROM bal),
+       |pay_all AS (SELECT date_key, post_monopoly_payout
+       |            FROM (${KreModels.dailyPayoutOracle}) t),
+       |payouts AS (SELECT p.date_key,
+       |                   cast(sum(p.post_monopoly_payout) AS DECIMAL(38,2)) AS daily_payout
+       |            FROM pay_all p, maxd m
+       |            WHERE p.date_key <= m.max_date - $ChurnWindowDays GROUP BY 1),
+       |balances AS (SELECT date_key,
+       |                    cast(sum(closing_balance) AS DECIMAL(38,2)) AS balance
+       |             FROM bal GROUP BY 1),
+       |nxt AS (SELECT date_key, closing_balance,
+       |               lead(date_key) OVER (PARTITION BY wallet_id
+       |                                    ORDER BY date_key) AS next_date
+       |        FROM bal),
+       |churn AS (SELECT date_key,
+       |                 cast(sum(closing_balance) AS DECIMAL(38,2)) AS churn_amount
+       |          FROM nxt
+       |          WHERE next_date IS NULL OR next_date > date_key + $ChurnWindowDays
+       |          GROUP BY 1),
+       |joined AS (
+       |  SELECT p.date_key, p.daily_payout,
+       |         coalesce(ub.balance, cast(0 AS DECIMAL(38,2))) AS current_balance,
+       |         coalesce(prev.balance, cast(0 AS DECIMAL(38,2))) AS prev_balance,
+       |         coalesce(c.churn_amount, cast(0 AS DECIMAL(38,2))) AS churn_amount
+       |  FROM payouts p
+       |  LEFT JOIN balances ub ON p.date_key = ub.date_key
+       |  LEFT JOIN balances prev ON p.date_key = prev.date_key + 1
+       |  LEFT JOIN churn c ON p.date_key = c.date_key)
+       |SELECT *,
+       |       cast(daily_payout - (current_balance - prev_balance) - churn_amount
+       |            AS DECIMAL(38,2)) AS net_inflation,
+       |       CASE WHEN daily_payout - (current_balance - prev_balance) - churn_amount > 0
+       |            THEN 'Inflation'
+       |            WHEN daily_payout - (current_balance - prev_balance) - churn_amount < 0
+       |            THEN 'Contraction'
+       |            ELSE 'None' END AS inflation_flag
+       |FROM joined""".stripMargin
+
+  /** q34: 30-day rolling distinct actives per (day, app) with the
+    * spender/earner/user split — `monthly_active_accounts_app.sql:19-38`.
+    * The reference's three ×30 range joins become three explode-to-equi
+    * phases over DEDUPED (date, app, wallet) triples (same rewrite as
+    * q16): explode factor is a constant 30 applied after dedupe, so the
+    * shuffled volume is 30×|distinct triples| — linear, no range BNLJ.
+    */
+  def monthlyActiveAccounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // one parse of the fact feeds all three legs and the anchor set
+    val fact = factTxn(spark, sfDir)
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
+    val days = fact.select($"date_key").distinct()
+      .withColumnRenamed("date_key", "anchor_date")
+    def rolled(src: DataFrame, cnt: String): DataFrame =
+      src.distinct()
+        .withColumn("anchor_date",
+          explode(sequence($"date_key", date_add($"date_key", 29))))
+        .join(broadcast(days), Seq("anchor_date"), "left_semi")
+        .groupBy($"anchor_date", $"app_id")
+        .agg(countDistinct($"wallet_id").as(cnt))
+    // the reference's `type in (2,3)` / `(1,3)` spender/earner split,
+    // mapped through the q07 event-type convention
+    val spend = fact.filter($"txn_type".isin("purchase", "click"))
+      .select($"date_key", $"app_id", $"wallet_id")
+    val earn = fact.filter($"txn_type".isin("signup", "view"))
+      .select($"date_key", $"app_id", $"wallet_id")
+    rolled(spend.union(earn), "active_users")
+      .join(rolled(spend, "active_spenders"),
+        Seq("anchor_date", "app_id"), "left")
+      .join(rolled(earn, "active_earners"),
+        Seq("anchor_date", "app_id"), "left")
+      .select($"anchor_date".as("date_key"), $"app_id",
+        $"active_users",
+        coalesce($"active_spenders", lit(0L)).as("active_spenders"),
+        coalesce($"active_earners", lit(0L)).as("active_earners"))
+  }
+
+  val monthlyActiveAccountsOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
+      |                     event_type AS txn_type,
+      |                     coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_id
+      |              FROM events WHERE event_type <> 'error'),
+      |days AS (SELECT DISTINCT date_key AS anchor_date FROM fact),
+      |spend AS (SELECT DISTINCT date_key, app_id, wallet_id FROM fact
+      |          WHERE txn_type IN ('purchase', 'click')),
+      |earn AS (SELECT DISTINCT date_key, app_id, wallet_id FROM fact
+      |         WHERE txn_type IN ('signup', 'view')),
+      |users AS (SELECT * FROM spend UNION SELECT * FROM earn),
+      |ru AS (SELECT d.anchor_date, u.app_id,
+      |              count(DISTINCT u.wallet_id) AS active_users
+      |       FROM days d JOIN users u
+      |         ON u.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
+      |       GROUP BY 1, 2),
+      |rs AS (SELECT d.anchor_date, s.app_id,
+      |              count(DISTINCT s.wallet_id) AS active_spenders
+      |       FROM days d JOIN spend s
+      |         ON s.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
+      |       GROUP BY 1, 2),
+      |re AS (SELECT d.anchor_date, e.app_id,
+      |              count(DISTINCT e.wallet_id) AS active_earners
+      |       FROM days d JOIN earn e
+      |         ON e.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
+      |       GROUP BY 1, 2)
+      |SELECT u.anchor_date AS date_key, u.app_id, u.active_users,
+      |       coalesce(s.active_spenders, 0) AS active_spenders,
+      |       coalesce(e.active_earners, 0) AS active_earners
+      |FROM ru u
+      |LEFT JOIN rs s ON u.anchor_date = s.anchor_date AND u.app_id = s.app_id
+      |LEFT JOIN re e ON u.anchor_date = e.anchor_date AND u.app_id = e.app_id""".stripMargin
+
+  /** q35: the 7-way wide API row — `daily_kre_summary.sql:77-83`: daily
+    * transactions ⋈ AUB totals ⋈ monthly active earners ⋈ spenders ⋈
+    * users ⋈ volatility factor ⋈ payouts, all keyed on date.
+    * Every leg is a one-row-per-day aggregate; Catalyst/AQE broadcasts
+    * them, so join width costs nothing at scale — width here exercises
+    * join reorder over 7 inputs.
+    */
+  def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = factTxn(spark, sfDir)
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
+    val dt = fact.groupBy($"date_key")
+      .agg(count(lit(1)).as("transaction_count"),
+        countDistinct($"app_id").as("active_apps"))
+    val aub = KreModels.activeUserBalance(spark, sfDir)
+      .groupBy($"date_key")
+      .agg(sum($"active_users").as("active_users"),
+        sum($"aub").cast(Money).as("active_user_balance"),
+        sum($"capped_aub").cast(Money).as("active_capped_user_balance"))
+    val vf = KreModels.volatilityFactor(spark, sfDir)
+      .select($"date_key", $"volatility_factor")
+    val payouts = KreModels.dailyPayout(spark, sfDir)
+      .groupBy($"date_key")
+      .agg(sum($"post_monopoly_payout").cast(Money).as("kin_payout"),
+        sum($"post_monopoly_payout_usd").cast(Money).as("usd_payout"))
+    val days = fact.select($"date_key").distinct()
+      .withColumnRenamed("date_key", "anchor_date")
+    def rolled(src: DataFrame, cnt: String): DataFrame =
+      src.select($"date_key", $"wallet_id").distinct()
+        .withColumn("anchor_date",
+          explode(sequence($"date_key", date_add($"date_key", 29))))
+        .join(broadcast(days), Seq("anchor_date"), "left_semi")
+        .groupBy($"anchor_date".as("date_key"))
+        .agg(countDistinct($"wallet_id").as(cnt))
+    val spend = fact.filter($"txn_type".isin("purchase", "click"))
+    val earn = fact.filter($"txn_type".isin("signup", "view"))
+    val mau = rolled(spend.union(earn), "monthly_active_users")
+    val mas = rolled(spend, "monthly_active_spenders")
+    val mae = rolled(earn, "monthly_active_earners")
+    dt.join(aub, Seq("date_key"))
+      .join(mae, Seq("date_key"))
+      .join(mas, Seq("date_key"))
+      .join(mau, Seq("date_key"))
+      .join(vf, Seq("date_key"))
+      .join(payouts, Seq("date_key"))
+      .select($"date_key", $"active_apps", $"active_user_balance",
+        $"active_capped_user_balance", $"active_users",
+        $"volatility_factor", $"kin_payout", $"usd_payout",
+        $"transaction_count", $"monthly_active_earners",
+        $"monthly_active_spenders", $"monthly_active_users")
+  }
+
+  lazy val dailyKreSummaryOracle: String =
+    s"""WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
+       |                     event_type AS txn_type,
+       |                     coalesce(cast(json_extract_string(props,'$$.k') AS INTEGER),0) AS app_id
+       |              FROM events WHERE event_type <> 'error'),
+       |dt AS (SELECT date_key, count(*) AS transaction_count,
+       |              count(DISTINCT app_id) AS active_apps
+       |       FROM fact GROUP BY 1),
+       |aub_all AS (SELECT date_key, active_users, aub, capped_aub
+       |            FROM (${KreModels.activeUserBalanceOracle}) t),
+       |aub AS (SELECT date_key, cast(sum(active_users) AS BIGINT) AS active_users,
+       |               cast(sum(aub) AS DECIMAL(38,2)) AS active_user_balance,
+       |               cast(sum(capped_aub) AS DECIMAL(38,2)) AS active_capped_user_balance
+       |        FROM aub_all GROUP BY 1),
+       |vf AS (SELECT date_key, volatility_factor
+       |       FROM (${KreModels.volatilityFactorOracle}) t),
+       |pay_all AS (SELECT date_key, post_monopoly_payout, post_monopoly_payout_usd
+       |            FROM (${KreModels.dailyPayoutOracle}) t),
+       |payouts AS (SELECT date_key,
+       |                   cast(sum(post_monopoly_payout) AS DECIMAL(38,2)) AS kin_payout,
+       |                   cast(sum(post_monopoly_payout_usd) AS DECIMAL(38,2)) AS usd_payout
+       |            FROM pay_all GROUP BY 1),
+       |days AS (SELECT DISTINCT date_key AS anchor_date FROM fact),
+       |spend AS (SELECT DISTINCT date_key, wallet_id FROM fact
+       |          WHERE txn_type IN ('purchase', 'click')),
+       |earn AS (SELECT DISTINCT date_key, wallet_id FROM fact
+       |         WHERE txn_type IN ('signup', 'view')),
+       |users AS (SELECT * FROM spend UNION SELECT * FROM earn),
+       |mau AS (SELECT d.anchor_date AS date_key,
+       |               count(DISTINCT u.wallet_id) AS monthly_active_users
+       |        FROM days d JOIN users u
+       |          ON u.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
+       |        GROUP BY 1),
+       |mas AS (SELECT d.anchor_date AS date_key,
+       |               count(DISTINCT s.wallet_id) AS monthly_active_spenders
+       |        FROM days d JOIN spend s
+       |          ON s.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
+       |        GROUP BY 1),
+       |mae AS (SELECT d.anchor_date AS date_key,
+       |               count(DISTINCT e.wallet_id) AS monthly_active_earners
+       |        FROM days d JOIN earn e
+       |          ON e.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
+       |        GROUP BY 1)
+       |SELECT dt.date_key, dt.active_apps, aub.active_user_balance,
+       |       aub.active_capped_user_balance, aub.active_users,
+       |       vf.volatility_factor, p.kin_payout, p.usd_payout,
+       |       dt.transaction_count, mae.monthly_active_earners,
+       |       mas.monthly_active_spenders, mau.monthly_active_users
+       |FROM dt
+       |JOIN aub ON dt.date_key = aub.date_key
+       |JOIN mae ON dt.date_key = mae.date_key
+       |JOIN mas ON dt.date_key = mas.date_key
+       |JOIN mau ON dt.date_key = mau.date_key
+       |JOIN vf ON dt.date_key = vf.date_key
+       |JOIN payouts p ON dt.date_key = p.date_key""".stripMargin
+}

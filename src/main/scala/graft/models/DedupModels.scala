@@ -234,6 +234,72 @@ object DedupModels {
        |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS similarity
        |FROM joined""".stripMargin
 
+  /** d07: near-duplicate CLUSTERING — the step a training-data dedup
+    * pipeline runs after pair generation: connected components over the
+    * d03 pair list (edges = LSH-verified pairs with Jaccard ≥ 0.5,
+    * thresholded in integers as 2·inter ≥ union so both engines agree
+    * exactly), labeling each doc with its component's min doc_id and a
+    * keep/drop flag (keeper = the component's min id).
+    *
+    * Algorithm: iterative min-label propagation in DataFrames — each
+    * round every doc takes the min of its own label and its neighbors'
+    * labels, until a fixpoint. Rounds needed = graph diameter in
+    * doublings (log-bounded for near-dup graphs, whose components are
+    * small dense clusters); each round is one shuffled aggregate — no
+    * driver-side data, only a scalar convergence check per round, which
+    * is how distributed CC runs at 100 TB without a graph library.
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = lshNearDupPairs(spark, sfDir)
+      .filter($"inter_count" * 2 >= $"union_count")
+      .select($"doc_a", $"doc_b")
+      .cache()
+    // undirected: propagate both ways each round
+    val bidir = edges.union(edges.select($"doc_b".as("doc_a"),
+      $"doc_a".as("doc_b"))).cache()
+    var labels = bidir.select($"doc_a".as("doc_id")).distinct()
+      .withColumn("component_id", $"doc_id")
+      .cache()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = bidir
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .select($"doc_a".as("doc_id"), $"component_id")
+      val next = labels.union(neighborMin)
+        .groupBy($"doc_id")
+        .agg(min($"component_id").as("component_id"))
+        .cache()
+      // scalar convergence probe (a count, not a collect of data rows)
+      val changed = next.join(labels, Seq("doc_id", "component_id"),
+        "left_anti").limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .withColumn("is_keeper", $"doc_id" === $"component_id")
+      .select($"doc_id", $"component_id", $"is_keeper")
+  }
+
+  /** DuckDB replays the fixpoint as a recursive CTE: min reachable id ≡
+    * the component's min id (UNION-dedup guarantees termination). */
+  lazy val nearDupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($lshNearDupPairsOracle) t
+       |  WHERE inter_count * 2 >= union_count),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_a, r.lbl FROM reach r JOIN edges e ON e.doc_b = r.doc_id)
+       |SELECT doc_id, min(lbl) AS component_id,
+       |       doc_id = min(lbl) AS is_keeper
+       |FROM reach GROUP BY doc_id""".stripMargin
+
   /** d04: 16-bit SimHash per document from md5 token hashes. Bit i's vote
     * is +1/−1 by bit i of the token hash (first 4 hex digits); the final
     * bit is 1 iff the vote sum is strictly positive.
