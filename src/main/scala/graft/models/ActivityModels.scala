@@ -38,14 +38,18 @@ object ActivityModels {
   /** q04: histogram of txn counts by amount bucket. Ops: A11 CASE-bucket +
     * count (`daily_kin_transaction_counts_by_amount.sql:4-25`).
     */
-  def amountHistogram(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def amountHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    amountHistogramFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def amountHistogramFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
     val bucket = when($"amount" < 10, "p00_10")
       .when($"amount" < 50, "p10_50")
       .when($"amount" < 100, "p50_100")
       .when($"amount" < 200, "p100_200")
       .otherwise("p200_plus")
-    factTxn(spark, sfDir)
+    fact
       .groupBy($"date_key", bucket.as("amount_bucket"))
       .agg(count(lit(1)).as("txn_count"),
         sum($"amount").cast(DecimalType(38, 2)).as("total_amount"))
@@ -70,9 +74,12 @@ object ActivityModels {
     * A5. The union is deduped per (date, wallet) before counting —
     * map-side `distinct` keeps the shuffle at distinct-pair volume.
     */
-  def dailyActiveUnion(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val fact = factTxn(spark, sfDir)
+  def dailyActiveUnion(spark: SparkSession, sfDir: String): DataFrame =
+    dailyActiveUnionFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def dailyActiveUnionFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
     // type-membership filters use isin (the reference's `type in (2,3)` /
     // `(1,3)` spender/earner split, P6)
     val spenders = fact.filter($"txn_type".isin("purchase", "click"))
@@ -231,13 +238,17 @@ object ActivityModels {
     * pipeline) bucketed by CASE ranges (A11), counted per (day, bucket)
     * with a GROUP-BY-as-dedup upstream (A7).
     */
-  def balanceBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def balanceBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    balanceBucketsFrom(closingBalance(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def balanceBucketsFrom(closing: DataFrame): DataFrame = {
+    import closing.sparkSession.implicits._
     val bucket = when($"closing_balance" < 25, "b00_025")
       .when($"closing_balance" < 100, "b025_100")
       .when($"closing_balance" < 250, "b100_250")
       .otherwise("b250_plus")
-    closingBalance(spark, sfDir)
+    closing
       .groupBy($"date_key", bucket.as("balance_bucket"))
       .agg(count(lit(1)).as("account_count"),
         sum($"closing_balance").cast(DecimalType(38, 2))

@@ -40,10 +40,41 @@ object CompositeModels {
   private val ChurnWindowDays = 7
 
   def dailyNetInflation(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val bal = ActivityModels.closingBalance(spark, sfDir).cache()
+    dailyNetInflationFrom(KreModels.dailyPayout(spark, sfDir), bal,
+      dailyChurnVolumeFrom(bal))
+  }
+
+  /** Churn volume as a standalone model (`daily_churn_volume.sql`):
+    * per day, total closing balance of wallets with NO later balance
+    * observation inside the window. Gated to complete windows
+    * (date ≤ data edge − window) so an emitted row never changes as new
+    * data arrives — the property the incremental runner's append
+    * semantics require (and the reference's current_date−40 gate
+    * provides).
+    */
+  def dailyChurnVolumeFrom(bal: DataFrame): DataFrame = {
+    import bal.sparkSession.implicits._
     val maxDay = bal.agg(max($"date_key").as("max_date"))
-    val payouts = KreModels.dailyPayout(spark, sfDir)
+    val w = Window.partitionBy($"wallet_id").orderBy($"date_key")
+    bal
+      .withColumn("next_date", lead($"date_key", 1).over(w))
+      .filter($"next_date".isNull ||
+        $"next_date" > date_add($"date_key", ChurnWindowDays))
+      .crossJoin(broadcast(maxDay))
+      .filter($"date_key" <= date_sub($"max_date", ChurnWindowDays))
+      .groupBy($"date_key")
+      .agg(sum($"closing_balance").cast(Money).as("churn_amount"))
+  }
+
+  /** The q33 composite over already-built inputs (`payout` = q26 rows,
+    * `bal` = q19 rows, `churn` = dailyChurnVolumeFrom rows) — the form
+    * the model registry runs against materialized upstream targets. */
+  def dailyNetInflationFrom(payout: DataFrame, bal: DataFrame,
+      churn: DataFrame): DataFrame = {
+    import bal.sparkSession.implicits._
+    val maxDay = bal.agg(max($"date_key").as("max_date"))
+    val payouts = payout
       .groupBy($"date_key")
       .agg(sum($"post_monopoly_payout").cast(Money).as("daily_payout"))
       .crossJoin(broadcast(maxDay))
@@ -51,13 +82,6 @@ object CompositeModels {
       .drop("max_date")
     val balances = bal.groupBy($"date_key")
       .agg(sum($"closing_balance").cast(Money).as("balance"))
-    val w = Window.partitionBy($"wallet_id").orderBy($"date_key")
-    val churn = bal
-      .withColumn("next_date", lead($"date_key", 1).over(w))
-      .filter($"next_date".isNull ||
-        $"next_date" > date_add($"date_key", ChurnWindowDays))
-      .groupBy($"date_key")
-      .agg(sum($"closing_balance").cast(Money).as("churn_amount"))
     payouts
       .join(balances.select($"date_key", $"balance".as("current_balance")),
         Seq("date_key"), "left")
@@ -124,10 +148,14 @@ object CompositeModels {
     * q16): explode factor is a constant 30 applied after dedupe, so the
     * shuffled volume is 30×|distinct triples| — linear, no range BNLJ.
     */
-  def monthlyActiveAccounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def monthlyActiveAccounts(spark: SparkSession, sfDir: String): DataFrame =
+    monthlyActiveAccountsFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def monthlyActiveAccountsFrom(factIn: DataFrame): DataFrame = {
+    import factIn.sparkSession.implicits._
     // one parse of the fact feeds all three legs and the anchor set
-    val fact = factTxn(spark, sfDir)
+    val fact = factIn
       .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
     val days = fact.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
@@ -195,21 +223,30 @@ object CompositeModels {
     * them, so join width costs nothing at scale — width here exercises
     * join reorder over 7 inputs.
     */
-  def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val fact = factTxn(spark, sfDir)
+  def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame =
+    dailyKreSummaryFrom(factTxn(spark, sfDir),
+      KreModels.activeUserBalance(spark, sfDir),
+      KreModels.volatilityFactor(spark, sfDir),
+      KreModels.dailyPayout(spark, sfDir))
+
+  /** The q35 composite over already-built inputs (`factIn` = q01 rows,
+    * `aubIn` = q28 rows, `vfIn` = q27 rows, `payoutIn` = q26 rows). */
+  def dailyKreSummaryFrom(factIn: DataFrame, aubIn: DataFrame,
+      vfIn: DataFrame, payoutIn: DataFrame): DataFrame = {
+    import factIn.sparkSession.implicits._
+    val fact = factIn
       .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
     val dt = fact.groupBy($"date_key")
       .agg(count(lit(1)).as("transaction_count"),
         countDistinct($"app_id").as("active_apps"))
-    val aub = KreModels.activeUserBalance(spark, sfDir)
+    val aub = aubIn
       .groupBy($"date_key")
       .agg(sum($"active_users").as("active_users"),
         sum($"aub").cast(Money).as("active_user_balance"),
         sum($"capped_aub").cast(Money).as("active_capped_user_balance"))
-    val vf = KreModels.volatilityFactor(spark, sfDir)
+    val vf = vfIn
       .select($"date_key", $"volatility_factor")
-    val payouts = KreModels.dailyPayout(spark, sfDir)
+    val payouts = payoutIn
       .groupBy($"date_key")
       .agg(sum($"post_monopoly_payout").cast(Money).as("kin_payout"),
         sum($"post_monopoly_payout_usd").cast(Money).as("usd_payout"))

@@ -66,9 +66,13 @@ object TxnModels {
     * A2 (avg), A3 (exact median), constant-fee quirk
     * (`daily_kin_transactions.sql:12`).
     */
-  def dailyTxnSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    factTxn(spark, sfDir)
+  def dailyTxnSummary(spark: SparkSession, sfDir: String): DataFrame =
+    dailyTxnSummaryFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def dailyTxnSummaryFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    fact
       .groupBy($"date_key", $"txn_type")
       .agg(
         count(lit(1)).as("txn_count"),

@@ -4,21 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.models._
 
-/** The production model DAG: the KRE economics chain wired into the
+/** The production model DAG: the full mart set wired into the
   * incremental runner — the engine's equivalent of the reference's
   * `load_scripts/` tree executed by `execute_snowflake_load.py`
-  * (SURVEY.md §0, §3.1), with dependencies DECLARED instead of implied
-  * by path sort order.
+  * (SURVEY.md §0, §3.1; mart order at `execute_snowflake_load.py:34`),
+  * with dependencies DECLARED instead of implied by path sort order.
   *
-  *   events ─→ fact_txn ────────────┬→ active_user_balance ─┐
-  *   events ─→ closing_balance ─────┘                       ├→ daily_payout ─→ weekly_payout
-  *            fact_txn ─→ volatility_factor ────────────────┘
+  * Warehouse layer (raw → facts):
+  *   events ─→ fact_txn, closing_balance
+  * KRE mart:
+  *   fact_txn ─→ volatility_factor;  fact_txn+closing_balance ─→
+  *   active_user_balance ─→ daily_payout ─→ weekly_payout
+  * Metabase mart (reporting):
+  *   fact_txn ─→ daily_txn_summary, amount_histogram,
+  *   daily_active_union, monthly_active_accounts;
+  *   closing_balance ─→ balance_buckets, daily_churn_volume;
+  *   daily_payout+closing_balance+daily_churn_volume ─→
+  *   daily_net_inflation
+  * API mart:
+  *   fact_txn+active_user_balance+volatility_factor+daily_payout ─→
+  *   daily_kre_summary
   *
   * Each model's builder reads ONLY through the resolver (raw sources or
   * other models' materialized targets), so the runner's watermark /
   * closed-period / repair semantics apply uniformly. Lookback models
-  * (VF, AUB) read their FULL upstream and the runner slices only the
-  * output rows above the watermark — late-window recomputation is exact.
+  * (VF, AUB, monthly actives) read their FULL upstream and the runner
+  * slices only the output rows above the watermark — late-window
+  * recomputation is exact; forward-window models (churn, net inflation)
+  * gate themselves to complete windows so emitted rows never change.
   */
 object ModelRegistry {
 
@@ -68,5 +81,33 @@ object ModelRegistry {
               .as("weekly_usd_payout"))
           // the runner's watermark column is date_key by convention
           .withColumnRenamed("week_key", "date_key")
-      }))
+      }),
+    // --- metabase mart (reporting) ---
+    ModelDef("daily_txn_summary", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => TxnModels.dailyTxnSummaryFrom(resolve("fact_txn"))),
+    ModelDef("amount_histogram", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => ActivityModels.amountHistogramFrom(resolve("fact_txn"))),
+    ModelDef("daily_active_union", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => ActivityModels.dailyActiveUnionFrom(resolve("fact_txn"))),
+    ModelDef("monthly_active_accounts", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        CompositeModels.monthlyActiveAccountsFrom(resolve("fact_txn"))),
+    ModelDef("balance_buckets", Cadence.Daily, Seq("closing_balance"),
+      (_, resolve) =>
+        ActivityModels.balanceBucketsFrom(resolve("closing_balance"))),
+    ModelDef("daily_churn_volume", Cadence.Daily, Seq("closing_balance"),
+      (_, resolve) =>
+        CompositeModels.dailyChurnVolumeFrom(resolve("closing_balance"))),
+    ModelDef("daily_net_inflation", Cadence.Daily,
+      Seq("daily_payout", "closing_balance", "daily_churn_volume"),
+      (_, resolve) => CompositeModels.dailyNetInflationFrom(
+        resolve("daily_payout"), resolve("closing_balance"),
+        resolve("daily_churn_volume"))),
+    // --- api mart ---
+    ModelDef("daily_kre_summary", Cadence.Daily,
+      Seq("fact_txn", "active_user_balance", "volatility_factor",
+        "daily_payout"),
+      (_, resolve) => CompositeModels.dailyKreSummaryFrom(
+        resolve("fact_txn"), resolve("active_user_balance"),
+        resolve("volatility_factor"), resolve("daily_payout"))))
 }
