@@ -84,6 +84,7 @@ object SparkEntry {
     "q33_daily_net_inflation" -> (CompositeModels.dailyNetInflation _),
     "q34_monthly_active_accounts" -> (CompositeModels.monthlyActiveAccounts _),
     "q35_daily_kre_summary" -> (CompositeModels.dailyKreSummary _),
+    "q36_topk_amounts_per_app" -> (TxnModels.topAmountsPerApp _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q33_daily_net_inflation" -> CompositeModels.dailyNetInflationOracle,
     "q34_monthly_active_accounts" -> CompositeModels.monthlyActiveAccountsOracle,
     "q35_daily_kre_summary" -> CompositeModels.dailyKreSummaryOracle,
+    "q36_topk_amounts_per_app" -> TxnModels.topAmountsPerAppOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

@@ -91,6 +91,28 @@ object TxnModels {
       .drop("amt_sum_raw")
   }
 
+  /** q36: top-3 transaction amounts (in exact cents) per app via the
+    * custom typed Aggregator (SURVEY.md §2.10 UDAF tier) — a grouped
+    * exact top-k that aggregates partially with O(k) state per group
+    * instead of sorting each group (`graft.functions.TopKLongs`).
+    */
+  def topAmountsPerApp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val top3 = udaf(graft.functions.TopKLongs(3))
+    factTxn(spark, sfDir)
+      .select($"app_id", ($"amount" * 100).cast(LongType).as("cents"))
+      .groupBy($"app_id")
+      .agg(top3($"cents").as("top_amounts"))
+  }
+
+  val topAmountsPerAppOracle: String =
+    """SELECT coalesce(cast(json_extract_string(props,'$.k') AS INTEGER), 0) AS app_id,
+      |       (list(cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             ORDER BY cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) DESC))[1:3]
+      |         AS top_amounts
+      |FROM events WHERE event_type <> 'error'
+      |GROUP BY 1""".stripMargin
+
   val dailyTxnSummaryOracle: String =
     """WITH fact AS (
       |  SELECT cast(ts AS DATE) AS date_key, event_type AS txn_type,
