@@ -40,9 +40,20 @@ object CompositeModels {
   private val ChurnWindowDays = 7
 
   def dailyNetInflation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // ONE closing-balance build serves three consumers (AUB inside the
+    // payout chain, the balance leg, the churn leg) — without the shared
+    // cache each branch would recompute the q19 window from raw events
     val bal = ActivityModels.closingBalance(spark, sfDir).cache()
-    dailyNetInflationFrom(KreModels.dailyPayout(spark, sfDir), bal,
-      dailyChurnVolumeFrom(bal))
+    val aub = KreModels
+      .activeUserBalanceFrom(TxnModels.factTxn(spark, sfDir), bal)
+      .select($"date_key", $"app_id", $"capped_aub").cache()
+    val vf = KreModels.volatilityFactor(spark, sfDir)
+      .select($"date_key", $"volatility_factor", $"average_price").cache()
+    val dim = graft.catalog.Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+    val payout = KreModels.dailyPayoutFrom(spark, aub, vf, dim)
+    dailyNetInflationFrom(payout, bal, dailyChurnVolumeFrom(bal))
   }
 
   /** Churn volume as a standalone model (`daily_churn_volume.sql`):
@@ -223,11 +234,20 @@ object CompositeModels {
     * them, so join width costs nothing at scale — width here exercises
     * join reorder over 7 inputs.
     */
-  def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame =
-    dailyKreSummaryFrom(factTxn(spark, sfDir),
-      KreModels.activeUserBalance(spark, sfDir),
-      KreModels.volatilityFactor(spark, sfDir),
-      KreModels.dailyPayout(spark, sfDir))
+  def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // build AUB and VF ONCE and feed both the direct legs and the payout
+    // chain (KreModels.dailyPayout would otherwise re-derive both) — in
+    // the runner these arrive as materialized upstream models
+    val aub = KreModels.activeUserBalance(spark, sfDir).cache()
+    val vf = KreModels.volatilityFactor(spark, sfDir).cache()
+    val dim = graft.catalog.Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name")
+    val payout = KreModels.dailyPayoutFrom(spark,
+      aub.select($"date_key", $"app_id", $"capped_aub"),
+      vf.select($"date_key", $"volatility_factor", $"average_price"), dim)
+    dailyKreSummaryFrom(factTxn(spark, sfDir), aub, vf, payout)
+  }
 
   /** The q35 composite over already-built inputs (`factIn` = q01 rows,
     * `aubIn` = q28 rows, `vfIn` = q27 rows, `payoutIn` = q26 rows). */
