@@ -81,9 +81,13 @@ object PayoutModels {
     * (A1 regroup via `date_trunc`). Avg is recomputed from sums, never
     * averaged-of-averages.
     */
-  def periodTxnRollup(unit: String)(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    factTxn(spark, sfDir)
+  def periodTxnRollup(unit: String)(spark: SparkSession, sfDir: String): DataFrame =
+    periodTxnRollupFrom(unit, factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def periodTxnRollupFrom(unit: String, fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    fact
       .groupBy(date_trunc(unit, $"date_key").cast(DateType).as("period_key"),
         $"txn_type")
       .agg(count(lit(1)).as("txn_count"),

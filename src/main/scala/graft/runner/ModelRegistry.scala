@@ -85,6 +85,24 @@ object ModelRegistry {
     // --- metabase mart (reporting) ---
     ModelDef("daily_txn_summary", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) => TxnModels.dailyTxnSummaryFrom(resolve("fact_txn"))),
+    ModelDef("daily_distinct_wallets", Cadence.Daily, Seq("fact_txn"),
+      (s, resolve) => {
+        import s.implicits._
+        resolve("fact_txn").groupBy($"date_key")
+          .agg(countDistinct($"wallet_id").as("active_wallets"),
+            count(lit(1)).as("txn_count"))
+      }),
+    // weekly/monthly re-aggregations of the fact — the reference's
+    // weekly/monthly_kin_transactions; period_key renamed to the
+    // runner's date_key watermark convention (like weekly_payout)
+    ModelDef("weekly_txn_rollup", Cadence.Weekly, Seq("fact_txn"),
+      (_, resolve) =>
+        PayoutModels.periodTxnRollupFrom("week", resolve("fact_txn"))
+          .withColumnRenamed("period_key", "date_key")),
+    ModelDef("monthly_txn_rollup", Cadence.Monthly, Seq("fact_txn"),
+      (_, resolve) =>
+        PayoutModels.periodTxnRollupFrom("month", resolve("fact_txn"))
+          .withColumnRenamed("period_key", "date_key")),
     ModelDef("amount_histogram", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) => ActivityModels.amountHistogramFrom(resolve("fact_txn"))),
     ModelDef("daily_active_union", Cadence.Daily, Seq("fact_txn"),
