@@ -95,6 +95,7 @@ object SparkEntry {
     "d07_near_dup_clusters" -> (DedupModels.nearDupClusters _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
+    "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -145,6 +146,7 @@ object SparkEntry {
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
     "d06_edit_distance_pairs" -> Seq("similarity"),
     "s01_cosine_topk" -> Seq("cosine_sim"),
+    "s03_ivf_ann_topk" -> Seq("cosine_sim"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -209,6 +211,7 @@ object SparkEntry {
     "d07_near_dup_clusters" -> DedupModels.nearDupClustersOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
+    "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -102,6 +102,91 @@ object SimilarityModels {
     }.toArray
   }
 
+  /** s03: IVF-style ANN — coarse quantization + cell-pruned search, the
+    * second classic ANN scale path alongside s02's LSH. The codebook is
+    * the C=16 lowest-vec_id embeddings: a deterministic stand-in for a
+    * trained k-means codebook so the oracle can replay the assignment
+    * exactly — in production the codebook is trained offline and
+    * arrives as a small dim table, and the query SHAPE is identical:
+    * assign = argmax cosine over C (broadcast C, one corpus pass);
+    * search = probe the query's nprobe=2 nearest cells only, then exact
+    * cosine top-3 inside them.
+    *
+    * Scale: the corpus join key is the cell id, so search touches
+    * ~nprobe/C of the corpus; assignment is a broadcast nested loop
+    * over a CONSTANT 16-row side (bounded, not data-dependent — unlike
+    * d03's candidate set this broadcast cannot grow with the corpus).
+    * Similarities round to 6dp before ranking so rank ties break
+    * identically across engines.
+    */
+  def ivfAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding",
+        sqrt(dotD($"embedding", $"embedding")).as("norm"))
+    val cents = base.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cent_emb"),
+        $"norm".as("cent_norm"))
+    val centSim = round(
+      dotD($"embedding", $"cent_emb") / ($"norm" * $"cent_norm"), 6)
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", centSim)
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cent_sim".desc, $"cid")))
+    val assigned = ranked.filter($"crk" === 1)
+      .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"),
+        $"norm".as("c_norm"), $"cid".as("cell"))
+    val qcells = ranked.filter($"vec_id" < 10 && $"crk" <= 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"), $"cid".as("cell"))
+    val sim = round(
+      dotD($"q_emb", $"c_emb") / ($"q_norm" * $"c_norm"), 6)
+      .cast(DecimalType(24, 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine_sim".desc, $"cand_id")
+    assigned.join(broadcast(qcells), Seq("cell"))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("cosine_sim", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"cand_id", $"cell",
+        $"cosine_sim", $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val ivfAnnTopKOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> cast($a[i+1] AS DOUBLE) * cast($b[i+1] AS DOUBLE)))"
+    s"""WITH base AS (SELECT vec_id, embedding,
+       |                     sqrt(${dot("embedding", "embedding")}) AS norm
+       |              FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, embedding AS cent_emb, norm AS cent_norm
+       |          FROM base WHERE vec_id < 16),
+       |ranked AS (
+       |  SELECT b.vec_id, b.embedding, b.norm, c.cid,
+       |         round(${dot("b.embedding", "c.cent_emb")} / (b.norm * c.cent_norm), 6) AS cent_sim,
+       |         row_number() OVER (PARTITION BY b.vec_id
+       |           ORDER BY round(${dot("b.embedding", "c.cent_emb")} / (b.norm * c.cent_norm), 6) DESC,
+       |                    c.cid) AS crk
+       |  FROM base b CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id AS cand_id, embedding AS c_emb, norm AS c_norm,
+       |                    cid AS cell
+       |             FROM ranked WHERE crk = 1),
+       |qcells AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+       |                  cid AS cell
+       |           FROM ranked WHERE vec_id < 10 AND crk <= 2),
+       |scored AS (
+       |  SELECT q.query_id, a.cand_id, a.cell,
+       |         cast(round(${dot("q.q_emb", "a.c_emb")} / (q.q_norm * a.c_norm), 6)
+       |              AS DECIMAL(24,6)) AS cosine_sim
+       |  FROM assigned a JOIN qcells q ON a.cell = q.cell
+       |  WHERE q.query_id <> a.cand_id)
+       |SELECT query_id, cand_id, cell, cosine_sim,
+       |       cast(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine_sim DESC, cand_id) AS BIGINT) AS sim_rank
+       |FROM scored
+       |QUALIFY sim_rank <= 3""".stripMargin
+  }
+
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */
