@@ -62,8 +62,10 @@ object TpchModels {
 
   /** q13: orders restricted to high-balance customers via `IN (subquery)`.
     * Ops: J6 semi join (`multi_create_impacted_accounts.sql:17,29,42`).
-    * Scale: the subquery side is small after its filter → Spark broadcasts
-    * the semi-join build side; no full shuffle of `orders`.
+    * Scale: NO forced broadcast — the filtered customer set is a
+    * data-dependent fraction of the customer table and grows with the
+    * corpus; a shuffled semi join is safe at any scale, and AQE still
+    * downgrades to broadcast at runtime when the side actually fits.
     */
   def semiJoinHighBalance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -71,7 +73,7 @@ object TpchModels {
       .filter($"c_acctbal" > 5000)
       .select($"c_custkey")
     Tables.orders(spark, sfDir)
-      .join(broadcast(rich), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(rich, $"o_custkey" === $"c_custkey", "left_semi")
       .groupBy(to_date($"o_orderdate").as("date_key"))
       .agg(count(lit(1)).as("order_count"),
         sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
@@ -310,18 +312,20 @@ object TpchModels {
       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS avg_price
       |FROM daily""".stripMargin
 
-  /** q25: creations per (day, market segment) — fact ⋈ broadcast dim then
+  /** q25: creations per (day, market segment) — fact ⋈ dim then
     * aggregate. Ops: A1, J3 dim-lookup join
     * (`daily_account_creates_by_app.sql:6-14` + dim decoration).
-    * Scale: `customer` is the dim here; broadcast keeps `orders` unshuffled
-    * pre-aggregation.
+    * Scale: `customer` scales WITH the data here (unlike nation/region),
+    * so no forced broadcast — a shuffled join on the customer key is
+    * safe at any scale and AQE broadcasts when the pruned two-column
+    * dim actually fits under the threshold.
     */
   def createsBySegment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dim = Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_mktsegment")
     Tables.orders(spark, sfDir)
-      .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left")
+      .join(dim, $"o_custkey" === $"c_custkey", "left")
       .groupBy(to_date($"o_orderdate").as("date_key"),
         coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("creates"),
