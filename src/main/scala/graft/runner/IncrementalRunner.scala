@@ -174,6 +174,13 @@ final class IncrementalRunner(
       sources: String => DataFrame): Map[String, Long] = {
     val resolve: String => DataFrame = name =>
       if (models.exists(_.name == name)) readModel(name) else sources(name)
-    topoOrder(models).map(m => m.name -> runIncremental(m, resolve)).toMap
+    topoOrder(models).map { m =>
+      val n = runIncremental(m, resolve)
+      // builder-internal caches can't be reused across models (downstream
+      // reads the materialized parquet target, not the plan) — drop them
+      // so a long DAG doesn't accumulate executor storage
+      spark.catalog.clearCache()
+      m.name -> n
+    }.toMap
   }
 }
