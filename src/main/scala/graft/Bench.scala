@@ -52,9 +52,12 @@ object Bench {
     println(json)
     // hedge: sbt prefixes stdout with [info], which can defeat a driver
     // parser expecting a bare JSON line — also drop the metric in a file
+    // (cwd-relative: lands in the repo root under `sbt runMain`)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: $e")
+    }
     spark.stop()
   }
 }

@@ -28,7 +28,11 @@ object SparkEntry {
     TxnModels.dailyTxnSummary(spark, "/root/testdata/sf0.001")
 
   /** Cast every top-level DecimalType output column to double (type-driven,
-    * so new queries are covered automatically; no-op when decimal-free). */
+    * so new queries are covered automatically; no-op when decimal-free).
+    * NESTED decimals (array/struct/map members) are NOT handled — no
+    * query emits one, and OutputContractSpec fails the build if a future
+    * query does, forcing an explicit decision instead of a silent
+    * driver-hash mismatch. */
   private[graft] def decimalsToDouble(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     if (!fields.exists(_.dataType.isInstanceOf[DecimalType])) df

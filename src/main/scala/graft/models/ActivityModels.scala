@@ -20,9 +20,13 @@ object ActivityModels {
     * Scale: count_distinct expands then two-phase aggregates; the group key
     * (date) is low-cardinality so AQE coalesces post-shuffle partitions.
     */
-  def dailyDistinctWallets(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    factTxn(spark, sfDir)
+  def dailyDistinctWallets(spark: SparkSession, sfDir: String): DataFrame =
+    dailyDistinctWalletsFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def dailyDistinctWalletsFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    fact
       .groupBy($"date_key")
       .agg(
         countDistinct($"wallet_id").as("active_wallets"),

@@ -129,14 +129,22 @@ object SimilarityModels {
         $"norm".as("cent_norm"))
     val centSim = round(
       dotD($"embedding", $"cent_emb") / ($"norm" * $"cent_norm"), 6)
-    val ranked = base.crossJoin(broadcast(cents))
+    // keep only the top-2 cells per vector and CACHE: both the corpus
+    // assignment (crk=1) and the query probe set (crk≤2) read this, and
+    // an uncached subtree would re-run the 16× crossJoin + window once
+    // per join branch. In production this IS the materialized IVF index
+    // table (2 short rows per vector), not a transient cache.
+    val top2 = base.crossJoin(broadcast(cents))
       .withColumn("cent_sim", centSim)
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cent_sim".desc, $"cid")))
-    val assigned = ranked.filter($"crk" === 1)
+      .filter($"crk" <= 2)
+      .select($"vec_id", $"embedding", $"norm", $"cid", $"crk")
+      .cache()
+    val assigned = top2.filter($"crk" === 1)
       .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"),
         $"norm".as("c_norm"), $"cid".as("cell"))
-    val qcells = ranked.filter($"vec_id" < 10 && $"crk" <= 2)
+    val qcells = top2.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         $"norm".as("q_norm"), $"cid".as("cell"))
     val sim = round(

@@ -86,12 +86,8 @@ object ModelRegistry {
     ModelDef("daily_txn_summary", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) => TxnModels.dailyTxnSummaryFrom(resolve("fact_txn"))),
     ModelDef("daily_distinct_wallets", Cadence.Daily, Seq("fact_txn"),
-      (s, resolve) => {
-        import s.implicits._
-        resolve("fact_txn").groupBy($"date_key")
-          .agg(countDistinct($"wallet_id").as("active_wallets"),
-            count(lit(1)).as("txn_count"))
-      }),
+      (_, resolve) =>
+        ActivityModels.dailyDistinctWalletsFrom(resolve("fact_txn"))),
     // weekly/monthly re-aggregations of the fact — the reference's
     // weekly/monthly_kin_transactions; period_key renamed to the
     // runner's date_key watermark convention (like weekly_payout)

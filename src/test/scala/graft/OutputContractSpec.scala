@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The output-type contract behind the driver's hash compare: no query
@@ -8,11 +8,38 @@ import org.scalatest.funsuite.AnyFunSuite
   * the DuckDB oracle float-style — value-equal results hash apart), and
   * `SparkEntry.doubleCols` — which drives the oracle-side CAST..AS DOUBLE
   * wrapper — must list exactly the columns the raw queries produce as
-  * decimals. Schema-only: plans are analyzed, never executed.
+  * decimals. Plans are analyzed, not executed — except d07, whose
+  * builder runs its fixpoint loop eagerly during construction (small at
+  * sf0.001).
   */
 class OutputContractSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
+
+  /** decimalsToDouble only rewrites top-level columns, so a nested
+    * decimal would silently bypass the whole contract — detect it
+    * anywhere in the type tree and fail loudly instead. */
+  private def hasNestedDecimal(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => containsDecimal(et)
+    case MapType(kt, vt, _) => containsDecimal(kt) || containsDecimal(vt)
+    case st: StructType => st.fields.exists(f => containsDecimal(f.dataType))
+    case _ => false
+  }
+  private def containsDecimal(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case other => hasNestedDecimal(other)
+  }
+
+  test("no query emits a decimal nested inside array/struct/map") {
+    SparkEntry.rawQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nested = fn(spark, sf).schema.fields
+        .filter(f => hasNestedDecimal(f.dataType)).map(_.name)
+      assert(nested.isEmpty,
+        s"$name has nested decimal in ${nested.mkString(",")} — " +
+          "decimalsToDouble/doubleCols cannot express this; restructure " +
+          "the output or extend the contract explicitly")
+    }
+  }
 
   test("doubleCols matches each raw query's actual DecimalType columns") {
     val mismatches = SparkEntry.rawQueries.toSeq.sortBy(_._1).flatMap {
