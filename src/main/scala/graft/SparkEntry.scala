@@ -106,6 +106,7 @@ object SparkEntry {
     "t04_token_counts" -> (TextModels.tokenCounts _),
     "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
+    "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -222,5 +223,6 @@ object SparkEntry {
     "t04_token_counts" -> TextModels.tokenCountsOracle,
     "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
+    "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
   )
 }

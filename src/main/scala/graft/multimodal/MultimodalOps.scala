@@ -99,6 +99,59 @@ object MultimodalOps {
         sum($"channels").cast(LongType).as("channel_sum"))
   }
 
+  /** m02: frame sampling — the video-pipeline operation of decoding
+    * only every k-th frame. The payload is modeled as a sequence of
+    * fixed-width frames (200-char slices of the text payload — this
+    * DuckDB build cannot slice BLOBs, and a char slice md5-hashes its
+    * UTF-8 bytes identically in both engines, so the sampling algebra
+    * stays oracle-checkable; a production build slices the binary and
+    * decodes inside mapPartitions like m01's contract). Stride adapts
+    * so ≤8 frames are sampled per document regardless of length — the
+    * budget-bounded sampling a real frame extractor uses.
+    *
+    * Scale: explode fan-out is capped (≤8 sampled frames/doc) and
+    * the heavy payload column is dropped right after slicing, so the
+    * shuffle carries only (doc_id, hash) pairs.
+    */
+  def frameSampleSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val FrameChars = 200
+    val MaxSampled = 8
+    val d = graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+      .withColumn("n_frames",
+        greatest(lit(1), expr(s"length(text) div $FrameChars")))
+      .withColumn("stride",
+        greatest(lit(1), expr(s"n_frames div $MaxSampled")))
+    d.withColumn("i", explode(sequence(lit(0), $"n_frames" - 1)))
+      .filter($"i" % $"stride" === 0)
+      .withColumn("frame_hash",
+        md5(expr(s"substring(text, i * $FrameChars + 1, $FrameChars)")))
+      .groupBy($"doc_id", concat(lit("fake/"), $"lang").as("format"),
+        $"n_frames".cast(LongType).as("n_frames"))
+      .agg(count(lit(1)).as("sampled_frames"),
+        countDistinct($"frame_hash").as("distinct_frames"),
+        min($"frame_hash").as("rep_hash"))
+  }
+
+  val frameSampleSummaryOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, lang, text,
+      |         greatest(1, length(text) // 200) AS n_frames,
+      |         greatest(1, greatest(1, length(text) // 200) // 8) AS stride
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, n_frames,
+      |         md5(substr(text, i * 200 + 1, 200)) AS frame_hash
+      |  FROM (SELECT *, unnest(range(n_frames)) AS i FROM p)
+      |  WHERE i % stride = 0)
+      |SELECT doc_id, 'fake/' || lang AS format,
+      |       cast(n_frames AS BIGINT) AS n_frames,
+      |       count(*) AS sampled_frames,
+      |       count(DISTINCT frame_hash) AS distinct_frames,
+      |       min(frame_hash) AS rep_hash
+      |FROM f GROUP BY 1, 2, 3""".stripMargin
+
   val mediaMetaSummaryOracle: String =
     """WITH media AS (
       |  SELECT doc_id, lang, encode(text) AS media,
