@@ -89,6 +89,7 @@ object SparkEntry {
     "q34_monthly_active_accounts" -> (CompositeModels.monthlyActiveAccounts _),
     "q35_daily_kre_summary" -> (CompositeModels.dailyKreSummary _),
     "q36_topk_amounts_per_app" -> (TxnModels.topAmountsPerApp _),
+    "q37_create_fee_payers" -> (TpchModels.createFeePayers _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q35_daily_kre_summary" -> Seq("active_user_balance",
       "active_capped_user_balance", "volatility_factor", "kin_payout",
       "usd_payout"),
+    "q37_create_fee_payers" -> Seq("fee_paid"),
     "d03_lsh_near_dup_pairs" -> Seq("jaccard"),
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
     "d06_edit_distance_pairs" -> Seq("similarity"),
@@ -207,6 +209,7 @@ object SparkEntry {
     "q34_monthly_active_accounts" -> CompositeModels.monthlyActiveAccountsOracle,
     "q35_daily_kre_summary" -> CompositeModels.dailyKreSummaryOracle,
     "q36_topk_amounts_per_app" -> TxnModels.topAmountsPerAppOracle,
+    "q37_create_fee_payers" -> TpchModels.createFeePayersOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

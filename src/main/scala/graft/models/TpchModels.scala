@@ -60,6 +60,45 @@ object TpchModels {
       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS avg_balance
       |FROM sides GROUP BY 1""".stripMargin
 
+  /** q37: fee-payer rollup with DOUBLE dim decoration — the
+    * `create_fee_payers.sql` shape (§2.11: A1, J3 ×2 — the model that
+    * joins both its grouping dim and a price dim). Aggregate FIRST on
+    * the raw key (shuffled join with the data-sized customer table, AQE
+    * decides), then decorate the calendar-bounded aggregate with TWO
+    * broadcast dims (nation, region — the second standing in for the
+    * SOL→USD price dim).
+    */
+  def createFeePayers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, sfDir)
+      .select($"r_regionkey", $"r_name")
+    Tables.orders(spark, sfDir)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy(to_date($"o_orderdate").as("date_key"), $"c_nationkey")
+      .agg(count(lit(1)).as("creates"),
+        sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
+          .as("fee_paid"))
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .select($"date_key", $"n_name".as("nation_name"),
+        $"r_name".as("region_name"), $"creates", $"fee_paid")
+  }
+
+  val createFeePayersOracle: String =
+    """SELECT cast(o.o_orderdate AS DATE) AS date_key,
+      |       n.n_name AS nation_name, r.r_name AS region_name,
+      |       count(*) AS creates,
+      |       cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS fee_paid
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** q13: orders restricted to high-balance customers via `IN (subquery)`.
     * Ops: J6 semi join (`multi_create_impacted_accounts.sql:17,29,42`).
     * Scale: NO forced broadcast — the filtered customer set is a
