@@ -95,6 +95,11 @@ object TxnModels {
     * custom typed Aggregator (SURVEY.md §2.10 UDAF tier) — a grouped
     * exact top-k that aggregates partially with O(k) state per group
     * instead of sorting each group (`graft.functions.TopKLongs`).
+    *
+    * Output is exploded to one row per (app, rank) — scalar columns
+    * only, so any downstream consumer (or comparator) that can't
+    * canonicalize array cells still works. The explode fan-out is
+    * bounded at k=3 rows per group, so it adds no scale cost.
     */
   def topAmountsPerApp(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -103,15 +108,27 @@ object TxnModels {
       .select($"app_id", ($"amount" * 100).cast(LongType).as("cents"))
       .groupBy($"app_id")
       .agg(top3($"cents").as("top_amounts"))
+      .select($"app_id", posexplode($"top_amounts").as(Seq("pos", "amount_cents")))
+      .select(
+        $"app_id",
+        ($"pos" + 1).cast(LongType).as("amount_rank"),
+        $"amount_cents")
   }
 
   val topAmountsPerAppOracle: String =
-    """SELECT coalesce(cast(json_extract_string(props,'$.k') AS INTEGER), 0) AS app_id,
-      |       (list(cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |             ORDER BY cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) DESC))[1:3]
-      |         AS top_amounts
-      |FROM events WHERE event_type <> 'error'
-      |GROUP BY 1""".stripMargin
+    """WITH fact AS (
+      |  SELECT coalesce(cast(json_extract_string(props,'$.k') AS INTEGER), 0) AS app_id,
+      |         cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type <> 'error'
+      |  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY event_id) = 1),
+      |tops AS (
+      |  SELECT app_id, (list(cents ORDER BY cents DESC))[1:3] AS top_amounts
+      |  FROM fact GROUP BY 1)
+      |SELECT t.app_id, cast(r.amount_rank AS BIGINT) AS amount_rank,
+      |       t.top_amounts[r.amount_rank] AS amount_cents
+      |FROM tops t
+      |CROSS JOIN (SELECT unnest([1,2,3]) AS amount_rank) r
+      |WHERE r.amount_rank <= len(t.top_amounts)""".stripMargin
 
   val dailyTxnSummaryOracle: String =
     """WITH fact AS (

@@ -41,6 +41,23 @@ class OutputContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no published query emits a top-level array/struct/map column") {
+    // The driver's pandas comparator cannot sort/hash complex cells
+    // (q36's ARRAY<BIGINT> died with "unhashable type: numpy.ndarray"
+    // in round 2) — complex outputs must be exploded to rows or
+    // serialized with to_json before publication.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val complex = fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[MapType] => f.name
+      }
+      assert(complex.isEmpty,
+        s"$name emits complex-typed column(s) ${complex.mkString(",")} — " +
+          "explode to rows or to_json before publishing")
+    }
+  }
+
   test("doubleCols matches each raw query's actual DecimalType columns") {
     val mismatches = SparkEntry.rawQueries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
