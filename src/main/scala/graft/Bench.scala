@@ -30,25 +30,37 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write: materializes EVERY output column through the
       // full plan. A count() action lets Catalyst prune unreferenced
       // columns and under-measures expression-heavy queries (JSON
       // extraction, md5 chains) relative to what Verify executes.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200)
+          System.err.println(s"[bench] $name FAILED: $e")
+          true
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that cache intermediates would otherwise accumulate heap
       // across the run and tax later queries' GC — drop between queries
       spark.catalog.clearCache()
-      name -> dt
+      // a failed query must not read as a fast success: record a sentinel
+      name -> (if (failed) -1.0 else dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // hedge: sbt prefixes stdout with [info], which can defeat a driver
     // parser expecting a bare JSON line — also drop the metric in a file
@@ -59,5 +71,8 @@ object Bench {
       System.err.println(s"[bench] could not write bench_out.json: $e")
     }
     spark.stop()
+    // fail loudly: a regression that breaks a query must not look like a
+    // (faster) successful bench
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

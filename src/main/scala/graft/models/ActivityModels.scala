@@ -319,9 +319,17 @@ object ActivityModels {
     * Scale: unpivot doubles rows, then ONE window shuffle on
     * (wallet, day) — vs. the reference's OR-join which degrades to a
     * nested loop. Row_number (not max-struct) keeps it whole-stage-codegen.
+    *
+    * Session-memoized (`Shared.materialized`): closing balance is the
+    * most-shared intermediate (q22/q26/q28/q31/q32/q33/q35 all consume
+    * it), so the first consumer materializes it once per (session,
+    * sfDir) and the rest read the materialized table — the standalone
+    * analog of the runner's model materialization.
     */
   def closingBalance(spark: SparkSession, sfDir: String): DataFrame =
-    closingBalanceFrom(graft.catalog.Tables.events(spark, sfDir))
+    Shared.materialized("q19_closing_balance", spark, sfDir) {
+      closingBalanceFrom(graft.catalog.Tables.events(spark, sfDir))
+    }
 
   /** Frame-parameterized variant for the model registry. */
   def closingBalanceFrom(events: DataFrame): DataFrame = {

@@ -40,19 +40,11 @@ object CompositeModels {
   private val ChurnWindowDays = 7
 
   def dailyNetInflation(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // ONE closing-balance build serves three consumers (AUB inside the
-    // payout chain, the balance leg, the churn leg) — without the shared
-    // cache each branch would recompute the q19 window from raw events
-    val bal = ActivityModels.closingBalance(spark, sfDir).cache()
-    val aub = KreModels
-      .activeUserBalanceFrom(TxnModels.factTxn(spark, sfDir), bal)
-      .select($"date_key", $"app_id", $"capped_aub").cache()
-    val vf = KreModels.volatilityFactor(spark, sfDir)
-      .select($"date_key", $"volatility_factor", $"average_price").cache()
-    val dim = graft.catalog.Tables.nation(spark, sfDir)
-      .select($"n_nationkey", $"n_name")
-    val payout = KreModels.dailyPayoutFrom(spark, aub, vf, dim)
+    // closing balance and the payout chain are session-memoized
+    // materializations (graft.models.Shared) — the three consumers here
+    // (payout rollup, balance leg, churn leg) read tiny tables
+    val bal = ActivityModels.closingBalance(spark, sfDir)
+    val payout = KreModels.dailyPayout(spark, sfDir)
     dailyNetInflationFrom(payout, bal, dailyChurnVolumeFrom(bal))
   }
 
@@ -235,17 +227,12 @@ object CompositeModels {
     * join reorder over 7 inputs.
     */
   def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // build AUB and VF ONCE and feed both the direct legs and the payout
-    // chain (KreModels.dailyPayout would otherwise re-derive both) — in
-    // the runner these arrive as materialized upstream models
-    val aub = KreModels.activeUserBalance(spark, sfDir).cache()
-    val vf = KreModels.volatilityFactor(spark, sfDir).cache()
-    val dim = graft.catalog.Tables.nation(spark, sfDir)
-      .select($"n_nationkey", $"n_name")
-    val payout = KreModels.dailyPayoutFrom(spark,
-      aub.select($"date_key", $"app_id", $"capped_aub"),
-      vf.select($"date_key", $"volatility_factor", $"average_price"), dim)
+    // AUB, VF and the payout are session-memoized materializations —
+    // the direct legs and the payout leg all read the same tiny tables
+    // (in the runner these arrive as materialized upstream models)
+    val aub = KreModels.activeUserBalance(spark, sfDir)
+    val vf = KreModels.volatilityFactor(spark, sfDir)
+    val payout = KreModels.dailyPayout(spark, sfDir)
     dailyKreSummaryFrom(factTxn(spark, sfDir), aub, vf, payout)
   }
 

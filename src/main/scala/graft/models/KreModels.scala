@@ -52,7 +52,10 @@ object KreModels {
     * bounded fan-out, plain hash aggregates, no BNLJ.
     */
   def volatilityFactor(spark: SparkSession, sfDir: String): DataFrame =
-    volatilityFactorFrom(factTxn(spark, sfDir))
+    // session-memoized: consumed standalone (q27) and by q26/q33/q35
+    Shared.materialized("q27_volatility_factor", spark, sfDir) {
+      volatilityFactorFrom(factTxn(spark, sfDir))
+    }
 
   /** Frame-parameterized variant for the model registry. */
   def volatilityFactorFrom(fact: DataFrame): DataFrame = {
@@ -117,8 +120,11 @@ object KreModels {
     * Ops: J4 (explode ×30 after dedupe), P9, J2, A1, A9.
     */
   def activeUserBalance(spark: SparkSession, sfDir: String): DataFrame =
-    activeUserBalanceFrom(factTxn(spark, sfDir),
-      ActivityModels.closingBalance(spark, sfDir))
+    // session-memoized: consumed standalone (q28) and by q26/q33/q35
+    Shared.materialized("q28_active_user_balance", spark, sfDir) {
+      activeUserBalanceFrom(factTxn(spark, sfDir),
+        ActivityModels.closingBalance(spark, sfDir))
+    }
 
   /** Frame-parameterized variant for the model registry. */
   def activeUserBalanceFrom(factIn: DataFrame,
@@ -206,21 +212,19 @@ object KreModels {
     * expanded by binding expressions to vals (SURVEY §2.8).
     * Ops: J1, J8 (rank-1/rank-2 self-joins), W1, A9, J3 dim decoration.
     */
-  def dailyPayout(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // cache the tiny post-aggregate inputs: the plan references `pre`
-    // from four branches (top/second/staged), and without a cache each
-    // branch recomputes the whole upstream DAG (closing balance + AU
-    // explode + VF). In the runner these are materialized models; inside
-    // the standalone query, caching plays that role. Row counts are
-    // calendar-bounded (days × apps), so memory cost is trivial.
-    val aub = activeUserBalance(spark, sfDir)
-      .select($"date_key", $"app_id", $"capped_aub").cache()
-    val vf = volatilityFactor(spark, sfDir)
-      .select($"date_key", $"volatility_factor", $"average_price").cache()
-    val dim = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
-    dailyPayoutFrom(spark, aub, vf, dim)
-  }
+  def dailyPayout(spark: SparkSession, sfDir: String): DataFrame =
+    // session-memoized: consumed standalone (q26) and by q29/q33. The
+    // AUB/VF inputs are themselves memoized materializations, so the
+    // share algebra below reads two tiny calendar-bounded tables.
+    Shared.materialized("q26_daily_payout", spark, sfDir) {
+      import spark.implicits._
+      val aub = activeUserBalance(spark, sfDir)
+        .select($"date_key", $"app_id", $"capped_aub")
+      val vf = volatilityFactor(spark, sfDir)
+        .select($"date_key", $"volatility_factor", $"average_price")
+      val dim = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+      dailyPayoutFrom(spark, aub, vf, dim)
+    }
 
   /** The payout share algebra over already-built inputs — separated so
     * the monopoly-cap branches are unit-testable with crafted AUB/VF
@@ -304,9 +308,11 @@ object KreModels {
     */
   def kreWeeklyPayout(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // dailyPayout is a memoized materialization — the two references
+    // below (weeks + the join) each re-read a tiny parquet, no cache
     val payout = dailyPayout(spark, sfDir)
       .select($"date_key", $"app_id", $"app_name",
-        $"post_monopoly_payout", $"post_monopoly_payout_usd").cache()
+        $"post_monopoly_payout", $"post_monopoly_payout_usd")
     val weeks = payout
       .select(date_trunc("week", $"date_key").cast(DateType).as("week_key"))
       .distinct()

@@ -8,9 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * the DuckDB oracle float-style — value-equal results hash apart), and
   * `SparkEntry.doubleCols` — which drives the oracle-side CAST..AS DOUBLE
   * wrapper — must list exactly the columns the raw queries produce as
-  * decimals. Plans are analyzed, not executed — except d07, whose
-  * builder runs its fixpoint loop eagerly during construction (small at
-  * sf0.001).
+  * decimals. Plans are mostly analyzed, not executed — except d07
+  * (eager fixpoint during construction) and the KRE chain, whose shared
+  * intermediates materialize once via `Shared` (small at sf0.001).
   */
 class OutputContractSpec extends AnyFunSuite {
   val spark = TestSpark.spark
