@@ -90,6 +90,8 @@ object SparkEntry {
     "q35_daily_kre_summary" -> (CompositeModels.dailyKreSummary _),
     "q36_topk_amounts_per_app" -> (TxnModels.topAmountsPerApp _),
     "q37_create_fee_payers" -> (TpchModels.createFeePayers _),
+    "q38_weekly_active_ecosystem" -> (EcosystemModels.weeklyActiveEcosystem _),
+    "q39_daily_summary_ecosystem" -> (EcosystemModels.dailySummaryEcosystem _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -149,6 +151,8 @@ object SparkEntry {
       "active_capped_user_balance", "volatility_factor", "kin_payout",
       "usd_payout"),
     "q37_create_fee_payers" -> Seq("fee_paid"),
+    "q39_daily_summary_ecosystem" -> Seq("transaction_amount_kin",
+      "earn_amount_kin", "spend_amount_kin", "peer_amount_kin"),
     "d03_lsh_near_dup_pairs" -> Seq("jaccard"),
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
     "d06_edit_distance_pairs" -> Seq("similarity"),
@@ -210,6 +214,8 @@ object SparkEntry {
     "q35_daily_kre_summary" -> CompositeModels.dailyKreSummaryOracle,
     "q36_topk_amounts_per_app" -> TxnModels.topAmountsPerAppOracle,
     "q37_create_fee_payers" -> TpchModels.createFeePayersOracle,
+    "q38_weekly_active_ecosystem" -> EcosystemModels.weeklyActiveEcosystemOracle,
+    "q39_daily_summary_ecosystem" -> EcosystemModels.dailySummaryEcosystemOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

@@ -277,9 +277,12 @@ object ActivityModels {
     * target month, with no later above-threshold balance (J7 NOT IN ≡
     * left_anti; keys non-null per SURVEY §7.4.6).
     */
-  def monthlyInactiveWallets(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val bal = closingBalance(spark, sfDir)
+  def monthlyInactiveWallets(spark: SparkSession, sfDir: String): DataFrame =
+    monthlyInactiveWalletsFrom(closingBalance(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def monthlyInactiveWalletsFrom(bal: DataFrame): DataFrame = {
+    import bal.sparkSession.implicits._
     val lastLow = bal.filter($"closing_balance" <= 50)
       .groupBy($"wallet_id")
       .agg(max($"date_key").as("last_low_date"))

@@ -1,0 +1,218 @@
+package graft.models
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ecosystem-grain (app-less) activity models — the reference's
+  * `active_accounts/…/{daily,weekly,monthly}_active_accounts_ecosystem.sql`
+  * family plus the wide `daily_summary_ecosystem.sql` API row.
+  *
+  * The spender/earner split follows the reference's overlapping type
+  * sets (`weekly_active_accounts_ecosystem.sql`: spender = type in
+  * (2,3) via from_account, earner = type in (1,3) via to_account),
+  * mapped through the q07/q34 event-type convention: spend =
+  * {purchase, click}, earn = {signup, view}; the overlap analog of
+  * type 3 (peer) is {click, view}.
+  *
+  * Scale: same explode-to-equi rewrite as q34 (dedupe first, constant
+  * ×W fan-out, no range BNLJ); the daily variant is a plain hash
+  * aggregate. The summary composite joins one-row-per-day legs only.
+  */
+object EcosystemModels {
+  import TxnModels.factTxn
+
+  private val Money = DecimalType(38, 2)
+
+  val SpendTypes = Seq("purchase", "click")
+  val EarnTypes = Seq("signup", "view")
+  val PeerTypes = Seq("click", "view")
+
+  /** Rolling (lookback+1)-day distinct actives at ecosystem grain with
+    * the users/spenders/earners split; lookback=0 degenerates to the
+    * daily variant (no explode — a plain per-day aggregate).
+    */
+  def activeEcosystemFrom(factIn: DataFrame, lookback: Int): DataFrame = {
+    import factIn.sparkSession.implicits._
+    val fact = factIn.select($"date_key", $"wallet_id", $"txn_type")
+    val spend = fact.filter($"txn_type".isin(SpendTypes: _*))
+      .select($"date_key", $"wallet_id")
+    val earn = fact.filter($"txn_type".isin(EarnTypes: _*))
+      .select($"date_key", $"wallet_id")
+    def counted(src: DataFrame, cnt: String): DataFrame =
+      if (lookback == 0)
+        src.distinct().groupBy($"date_key")
+          .agg(countDistinct($"wallet_id").as(cnt))
+      else {
+        val days = fact.select($"date_key").distinct()
+          .withColumnRenamed("date_key", "anchor_date")
+        src.distinct()
+          .withColumn("anchor_date",
+            explode(sequence($"date_key", date_add($"date_key", lookback))))
+          .join(broadcast(days), Seq("anchor_date"), "left_semi")
+          .groupBy($"anchor_date".as("date_key"))
+          .agg(countDistinct($"wallet_id").as(cnt))
+      }
+    counted(spend.union(earn), "active_users")
+      .join(counted(spend, "active_spenders"), Seq("date_key"), "left")
+      .join(counted(earn, "active_earners"), Seq("date_key"), "left")
+      .select($"date_key", $"active_users",
+        coalesce($"active_spenders", lit(0L)).as("active_spenders"),
+        coalesce($"active_earners", lit(0L)).as("active_earners"))
+  }
+
+  /** q38: weekly (7-day rolling) ecosystem actives —
+    * `weekly_active_accounts_ecosystem.sql:1-58`. */
+  def weeklyActiveEcosystem(spark: SparkSession, sfDir: String): DataFrame =
+    activeEcosystemFrom(factTxn(spark, sfDir), 6)
+
+  private def activeEcosystemOracle(lookback: Int): String = {
+    val window =
+      if (lookback == 0) "u.date_key = d.anchor_date"
+      else s"u.date_key BETWEEN d.anchor_date - $lookback AND d.anchor_date"
+    s"""WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
+       |                     event_type AS txn_type
+       |              FROM events WHERE event_type <> 'error'),
+       |days AS (SELECT DISTINCT date_key AS anchor_date FROM fact),
+       |spend AS (SELECT DISTINCT date_key, wallet_id FROM fact
+       |          WHERE txn_type IN ('purchase', 'click')),
+       |earn AS (SELECT DISTINCT date_key, wallet_id FROM fact
+       |         WHERE txn_type IN ('signup', 'view')),
+       |users AS (SELECT * FROM spend UNION SELECT * FROM earn),
+       |ua AS (SELECT d.anchor_date AS date_key,
+       |              count(DISTINCT u.wallet_id) AS active_users
+       |       FROM days d JOIN users u ON ${window} GROUP BY 1),
+       |sa AS (SELECT d.anchor_date AS date_key,
+       |              count(DISTINCT u.wallet_id) AS active_spenders
+       |       FROM days d JOIN spend u ON ${window} GROUP BY 1),
+       |ea AS (SELECT d.anchor_date AS date_key,
+       |              count(DISTINCT u.wallet_id) AS active_earners
+       |       FROM days d JOIN earn u ON ${window} GROUP BY 1)
+       |SELECT ua.date_key, ua.active_users,
+       |       coalesce(sa.active_spenders, 0) AS active_spenders,
+       |       coalesce(ea.active_earners, 0) AS active_earners
+       |FROM ua
+       |LEFT JOIN sa ON ua.date_key = sa.date_key
+       |LEFT JOIN ea ON ua.date_key = ea.date_key""".stripMargin
+  }
+
+  val weeklyActiveEcosystemOracle: String = activeEcosystemOracle(6)
+
+  /** q39: the wide ecosystem API row — `daily_summary_ecosystem.sql`:
+    * per-day transaction totals split by type family, decorated with
+    * daily + monthly ecosystem actives and USD legs via the price dim
+    * (VF's `average_price` stands in for `dim_kin_price.prices`;
+    * FIXTURES.md §B). USD legs are computed in double with identical
+    * expression text on both sides (the q26 parity strategy).
+    */
+  def dailySummaryEcosystem(spark: SparkSession, sfDir: String): DataFrame = {
+    val fact = factTxn(spark, sfDir)
+    val vf = KreModels.volatilityFactor(spark, sfDir)
+    dailySummaryEcosystemFrom(fact, vf)
+  }
+
+  /** Frame-parameterized variant for the model registry (`vf` must carry
+    * (date_key, average_price)). */
+  def dailySummaryEcosystemFrom(factIn: DataFrame, vf: DataFrame): DataFrame = {
+    import factIn.sparkSession.implicits._
+    val fact = factIn.select($"date_key", $"app_id", $"wallet_id",
+      $"txn_type", $"amount")
+    def famSum(types: Seq[String]) =
+      coalesce(sum(when($"txn_type".isin(types: _*), $"amount")), lit(0))
+        .cast(Money)
+    def famCnt(types: Seq[String]) =
+      count(when($"txn_type".isin(types: _*), lit(1)))
+    val txns = fact.groupBy($"date_key")
+      .agg(
+        countDistinct($"app_id").as("app_count"),
+        count(lit(1)).as("transaction_count"),
+        sum($"amount").cast(Money).as("transaction_amount_kin"),
+        famCnt(EarnTypes).as("earn_count"),
+        famSum(EarnTypes).as("earn_amount_kin"),
+        famCnt(SpendTypes).as("spend_count"),
+        famSum(SpendTypes).as("spend_amount_kin"),
+        famCnt(PeerTypes).as("peer_count"),
+        famSum(PeerTypes).as("peer_amount_kin"))
+    val daily = activeEcosystemFrom(factIn, 0)
+      .select($"date_key", $"active_users".as("daily_active_users"),
+        $"active_spenders".as("daily_active_spenders"),
+        $"active_earners".as("daily_active_earners"))
+    val monthly = activeEcosystemFrom(factIn, 29)
+      .select($"date_key", $"active_users".as("monthly_active_users"),
+        $"active_spenders".as("monthly_active_spenders"),
+        $"active_earners".as("monthly_active_earners"))
+    val price = vf.select($"date_key", $"average_price")
+    def usd(kin: org.apache.spark.sql.Column) =
+      kin.cast(DoubleType) * $"average_price".cast(DoubleType)
+    txns
+      .join(daily, Seq("date_key"), "left")
+      .join(monthly, Seq("date_key"), "left")
+      .join(price, Seq("date_key"))
+      .select($"date_key", $"app_count", $"transaction_count",
+        $"transaction_amount_kin",
+        usd($"transaction_amount_kin").as("transaction_amount_usd"),
+        $"earn_count", $"earn_amount_kin",
+        usd($"earn_amount_kin").as("earn_amount_usd"),
+        $"spend_count", $"spend_amount_kin",
+        usd($"spend_amount_kin").as("spend_amount_usd"),
+        $"peer_count", $"peer_amount_kin",
+        usd($"peer_amount_kin").as("peer_amount_usd"),
+        coalesce($"daily_active_users", lit(0L)).as("daily_active_users"),
+        coalesce($"daily_active_spenders", lit(0L)).as("daily_active_spenders"),
+        coalesce($"daily_active_earners", lit(0L)).as("daily_active_earners"),
+        coalesce($"monthly_active_users", lit(0L)).as("monthly_active_users"),
+        coalesce($"monthly_active_spenders", lit(0L)).as("monthly_active_spenders"),
+        coalesce($"monthly_active_earners", lit(0L)).as("monthly_active_earners"))
+  }
+
+  lazy val dailySummaryEcosystemOracle: String = {
+    val daily = activeEcosystemOracle(0)
+    val monthly = activeEcosystemOracle(29)
+    s"""WITH fact AS (SELECT cast(ts AS DATE) AS date_key,
+       |                     coalesce(cast(json_extract_string(props,'$$.k') AS INTEGER),0) AS app_id,
+       |                     user_id AS wallet_id, event_type AS txn_type,
+       |                     cast(value AS DECIMAL(18,2)) AS amount
+       |              FROM events WHERE event_type <> 'error'),
+       |txns AS (SELECT date_key,
+       |                count(DISTINCT app_id) AS app_count,
+       |                count(*) AS transaction_count,
+       |                cast(sum(amount) AS DECIMAL(38,2)) AS transaction_amount_kin,
+       |                count(CASE WHEN txn_type IN ('signup','view') THEN 1 END) AS earn_count,
+       |                cast(coalesce(sum(CASE WHEN txn_type IN ('signup','view') THEN amount END), 0) AS DECIMAL(38,2)) AS earn_amount_kin,
+       |                count(CASE WHEN txn_type IN ('purchase','click') THEN 1 END) AS spend_count,
+       |                cast(coalesce(sum(CASE WHEN txn_type IN ('purchase','click') THEN amount END), 0) AS DECIMAL(38,2)) AS spend_amount_kin,
+       |                count(CASE WHEN txn_type IN ('click','view') THEN 1 END) AS peer_count,
+       |                cast(coalesce(sum(CASE WHEN txn_type IN ('click','view') THEN amount END), 0) AS DECIMAL(38,2)) AS peer_amount_kin
+       |         FROM fact GROUP BY 1),
+       |daily AS (SELECT date_key, active_users AS daily_active_users,
+       |                 active_spenders AS daily_active_spenders,
+       |                 active_earners AS daily_active_earners
+       |          FROM ($daily) t),
+       |monthly AS (SELECT date_key, active_users AS monthly_active_users,
+       |                   active_spenders AS monthly_active_spenders,
+       |                   active_earners AS monthly_active_earners
+       |            FROM ($monthly) t),
+       |price AS (SELECT date_key, average_price
+       |          FROM (${KreModels.volatilityFactorOracle}) t)
+       |SELECT t.date_key, t.app_count, t.transaction_count,
+       |       t.transaction_amount_kin,
+       |       cast(t.transaction_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS transaction_amount_usd,
+       |       t.earn_count, t.earn_amount_kin,
+       |       cast(t.earn_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS earn_amount_usd,
+       |       t.spend_count, t.spend_amount_kin,
+       |       cast(t.spend_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS spend_amount_usd,
+       |       t.peer_count, t.peer_amount_kin,
+       |       cast(t.peer_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS peer_amount_usd,
+       |       coalesce(d.daily_active_users, 0) AS daily_active_users,
+       |       coalesce(d.daily_active_spenders, 0) AS daily_active_spenders,
+       |       coalesce(d.daily_active_earners, 0) AS daily_active_earners,
+       |       coalesce(m.monthly_active_users, 0) AS monthly_active_users,
+       |       coalesce(m.monthly_active_spenders, 0) AS monthly_active_spenders,
+       |       coalesce(m.monthly_active_earners, 0) AS monthly_active_earners
+       |FROM txns t
+       |LEFT JOIN daily d ON t.date_key = d.date_key
+       |LEFT JOIN monthly m ON t.date_key = m.date_key
+       |JOIN price p ON t.date_key = p.date_key""".stripMargin
+  }
+}

@@ -20,11 +20,15 @@ object PayoutModels {
     * Scale: aggregate FIRST (shuffle on the group key), then broadcast-join
     * the 25-row dim — the fact table is never shuffled for the join.
     */
-  def appSummaryDim(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val dim = graft.catalog.Tables.nation(spark, sfDir)
-      .select($"n_nationkey", $"n_name")
-    factTxn(spark, sfDir)
+  def appSummaryDim(spark: SparkSession, sfDir: String): DataFrame =
+    appSummaryDimFrom(factTxn(spark, sfDir),
+      graft.catalog.Tables.nation(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def appSummaryDimFrom(fact: DataFrame, nation: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    val dim = nation.select($"n_nationkey", $"n_name")
+    fact
       .groupBy($"date_key", $"app_id")
       .agg(count(lit(1)).as("txn_count"),
         sum($"amount").cast(DecimalType(38, 2)).as("total_amount"))
@@ -52,9 +56,12 @@ object PayoutModels {
     * Scale: both sides aggregate to the same key before the join, so AQE
     * can pick a single co-partitioned exchange.
     */
-  def walletDayJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val fact = factTxn(spark, sfDir)
+  def walletDayJoin(spark: SparkSession, sfDir: String): DataFrame =
+    walletDayJoinFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def walletDayJoinFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
     val total = fact.groupBy($"date_key", $"wallet_id")
       .agg(count(lit(1)).as("txn_count"))
     val spend = fact.filter($"txn_type" === "purchase")
@@ -118,9 +125,13 @@ object PayoutModels {
     * (`weekly_kre_payout_summary.sql:33`). dense_rank (not row_number) so
     * value ties rank identically in both engines.
     */
-  def topAppsDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val payout = factTxn(spark, sfDir)
+  def topAppsDaily(spark: SparkSession, sfDir: String): DataFrame =
+    topAppsDailyFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def topAppsDailyFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    val payout = fact
       .filter($"txn_type" === "purchase")
       .groupBy($"date_key", $"app_id")
       .agg(sum($"amount").cast(DecimalType(38, 2)).as("payout"))
@@ -147,9 +158,13 @@ object PayoutModels {
     * (`daily_active_user_balance_by_app.sql:61-76`), lateral-alias
     * expansion done by binding the expression once (SURVEY.md §2.8).
     */
-  def cappedAppBalance(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val agg = factTxn(spark, sfDir)
+  def cappedAppBalance(spark: SparkSession, sfDir: String): DataFrame =
+    cappedAppBalanceFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def cappedAppBalanceFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    val agg = fact
       .groupBy($"date_key", $"app_id")
       .agg(countDistinct($"wallet_id").as("active_users"),
         sum($"amount").cast(DecimalType(38, 2)).as("aub"))
@@ -184,9 +199,13 @@ object PayoutModels {
     * byte output is deterministic (collect_list ordering is not —
     * SURVEY.md §2.4 A10 — hence the sort before serializing).
     */
-  def weeklyTopAppsJson(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val weekly = factTxn(spark, sfDir)
+  def weeklyTopAppsJson(spark: SparkSession, sfDir: String): DataFrame =
+    weeklyTopAppsJsonFrom(factTxn(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def weeklyTopAppsJsonFrom(fact: DataFrame): DataFrame = {
+    import fact.sparkSession.implicits._
+    val weekly = fact
       .filter($"txn_type" === "purchase")
       .groupBy(date_trunc("week", $"date_key").cast(DateType).as("week_key"),
         $"app_id")

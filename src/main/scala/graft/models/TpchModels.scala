@@ -18,9 +18,12 @@ object TpchModels {
   /** q08: avg of from-side/to-side balances with `UNION ALL` (keep-both)
     * semantics. Ops: U2 (`average_account_balance_per_day.sql:28`), A2.
     */
-  def unionAllBalances(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
+  def unionAllBalances(spark: SparkSession, sfDir: String): DataFrame =
+    unionAllBalancesFrom(Tables.lineitem(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def unionAllBalancesFrom(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
     // price and discount are exact 2-dp values; doing the (1-d) multiply in
     // decimal keeps the product exact at scale 4 — double arithmetic here
     // would round differently in Spark (HALF_UP) vs DuckDB (half-even).
@@ -68,15 +71,19 @@ object TpchModels {
     * broadcast dims (nation, region — the second standing in for the
     * SOL→USD price dim).
     */
-  def createFeePayers(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val cust = Tables.customer(spark, sfDir)
-      .select($"c_custkey", $"c_nationkey")
-    val nat = Tables.nation(spark, sfDir)
-      .select($"n_nationkey", $"n_name", $"n_regionkey")
-    val reg = Tables.region(spark, sfDir)
-      .select($"r_regionkey", $"r_name")
-    Tables.orders(spark, sfDir)
+  def createFeePayers(spark: SparkSession, sfDir: String): DataFrame =
+    createFeePayersFrom(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def createFeePayersFrom(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val cust = customer.select($"c_custkey", $"c_nationkey")
+    val nat = nation.select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = region.select($"r_regionkey", $"r_name")
+    orders
       .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy(to_date($"o_orderdate").as("date_key"), $"c_nationkey")
       .agg(count(lit(1)).as("creates"),
@@ -274,18 +281,23 @@ object TpchModels {
     * reference stamps `current_date` (line 38); here the stamp is an
     * injected literal (SURVEY §7.4.1 — never the wall clock).
     */
-  def gcImpactedAccounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val multiLine = Tables.lineitem(spark, sfDir)
+  def gcImpactedAccounts(spark: SparkSession, sfDir: String): DataFrame =
+    gcImpactedAccountsFrom(Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def gcImpactedAccountsFrom(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val multiLine = lineitem
       .groupBy($"l_orderkey")
       .agg(count(lit(1)).as("instruction_count"))
       .filter($"instruction_count" > 5) // HAVING over the line count
       .select($"l_orderkey")
-    val impactedOrders = Tables.orders(spark, sfDir)
+    val impactedOrders = orders
       .join(multiLine, $"o_orderkey" === $"l_orderkey", "left_semi")
     val impactedCusts = impactedOrders.select($"o_custkey").distinct()
-    val allOrders = Tables.orders(spark, sfDir)
+    val allOrders = orders
       .join(impactedCusts.withColumnRenamed("o_custkey", "ic"),
         $"o_custkey" === $"ic", "left_semi")
     val w = Window.partitionBy($"o_custkey")
@@ -321,9 +333,13 @@ object TpchModels {
     * circulating-supply ratio. Ops: P1 + arithmetic
     * (`daily_market_summary.sql:4-20`: supply = mcap/price).
     */
-  def marketSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, sfDir)
+  def marketSummary(spark: SparkSession, sfDir: String): DataFrame =
+    marketSummaryFrom(Tables.lineitem(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def marketSummaryFrom(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    li
       .groupBy(to_date($"l_shipdate").as("date_key"))
       .agg(
         sum($"l_extendedprice".cast(Money)).cast(DecimalType(38, 2))
@@ -359,11 +375,16 @@ object TpchModels {
     * safe at any scale and AQE broadcasts when the pruned two-column
     * dim actually fits under the threshold.
     */
-  def createsBySegment(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val dim = Tables.customer(spark, sfDir)
-      .select($"c_custkey", $"c_mktsegment")
-    Tables.orders(spark, sfDir)
+  def createsBySegment(spark: SparkSession, sfDir: String): DataFrame =
+    createsBySegmentFrom(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry. */
+  def createsBySegmentFrom(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val dim = customer.select($"c_custkey", $"c_mktsegment")
+    orders
       .join(dim, $"o_custkey" === $"c_custkey", "left")
       .groupBy(to_date($"o_orderdate").as("date_key"),
         coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))

@@ -26,7 +26,13 @@ final case class ModelDef(
     cadence: Cadence,
     deps: Seq[String],
     build: (SparkSession, String => DataFrame) => DataFrame,
-    appendOnly: Boolean = false)
+    appendOnly: Boolean = false,
+    // snapshot-shaped models (latest-state / still-inactive sets) whose
+    // historical rows CHANGE as new data arrives — the runner must CTAS
+    // them every run (the reference's full-refresh branch,
+    // `execute_snowflake_load.py:90-91`) instead of appending above a
+    // watermark
+    fullRefresh: Boolean = false)
 
 /** Spark-native incremental model runner — the engine's replacement for the
   * reference's orchestrator (`execute_snowflake_load.py` +
@@ -165,22 +171,37 @@ final class IncrementalRunner(
     out.toSeq
   }
 
-  /** Run the whole DAG incrementally in dependency order. A model's
-    * resolver serves upstream models from their materialized targets
-    * (the reference reads prior models' tables the same way) and anything
-    * else from `sources`.
+  /** Run the whole DAG incrementally in dependency order, then publish
+    * the zero-copy clones. A model's resolver serves upstream models from
+    * their materialized targets (the reference reads prior models' tables
+    * the same way) and anything else from `sources`.
+    *
+    * `clones` mirrors the reference's clone-vs-model branch
+    * (`execute_snowflake_load.py:94-96`): after the models build, each
+    * (cloneName → sourceModel) pair is published as a metadata-only view
+    * over the source's materialized files (S4 — Snowflake
+    * `CREATE TABLE … CLONE` analog), resolvable via
+    * `spark.table(cloneName)`.
     */
   def runAll(models: Seq[ModelDef],
-      sources: String => DataFrame): Map[String, Long] = {
+      sources: String => DataFrame,
+      clones: Seq[(String, String)] = Nil): Map[String, Long] = {
     val resolve: String => DataFrame = name =>
       if (models.exists(_.name == name)) readModel(name) else sources(name)
-    topoOrder(models).map { m =>
-      val n = runIncremental(m, resolve)
+    val counts = topoOrder(models).map { m =>
+      val n = if (m.fullRefresh) runFullRefresh(m, resolve)
+        else runIncremental(m, resolve)
       // builder-internal caches can't be reused across models (downstream
       // reads the materialized parquet target, not the plan) — drop them
       // so a long DAG doesn't accumulate executor storage
       spark.catalog.clearCache()
       m.name -> n
     }.toMap
+    clones.foreach { case (cloneName, src) =>
+      require(models.exists(_.name == src),
+        s"clone $cloneName references unregistered model $src")
+      graft.catalog.Tables.registerClone(spark, cloneName, targetPath(src))
+    }
+    counts
   }
 }

@@ -123,5 +123,96 @@ object ModelRegistry {
         "daily_payout"),
       (_, resolve) => CompositeModels.dailyKreSummaryFrom(
         resolve("fact_txn"), resolve("active_user_balance"),
-        resolve("volatility_factor"), resolve("daily_payout"))))
+        resolve("volatility_factor"), resolve("daily_payout"))),
+    // --- remaining reference families (VERDICT r2 gap #1) ---
+    // app summary decorated with the app dim — daily_kin_transactions'
+    // per-app leg
+    ModelDef("app_summary_dim", Cadence.Daily, Seq("fact_txn", AppDim),
+      (_, resolve) => PayoutModels.appSummaryDimFrom(
+        resolve("fact_txn"), resolve(AppDim))),
+    // per-(day, wallet) activity join — daily_active_user_balance_by_app's
+    // spend/total legs
+    ModelDef("wallet_day_activity", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => PayoutModels.walletDayJoinFrom(resolve("fact_txn"))),
+    ModelDef("top_apps_daily", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => PayoutModels.topAppsDailyFrom(resolve("fact_txn"))),
+    ModelDef("capped_app_balance", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        PayoutModels.cappedAppBalanceFrom(resolve("fact_txn"))),
+    // weekly top-apps JSON — weekly_kre_payout_summary.sql
+    ModelDef("weekly_top_apps_json", Cadence.Weekly, Seq("fact_txn"),
+      (_, resolve) =>
+        PayoutModels.weeklyTopAppsJsonFrom(resolve("fact_txn"))
+          .withColumnRenamed("week_key", "date_key")),
+    // market summary — daily_market_summary.sql
+    ModelDef("market_summary", Cadence.Daily, Seq("lineitem"),
+      (_, resolve) => TpchModels.marketSummaryFrom(resolve("lineitem"))),
+    // average balances — average_account_balance_per_day.sql
+    ModelDef("average_balances", Cadence.Daily, Seq("lineitem"),
+      (_, resolve) => TpchModels.unionAllBalancesFrom(resolve("lineitem"))),
+    // creates family — daily_account_creates_by_* + create_fee_payers
+    ModelDef("creates_by_segment", Cadence.Daily, Seq("orders", "customer"),
+      (_, resolve) => TpchModels.createsBySegmentFrom(
+        resolve("orders"), resolve("customer"))),
+    ModelDef("create_fee_payers", Cadence.Daily,
+      Seq("orders", "customer", "nation", "region"),
+      (_, resolve) => TpchModels.createFeePayersFrom(
+        resolve("orders"), resolve("customer"), resolve("nation"),
+        resolve("region"))),
+    // GC family — latest-state snapshots whose historical rows change as
+    // new data arrives → full refresh (CTAS) every run
+    ModelDef("gc_impacted_accounts", Cadence.Daily,
+      Seq("orders", "lineitem"),
+      (_, resolve) => TpchModels.gcImpactedAccountsFrom(
+        resolve("orders"), resolve("lineitem"))
+        .withColumnRenamed("latest_order_date", "date_key"),
+      fullRefresh = true),
+    ModelDef("monthly_inactive_wallets", Cadence.Monthly,
+      Seq("closing_balance"),
+      (_, resolve) => ActivityModels.monthlyInactiveWalletsFrom(
+        resolve("closing_balance"))
+        .withColumnRenamed("inactive_month", "date_key"),
+      fullRefresh = true),
+    // ecosystem-grain activity family —
+    // {daily,weekly,monthly}_active_accounts_ecosystem.sql
+    ModelDef("daily_active_ecosystem", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        EcosystemModels.activeEcosystemFrom(resolve("fact_txn"), 0)),
+    ModelDef("weekly_active_ecosystem", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        EcosystemModels.activeEcosystemFrom(resolve("fact_txn"), 6)),
+    ModelDef("monthly_active_ecosystem", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        EcosystemModels.activeEcosystemFrom(resolve("fact_txn"), 29)),
+    // wide ecosystem API row — daily_summary_ecosystem.sql
+    ModelDef("daily_summary_ecosystem", Cadence.Daily,
+      Seq("fact_txn", "volatility_factor"),
+      (_, resolve) => EcosystemModels.dailySummaryEcosystemFrom(
+        resolve("fact_txn"), resolve("volatility_factor"))))
+
+  /** The reference's 13 zero-copy clone publications
+    * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
+    * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a
+    * materialized model under a consuming mart's name. Executed by
+    * `IncrementalRunner.runAll` after the models build — clone name →
+    * source model; the `ds_`/`mb_` prefixes stand in for the target
+    * database.schema part of the 3-part Snowflake name.
+    */
+  val clones: Seq[(String, String)] = Seq(
+    // data_studio_mart/daily_models/reporting/clones/*
+    "ds_daily_active_accounts_ecosystem" -> "daily_active_ecosystem",
+    "ds_monthly_active_accounts_ecosystem" -> "monthly_active_ecosystem",
+    "ds_weekly_active_accounts_ecosystem" -> "weekly_active_ecosystem",
+    "ds_closing_account_balance_per_day" -> "closing_balance",
+    "ds_daily_active_user_balance_by_app" -> "active_user_balance",
+    "ds_daily_kin_transactions" -> "daily_txn_summary",
+    "ds_daily_kin_payout" -> "daily_payout",
+    // kin_data/daily_models/reporting/clones/kin_transactions_curated.sql
+    "kin_transactions_curated" -> "fact_txn",
+    // metabase_mart/{daily,weekly}_models/reporting/clones/**
+    "mb_kre_weekly_payout" -> "weekly_payout",
+    "mb_daily_active_user_balance_by_app" -> "active_user_balance",
+    "mb_daily_kin_payout" -> "daily_payout",
+    "mb_daily_volatility_factor" -> "volatility_factor",
+    "mb_closing_account_balance_per_day" -> "closing_balance")
 }

@@ -30,8 +30,8 @@ class ModelDagSpec extends AnyFunSuite {
   test("full model DAG runs through the incremental runner end-to-end") {
     val wh = Files.createTempDirectory("graft-dag").toString
     val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-02-05"))
-    assert(ModelRegistry.kreDag.size >= 12) // the whole mart set, not a demo chain
-    val counts = r.runAll(ModelRegistry.kreDag, sources)
+    assert(ModelRegistry.kreDag.size >= 25) // the whole mart set, not a demo chain
+    val counts = r.runAll(ModelRegistry.kreDag, sources, ModelRegistry.clones)
     assert(counts("fact_txn") > 0)
     assert(counts("daily_payout") > 0)
     assert(counts("weekly_payout") > 0)
@@ -47,6 +47,11 @@ class ModelDagSpec extends AnyFunSuite {
       .select($"date_key").distinct().count()
     assert(payoutDays > 0 && payoutDays <=
       r.readModel("active_user_balance").select($"date_key").distinct().count())
+    // every clone resolves post-run and is a zero-copy view of its source
+    for ((clone, src) <- ModelRegistry.clones) {
+      assert(tableHash(spark.table(clone)) == tableHash(r.readModel(src)),
+        s"clone $clone != source $src")
+    }
   }
 
   test("incremental catch-up converges to full refresh across the DAG") {
