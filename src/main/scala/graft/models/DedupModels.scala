@@ -107,8 +107,20 @@ object DedupModels {
     * condition would fall back to a nested loop). Jaccard is computed
     * exactly in integer micros (floor division) so both engines agree
     * bit-for-bit.
+    *
+    * Session-memoized (`Shared.materialized`): the verified pair list is
+    * the input of both downstream dedup tiers (d06 edit-distance, d07
+    * clustering), so the first consumer materializes it once per
+    * (session, sfDir) — at scale this IS how a dedup pipeline runs (pair
+    * generation materialized once, consumers fan out from it).
     */
-  def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("d03_lsh_near_dup_pairs", spark, sfDir) {
+      lshNearDupPairsBuild(spark, sfDir)
+    }
+
+  private def lshNearDupPairsBuild(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val dsh = shingleDf(spark, sfDir).cache()
     val hashed = dsh.select($"doc_id", md5($"shingle").as("h"))

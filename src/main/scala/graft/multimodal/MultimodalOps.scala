@@ -105,13 +105,15 @@ object MultimodalOps {
     * DuckDB build cannot slice BLOBs, and a char slice md5-hashes its
     * UTF-8 bytes identically in both engines, so the sampling algebra
     * stays oracle-checkable; a production build slices the binary and
-    * decodes inside mapPartitions like m01's contract). Stride adapts
-    * so ≤8 frames are sampled per document regardless of length — the
-    * budget-bounded sampling a real frame extractor uses.
+    * decodes inside mapPartitions like m01's contract). Stride is
+    * ceil(n_frames/8), so ≤8 frames are sampled per document regardless
+    * of length — the budget-bounded sampling a real frame extractor
+    * uses.
     *
-    * Scale: explode fan-out is capped (≤8 sampled frames/doc) and
-    * the heavy payload column is dropped right after slicing, so the
-    * shuffle carries only (doc_id, hash) pairs.
+    * Scale: only the SAMPLED indices are generated (a strided
+    * `sequence`, not an explode-all-then-filter), so the fan-out is a
+    * hard ≤8 rows/doc; the heavy payload column is dropped right after
+    * slicing, so the shuffle carries only (doc_id, hash) pairs.
     */
   def frameSampleSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -122,9 +124,9 @@ object MultimodalOps {
       .withColumn("n_frames",
         greatest(lit(1), expr(s"length(text) div $FrameChars")))
       .withColumn("stride",
-        greatest(lit(1), expr(s"n_frames div $MaxSampled")))
-    d.withColumn("i", explode(sequence(lit(0), $"n_frames" - 1)))
-      .filter($"i" % $"stride" === 0)
+        expr(s"(n_frames + ${MaxSampled - 1}) div $MaxSampled"))
+    d.withColumn("i",
+        explode(sequence(lit(0), $"n_frames" - 1, $"stride")))
       .withColumn("frame_hash",
         md5(expr(s"substring(text, i * $FrameChars + 1, $FrameChars)")))
       .groupBy($"doc_id", concat(lit("fake/"), $"lang").as("format"),
@@ -138,13 +140,12 @@ object MultimodalOps {
     """WITH p AS (
       |  SELECT doc_id, lang, text,
       |         greatest(1, length(text) // 200) AS n_frames,
-      |         greatest(1, greatest(1, length(text) // 200) // 8) AS stride
+      |         (greatest(1, length(text) // 200) + 7) // 8 AS stride
       |  FROM documents),
       |f AS (
       |  SELECT doc_id, lang, n_frames,
       |         md5(substr(text, i * 200 + 1, 200)) AS frame_hash
-      |  FROM (SELECT *, unnest(range(n_frames)) AS i FROM p)
-      |  WHERE i % stride = 0)
+      |  FROM (SELECT *, unnest(range(0, n_frames, stride)) AS i FROM p))
       |SELECT doc_id, 'fake/' || lang AS format,
       |       cast(n_frames AS BIGINT) AS n_frames,
       |       count(*) AS sampled_frames,

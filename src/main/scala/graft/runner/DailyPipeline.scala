@@ -1,0 +1,90 @@
+package graft.runner
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.seed.ExternalSeed
+import graft.sinks.Replicator
+
+/** The composed daily run — the engine's analog of the reference's
+  * pipeline manifest (`sf_daily_pipeline.yaml:5-17`), which sequences
+  * three tasks per day:
+  *
+  *   1. Daily Seed        (`external_endpoint_data_seed.py`)
+  *   2. Daily Models      (`execute_snowflake_load.py`)
+  *   3. Daily replication (`snowflake_postgres_replicator.py`)
+  *
+  * One `run()` performs seed → full model DAG (incl. clone publication)
+  * → serving-store replication, each stage delegating to the component
+  * that owns its semantics (`ExternalSeed`, `IncrementalRunner`,
+  * `Replicator`). Idempotent by construction: every stage is
+  * watermark- or overwrite-based, so a re-run with no new data writes
+  * nothing new.
+  */
+object DailyPipeline {
+
+  /** Serving tables → source models, mirroring the reference's six
+    * API-facing replications
+    * (the SQL files under `load_scripts/postgres_replication/daily_models/`); the
+    * camelCase rename projection is applied by the Replicator.
+    */
+  val ServingTables: Seq[(String, String)] = Seq(
+    "dailySummaryApp" -> "app_summary_dim",
+    "dailyAccountSummaryApp" -> "monthly_active_accounts",
+    "dailyAccountSummaryEcosystem" -> "daily_active_ecosystem",
+    "dailyMarketSummary" -> "market_summary",
+    "dailySummaryEcosystem" -> "daily_summary_ecosystem",
+    "kreSummary" -> "daily_kre_summary")
+
+  final case class Report(
+      modelRows: Map[String, Long],
+      servedRows: Map[String, Long])
+}
+
+final class DailyPipeline(
+    spark: SparkSession,
+    warehouseDir: String,
+    servingDir: String,
+    today: LocalDate) {
+
+  val runner = new IncrementalRunner(spark, warehouseDir, today)
+  val replicator = new Replicator(spark, servingDir)
+
+  /** One daily run. `sources` resolves raw tables; the seed inputs are
+    * optional pre-fetched payloads (the network fetch stays outside the
+    * engine — SURVEY §2.1 S5/S6): `appDirectoryJson` is the app-directory
+    * payload, `priceSeries` the (prices, market_caps, total_volumes)
+    * series triple.
+    */
+  def run(
+      sources: String => DataFrame,
+      appDirectoryJson: Option[String] = None,
+      priceSeries: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DailyPipeline.Report = {
+    // --- 1. Daily Seed: external payloads → warehouse dims (overwrite:
+    // the reference re-CTASes both dims on every seed run)
+    appDirectoryJson.foreach { json =>
+      ExternalSeed.seedDimAppFromJson(spark, json)
+        .write.mode(SaveMode.Overwrite).parquet(runner.targetPath("dim_app"))
+    }
+    priceSeries.foreach { case (p, m, v) =>
+      ExternalSeed.buildPriceDim(spark, p, m, v)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(runner.targetPath("dim_price"))
+    }
+    // dims resolve like models (materialized targets) for any consumer,
+    // ahead of raw sources
+    val resolve: String => DataFrame = {
+      case d @ ("dim_app" | "dim_price") if runner.exists(d) =>
+        runner.readModel(d)
+      case other => sources(other)
+    }
+    // --- 2. Daily Models: the full DAG + clone publications
+    val modelRows =
+      runner.runAll(ModelRegistry.kreDag, resolve, ModelRegistry.clones)
+    // --- 3. Daily replication: API-facing camelCase serving copies
+    val servedRows = DailyPipeline.ServingTables.map { case (table, model) =>
+      table -> replicator.replicate(table, runner.readModel(model))
+    }.toMap
+    DailyPipeline.Report(modelRows, servedRows)
+  }
+}

@@ -61,8 +61,14 @@ final class IncrementalRunner(
     today: LocalDate) {
   import spark.implicits._
 
-  /** The reference's epoch default: `coalesce(max(date_key),'2017-01-01')`. */
-  val Epoch = "2017-01-01"
+  /** First-run watermark floor — the reference hardcodes its own data's
+    * start (`coalesce(max(date_key),'2017-01-01')`,
+    * `incremental_anchor.sql:1-5`), which would silently drop any table
+    * whose calendar predates it (our TPC-H-dated orders/lineitem models
+    * live in the 1990s). Use the unix epoch so a first run always loads
+    * the full history; the semantics above the floor are unchanged.
+    */
+  val Epoch = "1970-01-01"
 
   def targetPath(name: String): String = s"$warehouseDir/$name"
 

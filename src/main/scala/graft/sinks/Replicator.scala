@@ -69,6 +69,10 @@ final class Replicator(spark: SparkSession, servingDir: String) {
       out.write
         .mode(if (rebuild) SaveMode.Overwrite else SaveMode.Append)
         .parquet(sinkPath(table))
+    else if (!sinkExists(table))
+      // the reference's replicator always creates the target table —
+      // materialize an empty schema-bearing sink so consumers resolve it
+      out.write.mode(SaveMode.Overwrite).parquet(sinkPath(table))
     n
   }
 }

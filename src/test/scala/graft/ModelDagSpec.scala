@@ -39,6 +39,13 @@ class ModelDagSpec extends AnyFunSuite {
     // legitimately sparse, but the build itself must succeed and appear)
     for (m <- ModelRegistry.kreDag) assert(r.exists(m.name), m.name)
     assert(counts("daily_txn_summary") > 0)
+    // the TPC-H-dated families must actually load (a too-high watermark
+    // epoch once silently emptied every pre-2017 table)
+    assert(counts("market_summary") > 0)
+    assert(counts("average_balances") > 0)
+    assert(counts("creates_by_segment") > 0)
+    assert(counts("create_fee_payers") > 0)
+    assert(counts("gc_impacted_accounts") > 0)
     assert(counts("monthly_active_accounts") > 0)
     assert(counts("daily_kre_summary") > 0)
     assert(counts("daily_net_inflation") > 0)
