@@ -155,7 +155,14 @@ object CompositeModels {
     monthlyActiveAccountsFrom(factTxn(spark, sfDir))
 
   /** Frame-parameterized variant for the model registry. */
-  def monthlyActiveAccountsFrom(factIn: DataFrame): DataFrame = {
+  def monthlyActiveAccountsFrom(factIn: DataFrame): DataFrame =
+    activeAccountsAppFrom(factIn, 29)
+
+  /** App-grain actives at any window — the reference's
+    * `{daily,weekly,monthly}_active_accounts_app.sql` grid (lookback
+    * 0 / 6 / 29); lookback=0 skips the explode entirely (plain per-day
+    * aggregate). */
+  def activeAccountsAppFrom(factIn: DataFrame, lookback: Int): DataFrame = {
     import factIn.sparkSession.implicits._
     // one parse of the fact feeds all three legs and the anchor set
     val fact = factIn
@@ -163,9 +170,14 @@ object CompositeModels {
     val days = fact.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
     def rolled(src: DataFrame, cnt: String): DataFrame =
-      src.distinct()
+      if (lookback == 0)
+        src.distinct()
+          .withColumn("anchor_date", $"date_key")
+          .groupBy($"anchor_date", $"app_id")
+          .agg(countDistinct($"wallet_id").as(cnt))
+      else src.distinct()
         .withColumn("anchor_date",
-          explode(sequence($"date_key", date_add($"date_key", 29))))
+          explode(sequence($"date_key", date_add($"date_key", lookback))))
         .join(broadcast(days), Seq("anchor_date"), "left_semi")
         .groupBy($"anchor_date", $"app_id")
         .agg(countDistinct($"wallet_id").as(cnt))

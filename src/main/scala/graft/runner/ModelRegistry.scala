@@ -188,7 +188,64 @@ object ModelRegistry {
     ModelDef("daily_summary_ecosystem", Cadence.Daily,
       Seq("fact_txn", "volatility_factor"),
       (_, resolve) => EcosystemModels.dailySummaryEcosystemFrom(
-        resolve("fact_txn"), resolve("volatility_factor"))))
+        resolve("fact_txn"), resolve("volatility_factor"))),
+    // --- metabase accounts mart: the app_transaction_summary grid
+    // (from/to side × day/week/month; week+month regroup the DAY model)
+    ModelDef("app_txn_summary_from_day", Cadence.Daily,
+      Seq("fact_txn", AppDim),
+      (_, resolve) => AccountModels.appTxnSummaryDayFrom(
+        resolve("fact_txn"), resolve(AppDim), "from")),
+    ModelDef("app_txn_summary_to_day", Cadence.Daily,
+      Seq("fact_txn", AppDim),
+      (_, resolve) => AccountModels.appTxnSummaryDayFrom(
+        resolve("fact_txn"), resolve(AppDim), "to")),
+    ModelDef("app_txn_summary_from_week", Cadence.Weekly,
+      Seq("app_txn_summary_from_day"),
+      (_, resolve) => AccountModels.appTxnSummaryRollupFrom(
+        resolve("app_txn_summary_from_day"), "week")),
+    ModelDef("app_txn_summary_to_week", Cadence.Weekly,
+      Seq("app_txn_summary_to_day"),
+      (_, resolve) => AccountModels.appTxnSummaryRollupFrom(
+        resolve("app_txn_summary_to_day"), "week")),
+    ModelDef("app_txn_summary_from_month", Cadence.Monthly,
+      Seq("app_txn_summary_from_day"),
+      (_, resolve) => AccountModels.appTxnSummaryRollupFrom(
+        resolve("app_txn_summary_from_day"), "month")),
+    ModelDef("app_txn_summary_to_month", Cadence.Monthly,
+      Seq("app_txn_summary_to_day"),
+      (_, resolve) => AccountModels.appTxnSummaryRollupFrom(
+        resolve("app_txn_summary_to_day"), "month")),
+    // --- creations fact + the remaining creates grouping dims
+    ModelDef("fact_creations", Cadence.Daily, Seq("orders"),
+      (_, resolve) => AccountModels.factCreationsFrom(resolve("orders"))),
+    ModelDef("creates_by_type", Cadence.Daily, Seq("fact_creations"),
+      (_, resolve) => AccountModels.createsByDimFrom(
+        resolve("fact_creations"), "create_type")),
+    ModelDef("creates_by_program", Cadence.Daily, Seq("fact_creations"),
+      (_, resolve) => AccountModels.createsByDimFrom(
+        resolve("fact_creations"), "program_id")),
+    ModelDef("creates_by_close_authority", Cadence.Daily,
+      Seq("fact_creations"),
+      (_, resolve) => AccountModels.createsByDimFrom(
+        resolve("fact_creations"), "close_authority")),
+    // --- summary_stats + api leftovers
+    ModelDef("daily_blocks", Cadence.Daily, Seq("lineitem"),
+      (_, resolve) => AccountModels.dailyBlocksFrom(resolve("lineitem"))),
+    ModelDef("daily_account_summary_by_app", Cadence.Daily,
+      Seq("creates_by_segment"),
+      (_, resolve) => AccountModels.accountSummaryFrom(
+        resolve("creates_by_segment"), byApp = true)),
+    ModelDef("daily_account_summary_ecosystem", Cadence.Daily,
+      Seq("creates_by_segment"),
+      (_, resolve) => AccountModels.accountSummaryFrom(
+        resolve("creates_by_segment"), byApp = false)),
+    // --- app-grain actives completing the active-accounts grid
+    ModelDef("daily_active_accounts_app", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        CompositeModels.activeAccountsAppFrom(resolve("fact_txn"), 0)),
+    ModelDef("weekly_active_accounts_app", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        CompositeModels.activeAccountsAppFrom(resolve("fact_txn"), 6)))
 
   /** The reference's 13 zero-copy clone publications
     * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
