@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DateType, IntegerType}
+
+/** Planner-level rewrite of constant-width date-range joins (SURVEY §4
+  * optional component; preference tier (c): LogicalPlan rule registered
+  * through `SparkSessionExtensions`).
+  *
+  * The reference's rolling-window models join on
+  * `txn.date_key BETWEEN dateadd('day', -k, anchor.date_key) AND
+  * anchor.date_key` (e.g. `daily_volatility_factor.sql:25-36`,
+  * `monthly_active_accounts_app.sql:19-38`). Spark plans a non-equi
+  * inner join as BroadcastNestedLoopJoin — O(|A|·|B|) compares, the
+  * scale-killer SURVEY §2.3 J4 flags. The hand-written models here
+  * avoid it with the explode-to-equi rewrite; THIS rule applies the
+  * same rewrite automatically at the planner level, so a user writing
+  * the natural BETWEEN join on THIS engine still gets the linear plan:
+  *
+  *   d >= date_sub(a, k) AND d <= a
+  *     ⇒  explode(sequence(d, d+k)) AS anchor  JOIN ON anchor = a
+  *
+  * Row multiplicity is identical (each (row_d, row_a) pair with
+  * a−k ≤ d ≤ a matches exactly once on anchor = a); extra conjuncts in
+  * the original condition are preserved on the rewritten join. Fan-out
+  * is the constant k+1 — linear shuffle volume, never a nested loop.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Max window width worth exploding: beyond this the fan-out cost
+    * outweighs the nested-loop it replaces only for very large sides. */
+  private val MaxDays = 3700
+
+  /** `d >= date_sub(a, k)` (either comparison orientation). */
+  private def lowerBound(e: Expression): Option[(Attribute, Attribute, Int)] =
+    e match {
+      case GreaterThanOrEqual(d: Attribute,
+          DateSub(a: Attribute, Literal(k: Int, IntegerType))) =>
+        Some((d, a, k))
+      case LessThanOrEqual(DateSub(a: Attribute, Literal(k: Int, IntegerType)),
+          d: Attribute) =>
+        Some((d, a, k))
+      case _ => None
+    }
+
+  /** `d <= a` (either orientation). */
+  private def upperBound(e: Expression): Option[(Attribute, Attribute)] =
+    e match {
+      case LessThanOrEqual(d: Attribute, a: Attribute) => Some((d, a))
+      case GreaterThanOrEqual(a: Attribute, d: Attribute) => Some((d, a))
+      case _ => None
+    }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rewritten = for {
+        lo <- conjuncts
+        hi <- conjuncts
+        if lo ne hi
+        (d1, a1, k) <- lowerBound(lo)
+        (d2, a2) <- upperBound(hi)
+        if d1.semanticEquals(d2) && a1.semanticEquals(a2)
+        if d1.dataType == DateType && a1.dataType == DateType
+        if k > 0 && k <= MaxDays
+        // d and a must come from opposite sides
+        if (left.outputSet.contains(d1) && right.outputSet.contains(a1)) ||
+          (right.outputSet.contains(d1) && left.outputSet.contains(a1))
+      } yield {
+        val dOnLeft = left.outputSet.contains(d1)
+        val (dSide, aSide) = if (dOnLeft) (left, right) else (right, left)
+        // Sequence is TimeZoneAwareExpression — without a timeZoneId the
+        // node stays unresolved and the optimizer rejects the plan
+        val gen = Explode(
+          new Sequence(d1, DateAdd(d1, Literal(k)), None,
+            Some(conf.sessionLocalTimeZone)))
+        val anchor = AttributeReference("graft_range_anchor", DateType)()
+        val generate =
+          Generate(gen, Nil, outer = false, None, Seq(anchor), dSide)
+        val rest = conjuncts.filter(c => (c ne lo) && (c ne hi))
+        val newCond = (EqualTo(anchor, a1) +: rest).reduce(And)
+        val newJoin =
+          if (dOnLeft) Join(generate, aSide, Inner, Some(newCond), hint)
+          else Join(aSide, generate, Inner, Some(newCond), hint)
+        // restore the original output (drop the generated anchor column)
+        Project(j.output, newJoin)
+      }
+      rewritten.headOption.getOrElse(j)
+  }
+}
+
+/** `SparkSessionExtensions` installer:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` in cluster conf.
+  * (An existing session can also opt in via
+  * `spark.experimental.extraOptimizations`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+}
