@@ -34,9 +34,18 @@ object TxnModels {
 
   /** q01: cleaned transaction fact. Ops: A6 (dedupe), P1 (project/rename),
     * P2 (status filter), casts, null→0 app_id (§1.2).
+    *
+    * Session-memoized (`Shared.materialized`): the fact IS a
+    * materialized table in the reference (`fact_kin_transaction` — every
+    * mart reads the table, not the view), and ~25 standalone queries
+    * here consume it; the first builds it once per (session, sfDir),
+    * the rest read the materialized copy instead of re-running the
+    * dedupe + JSON parse.
     */
   def factTxn(spark: SparkSession, sfDir: String): DataFrame =
-    factTxnFrom(graft.catalog.Tables.events(spark, sfDir))
+    Shared.materialized("q01_fact_txn", spark, sfDir) {
+      factTxnFrom(graft.catalog.Tables.events(spark, sfDir))
+    }
 
   /** Frame-parameterized fact builder (used by the model registry, where
     * the events source is resolved by the runner).
