@@ -61,21 +61,38 @@ class ModelDagSpec extends AnyFunSuite {
     }
   }
 
+  // Convergence subset: every structurally distinct shape in the
+  // registry — the full KRE chain, each cadence, a chained rollup
+  // (day → week), both fullRefresh snapshots, a raw-source family, and
+  // the ecosystem composite. The other ~28 models repeat these shapes
+  // (per-day hash aggregates over the same inputs); running all 47
+  // through three DAG builds tripled suite time for no new evidence.
+  private val convergenceSubset = Set(
+    "fact_txn", "closing_balance", "volatility_factor",
+    "active_user_balance", "daily_payout", "weekly_payout",
+    "daily_txn_summary", "daily_churn_volume", "daily_net_inflation",
+    "monthly_active_accounts", "weekly_top_apps_json", "monthly_txn_rollup",
+    "gc_impacted_accounts", "monthly_inactive_wallets",
+    "app_txn_summary_from_day", "app_txn_summary_from_week",
+    "fact_creations", "creates_by_type", "daily_summary_ecosystem")
+
   test("incremental catch-up converges to full refresh across the DAG") {
+    val dag = ModelRegistry.kreDag.filter(m => convergenceSubset(m.name))
+    assert(dag.size == convergenceSubset.size) // subset names stay valid
     val whInc = Files.createTempDirectory("graft-dag-inc").toString
     val whFull = Files.createTempDirectory("graft-dag-full").toString
     // step 1: world as of Jan 20
     val r1 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-01-20"))
-    r1.runAll(ModelRegistry.kreDag, sources)
+    r1.runAll(dag, sources)
     // step 2: catch up to Feb 5
     val r2 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-02-05"))
-    val appended = r2.runAll(ModelRegistry.kreDag, sources)
+    val appended = r2.runAll(dag, sources)
     assert(appended.values.sum > 0) // something new arrived everywhere
     // full refresh as of Feb 5
     val rf = new IncrementalRunner(spark, whFull, LocalDate.parse("2024-02-05"))
-    rf.runAll(ModelRegistry.kreDag, sources)
-    // every model in the registry must converge, not just the KRE chain
-    for (m <- ModelRegistry.kreDag.map(_.name)) {
+    rf.runAll(dag, sources)
+    // every subset model must converge, not just the KRE chain
+    for (m <- dag.map(_.name)) {
       assert(tableHash(r2.readModel(m)) == tableHash(rf.readModel(m)),
         s"model $m diverged between incremental and full refresh")
     }
