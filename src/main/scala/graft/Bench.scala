@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-wide planner extension (see Verify) — identical session shape
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
     // warmup: JIT + codegen + parquet reader + shuffle machinery
     spark.range(2000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-wide planner extension: constant-width date-BETWEEN joins
+    // rewrite to explode-to-equi (identity-preserving; RangeJoinRewriteSpec)
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
