@@ -110,6 +110,7 @@ object SparkEntry {
     "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
+    "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -233,5 +234,6 @@ object SparkEntry {
     "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
+    "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,
   )
 }

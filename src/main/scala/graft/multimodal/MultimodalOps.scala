@@ -73,11 +73,14 @@ object MultimodalOps {
     * computes the same values through the mapPartitions path (asserted
     * equal in MultimodalSpec).
     */
-  def mediaMetaSummary(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The SQL replay of `fakeDecode` over the media table — (doc_id,
+    * lang, byte_len, width, height, channels) — shared by m01 and m03.
+    */
+  private def decodedMediaSql(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val hexVal: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
-    val media = graft.catalog.Tables.documents(spark, sfDir)
+    graft.catalog.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang", encode($"text", "UTF-8").as("media"))
       .withColumn("byte_len", octet_length($"media"))
       .withColumn("h", md5($"media"))
@@ -91,12 +94,61 @@ object MultimodalOps {
       .withColumn("channels",
         when((hexVal(substring($"h", 5, 1)) * 16 +
           hexVal(substring($"h", 6, 1))) % 2 === 0, 3).otherwise(1))
-    media.groupBy(concat(lit("fake/"), $"lang").as("format"))
+  }
+
+  def mediaMetaSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodedMediaSql(spark, sfDir)
+      .groupBy(concat(lit("fake/"), $"lang").as("format"))
       .agg(count(lit(1)).as("media_count"),
         sum($"byte_len").cast(LongType).as("total_bytes"),
         sum($"width").cast(LongType).as("width_sum"),
         sum($"height").cast(LongType).as("height_sum"),
         sum($"channels").cast(LongType).as("channel_sum"))
+  }
+
+  /** m03: resize planning + thumbnail cost accounting — the
+    * feature-extract stage a vision-data pipeline runs after decode:
+    * aspect-preserving fit of each image into a 224-square (the
+    * standard vision-model input box), with the output dimensions and
+    * thumbnail byte cost computed in exact integer arithmetic
+    * (`out = (dim * 224) div long_side` — floor division agrees across
+    * engines) so the whole stage stays oracle-checkable. The actual
+    * pixel resample belongs in [[resizePlan]]'s typed path next to
+    * `fakeDecode` (no codecs in this container; the planning math and
+    * the plumbing are what's under test).
+    */
+  def resizeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodedMediaSql(spark, sfDir)
+      .withColumn("long_side", greatest($"width", $"height"))
+      .withColumn("out_w", expr("(width * 224) div long_side"))
+      .withColumn("out_h", expr("(height * 224) div long_side"))
+      .groupBy(concat(lit("fake/"), $"lang").as("format"))
+      .agg(count(lit(1)).as("media_count"),
+        sum($"out_w").cast(LongType).as("out_width_sum"),
+        sum($"out_h").cast(LongType).as("out_height_sum"),
+        sum(($"out_w" * $"out_h" * $"channels").cast(LongType))
+          .cast(LongType).as("thumb_bytes"),
+        sum(when($"width" >= $"height", 1L).otherwise(0L))
+          .as("landscape_count"))
+  }
+
+  /** Typed resize plan over the mapPartitions decode path — the shape a
+    * real resampler drops into (MultimodalSpec asserts it agrees with
+    * the SQL replay). */
+  final case class ResizePlan(
+      doc_id: Long, format: String, out_w: Int, out_h: Int,
+      thumb_bytes: Long)
+
+  def resizePlan(ds: Dataset[MediaFeatures]): Dataset[ResizePlan] = {
+    import ds.sparkSession.implicits._
+    ds.map { f =>
+      val longSide = math.max(f.width, f.height)
+      val w = f.width * 224 / longSide
+      val h = f.height * 224 / longSide
+      ResizePlan(f.doc_id, f.format, w, h, w.toLong * h * f.channels)
+    }
   }
 
   /** m02: frame sampling — the video-pipeline operation of decoding
@@ -152,6 +204,40 @@ object MultimodalOps {
       |       count(DISTINCT frame_hash) AS distinct_frames,
       |       min(frame_hash) AS rep_hash
       |FROM f GROUP BY 1, 2, 3""".stripMargin
+
+  /** Shared decoded-media CTE prefix for the m01/m03 oracles. */
+  private val decodedCtes: String =
+    """media AS (
+      |  SELECT doc_id, lang, encode(text) AS media,
+      |         octet_length(encode(text)) AS byte_len,
+      |         md5(text) AS h
+      |  FROM documents),
+      |decoded AS (
+      |  SELECT doc_id, lang, byte_len,
+      |         64 + ((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16 +
+      |               (strpos('0123456789abcdef', substr(h,2,1)) - 1)) * 8 AS width,
+      |         64 + ((strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16 +
+      |               (strpos('0123456789abcdef', substr(h,4,1)) - 1)) * 8 AS height,
+      |         CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1)) - 1) * 16 +
+      |                    (strpos('0123456789abcdef', substr(h,6,1)) - 1)) % 2 = 0
+      |              THEN 3 ELSE 1 END AS channels
+      |  FROM media)""".stripMargin
+
+  lazy val resizeSummaryOracle: String =
+    s"""WITH $decodedCtes,
+       |resized AS (
+       |  SELECT lang, channels, width, height,
+       |         (width * 224) // greatest(width, height) AS out_w,
+       |         (height * 224) // greatest(width, height) AS out_h
+       |  FROM decoded)
+       |SELECT 'fake/' || lang AS format,
+       |       count(*) AS media_count,
+       |       cast(sum(out_w) AS BIGINT) AS out_width_sum,
+       |       cast(sum(out_h) AS BIGINT) AS out_height_sum,
+       |       cast(sum(out_w * out_h * channels) AS BIGINT) AS thumb_bytes,
+       |       cast(sum(CASE WHEN width >= height THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS landscape_count
+       |FROM resized GROUP BY 1""".stripMargin
 
   val mediaMetaSummaryOracle: String =
     """WITH media AS (

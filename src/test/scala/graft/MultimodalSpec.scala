@@ -29,6 +29,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("typed resize plan matches the SQL replay (m03)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val viaDs = MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(
+      MultimodalOps.mediaTable(spark, sfDir)))
+      .groupBy($"format")
+      .agg(count(lit(1)).as("media_count"),
+        sum($"out_w".cast("long")).as("out_width_sum"),
+        sum($"out_h".cast("long")).as("out_height_sum"),
+        sum($"thumb_bytes").as("thumb_bytes"))
+    val viaSql = MultimodalOps.resizeSummary(spark, sfDir)
+      .drop("landscape_count")
+    val a = viaDs.orderBy($"format").collect().map(_.toSeq).toSeq
+    val b = viaSql.orderBy($"format").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // the fit is aspect-preserving into a 224 box: long side maps to 224
+    val plans = MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(
+      MultimodalOps.mediaTable(spark, sfDir))).collect()
+    assert(plans.forall(p => math.max(p.out_w, p.out_h) == 224))
+  }
+
   test("decoder stub is deterministic and dimension-bounded") {
     val (w1, h1, c1) = MultimodalOps.fakeDecode("abc".getBytes("UTF-8"))
     val (w2, h2, c2) = MultimodalOps.fakeDecode("abc".getBytes("UTF-8"))
