@@ -92,6 +92,9 @@ object SparkEntry {
     "q37_create_fee_payers" -> (TpchModels.createFeePayers _),
     "q38_weekly_active_ecosystem" -> (EcosystemModels.weeklyActiveEcosystem _),
     "q39_daily_summary_ecosystem" -> (EcosystemModels.dailySummaryEcosystem _),
+    "q40_daily_summary_by_app" -> (EcosystemModels.dailySummaryByApp _),
+    "q41_weekly_kre_payout_summary" -> (PayoutModels.weeklyKrePayoutSummary _),
+    "q42_weekly_active_accounts_app" -> (CompositeModels.weeklyActiveAccountsApp _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -154,6 +157,10 @@ object SparkEntry {
     "q37_create_fee_payers" -> Seq("fee_paid"),
     "q39_daily_summary_ecosystem" -> Seq("transaction_amount_kin",
       "earn_amount_kin", "spend_amount_kin", "peer_amount_kin"),
+    "q40_daily_summary_by_app" -> Seq("transaction_fees",
+      "transaction_amount_kin", "earn_amount_kin", "spend_amount_kin",
+      "peer_amount_kin"),
+    "q41_weekly_kre_payout_summary" -> Seq("kin_payout", "usd_payout"),
     "d03_lsh_near_dup_pairs" -> Seq("jaccard"),
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
     "d06_edit_distance_pairs" -> Seq("similarity"),
@@ -217,6 +224,9 @@ object SparkEntry {
     "q37_create_fee_payers" -> TpchModels.createFeePayersOracle,
     "q38_weekly_active_ecosystem" -> EcosystemModels.weeklyActiveEcosystemOracle,
     "q39_daily_summary_ecosystem" -> EcosystemModels.dailySummaryEcosystemOracle,
+    "q40_daily_summary_by_app" -> EcosystemModels.dailySummaryByAppOracle,
+    "q41_weekly_kre_payout_summary" -> PayoutModels.weeklyKrePayoutSummaryOracle,
+    "q42_weekly_active_accounts_app" -> CompositeModels.weeklyActiveAccountsAppOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

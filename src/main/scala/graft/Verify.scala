@@ -24,6 +24,8 @@ object Verify {
     // engine-wide planner extension: constant-width date-BETWEEN joins
     // rewrite to explode-to-equi (identity-preserving; RangeJoinRewriteSpec)
     spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    // native SQL surface (float_dot) — same codegen path as the typed API
+    graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

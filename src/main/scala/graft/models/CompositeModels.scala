@@ -158,15 +158,26 @@ object CompositeModels {
   def monthlyActiveAccountsFrom(factIn: DataFrame): DataFrame =
     activeAccountsAppFrom(factIn, 29)
 
+  /** q42: 7-day rolling per-app actives —
+    * `weekly_active_accounts_app.sql` (the grid cell q34/q40 don't
+    * cover; daily=q40 legs, monthly=q34). */
+  def weeklyActiveAccountsApp(spark: SparkSession, sfDir: String): DataFrame =
+    activeAccountsAppFrom(factTxn(spark, sfDir), 6)
+
+  val weeklyActiveAccountsAppOracle: String = activeAccountsAppOracle(6)
+
   /** App-grain actives at any window — the reference's
     * `{daily,weekly,monthly}_active_accounts_app.sql` grid (lookback
     * 0 / 6 / 29); lookback=0 skips the explode entirely (plain per-day
     * aggregate). */
   def activeAccountsAppFrom(factIn: DataFrame, lookback: Int): DataFrame = {
     import factIn.sparkSession.implicits._
-    // one parse of the fact feeds all three legs and the anchor set
+    // no cache: every caller passes a MATERIALIZED fact (session memo or
+    // runner target), so each leg is a pruned columnar re-scan — at
+    // 100 TB that beats pinning the fact in executor storage, and it
+    // avoids duplicate-cache churn when several models share the scan
     val fact = factIn
-      .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type")
     val days = fact.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
     def rolled(src: DataFrame, cnt: String): DataFrame =
@@ -198,38 +209,43 @@ object CompositeModels {
         coalesce($"active_earners", lit(0L)).as("active_earners"))
   }
 
-  val monthlyActiveAccountsOracle: String =
-    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
-      |                     event_type AS txn_type,
-      |                     coalesce(cast(json_extract_string(props,'$.k') AS INTEGER),0) AS app_id
-      |              FROM events WHERE event_type <> 'error'),
-      |days AS (SELECT DISTINCT date_key AS anchor_date FROM fact),
-      |spend AS (SELECT DISTINCT date_key, app_id, wallet_id FROM fact
-      |          WHERE txn_type IN ('purchase', 'click')),
-      |earn AS (SELECT DISTINCT date_key, app_id, wallet_id FROM fact
-      |         WHERE txn_type IN ('signup', 'view')),
-      |users AS (SELECT * FROM spend UNION SELECT * FROM earn),
-      |ru AS (SELECT d.anchor_date, u.app_id,
-      |              count(DISTINCT u.wallet_id) AS active_users
-      |       FROM days d JOIN users u
-      |         ON u.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
-      |       GROUP BY 1, 2),
-      |rs AS (SELECT d.anchor_date, s.app_id,
-      |              count(DISTINCT s.wallet_id) AS active_spenders
-      |       FROM days d JOIN spend s
-      |         ON s.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
-      |       GROUP BY 1, 2),
-      |re AS (SELECT d.anchor_date, e.app_id,
-      |              count(DISTINCT e.wallet_id) AS active_earners
-      |       FROM days d JOIN earn e
-      |         ON e.date_key BETWEEN d.anchor_date - 29 AND d.anchor_date
-      |       GROUP BY 1, 2)
-      |SELECT u.anchor_date AS date_key, u.app_id, u.active_users,
-      |       coalesce(s.active_spenders, 0) AS active_spenders,
-      |       coalesce(e.active_earners, 0) AS active_earners
-      |FROM ru u
-      |LEFT JOIN rs s ON u.anchor_date = s.anchor_date AND u.app_id = s.app_id
-      |LEFT JOIN re e ON u.anchor_date = e.anchor_date AND u.app_id = e.app_id""".stripMargin
+  /** Per-(day, app) actives oracle at any lookback window — the SQL twin
+    * of [[activeAccountsAppFrom]] (lookback 29 ≡ the original q34 text).
+    */
+  def activeAccountsAppOracle(lookback: Int): String =
+    s"""WITH fact AS (SELECT cast(ts AS DATE) AS date_key, user_id AS wallet_id,
+       |                     event_type AS txn_type,
+       |                     coalesce(cast(json_extract_string(props,'$$.k') AS INTEGER),0) AS app_id
+       |              FROM events WHERE event_type <> 'error'),
+       |days AS (SELECT DISTINCT date_key AS anchor_date FROM fact),
+       |spend AS (SELECT DISTINCT date_key, app_id, wallet_id FROM fact
+       |          WHERE txn_type IN ('purchase', 'click')),
+       |earn AS (SELECT DISTINCT date_key, app_id, wallet_id FROM fact
+       |         WHERE txn_type IN ('signup', 'view')),
+       |users AS (SELECT * FROM spend UNION SELECT * FROM earn),
+       |ru AS (SELECT d.anchor_date, u.app_id,
+       |              count(DISTINCT u.wallet_id) AS active_users
+       |       FROM days d JOIN users u
+       |         ON u.date_key BETWEEN d.anchor_date - $lookback AND d.anchor_date
+       |       GROUP BY 1, 2),
+       |rs AS (SELECT d.anchor_date, s.app_id,
+       |              count(DISTINCT s.wallet_id) AS active_spenders
+       |       FROM days d JOIN spend s
+       |         ON s.date_key BETWEEN d.anchor_date - $lookback AND d.anchor_date
+       |       GROUP BY 1, 2),
+       |re AS (SELECT d.anchor_date, e.app_id,
+       |              count(DISTINCT e.wallet_id) AS active_earners
+       |       FROM days d JOIN earn e
+       |         ON e.date_key BETWEEN d.anchor_date - $lookback AND d.anchor_date
+       |       GROUP BY 1, 2)
+       |SELECT u.anchor_date AS date_key, u.app_id, u.active_users,
+       |       coalesce(s.active_spenders, 0) AS active_spenders,
+       |       coalesce(e.active_earners, 0) AS active_earners
+       |FROM ru u
+       |LEFT JOIN rs s ON u.anchor_date = s.anchor_date AND u.app_id = s.app_id
+       |LEFT JOIN re e ON u.anchor_date = e.anchor_date AND u.app_id = e.app_id""".stripMargin
+
+  val monthlyActiveAccountsOracle: String = activeAccountsAppOracle(29)
 
   /** q35: the 7-way wide API row — `daily_kre_summary.sql:77-83`: daily
     * transactions ⋈ AUB totals ⋈ monthly active earners ⋈ spenders ⋈
@@ -253,8 +269,9 @@ object CompositeModels {
   def dailyKreSummaryFrom(factIn: DataFrame, aubIn: DataFrame,
       vfIn: DataFrame, payoutIn: DataFrame): DataFrame = {
     import factIn.sparkSession.implicits._
+    // no cache — same reasoning as activeAccountsAppFrom
     val fact = factIn
-      .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type")
     val dt = fact.groupBy($"date_key")
       .agg(count(lit(1)).as("transaction_count"),
         countDistinct($"app_id").as("active_apps"))

@@ -283,10 +283,18 @@ object DedupModels {
       val neighborMin = bidir
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .select($"doc_a".as("doc_id"), $"component_id")
+      // localCheckpoint (not cache): materializes the round AND truncates
+      // lineage, so round N's plan doesn't nest N-1 prior plans — without
+      // it analysis/planning time grows with round count even when every
+      // round's data is cached (measured here: 10.8s → ~7s clean at
+      // sf0.1; large-star/small-star and pointer-jumping converge in
+      // O(log n) rounds but each round costs an extra self-join, which
+      // measured 3x slower on these small-diameter near-dup clusters —
+      // revisit only if component diameters grow)
       val next = labels.union(neighborMin)
         .groupBy($"doc_id")
         .agg(min($"component_id").as("component_id"))
-        .cache()
+        .localCheckpoint()
       // scalar convergence probe (a count, not a collect of data rows)
       val changed = next.join(labels, Seq("doc_id", "component_id"),
         "left_anti").limit(1).count()

@@ -166,6 +166,149 @@ object EcosystemModels {
         coalesce($"monthly_active_earners", lit(0L)).as("monthly_active_earners"))
   }
 
+  /** q40: the per-app wide API row — `daily_summary_by_app.sql:1-74`:
+    * per-(day, app) transaction stats split by type family with USD
+    * legs, the constant-fee column + its USD leg, the app-dim name
+    * decoration (`coalesce(app.name, app_id::VARCHAR)`), and the daily
+    * + monthly per-app actives. This is the row the reference's public
+    * API serves per application (J10 multi-way: txns ⋈ daily ⋈ monthly
+    * ⋈ dim ⋈ price). VF's `average_price` stands in for BOTH
+    * `dim_kin_price.prices` and `dim_solana_price.prices` — the fixture
+    * carries one price series (FIXTURES.md §B); USD legs are double ×
+    * double with identical expression text on both sides (q26 parity
+    * strategy), and the fee column reproduces the reference's literal
+    * `sum(0.00001)` quirk (`daily_kin_transactions.sql:12`).
+    *
+    * Scale: every leg aggregates to (day, app) grain BEFORE any join,
+    * so all five joins are dimension-sized regardless of fact volume;
+    * the app dim is broadcast; the fact is scanned once per leg with
+    * only the needed columns (pruned columnar re-scans beat pinning
+    * the fact in executor memory at 100 TB).
+    */
+  def dailySummaryByApp(spark: SparkSession, sfDir: String): DataFrame =
+    dailySummaryByAppFrom(factTxn(spark, sfDir),
+      KreModels.volatilityFactor(spark, sfDir),
+      graft.catalog.Tables.nation(spark, sfDir))
+
+  /** Frame-parameterized variant for the model registry (`vf` carries
+    * (date_key, average_price); `nation` is the app dim). */
+  def dailySummaryByAppFrom(factIn: DataFrame, vf: DataFrame,
+      nation: DataFrame): DataFrame = {
+    import factIn.sparkSession.implicits._
+    val fact = factIn.select($"date_key", $"app_id", $"wallet_id",
+      $"txn_type", $"amount")
+    def famSum(types: Seq[String]) =
+      coalesce(sum(when($"txn_type".isin(types: _*), $"amount")), lit(0))
+        .cast(Money)
+    def famCnt(types: Seq[String]) =
+      count(when($"txn_type".isin(types: _*), lit(1)))
+    val txns = fact.groupBy($"date_key", $"app_id")
+      .agg(
+        sum(lit(new java.math.BigDecimal("0.00001")).cast(DecimalType(38, 10)))
+          .as("transaction_fees"),
+        count(lit(1)).as("transaction_count"),
+        sum($"amount").cast(Money).as("transaction_amount_kin"),
+        famCnt(EarnTypes).as("earn_count"),
+        famSum(EarnTypes).as("earn_amount_kin"),
+        famCnt(SpendTypes).as("spend_count"),
+        famSum(SpendTypes).as("spend_amount_kin"),
+        famCnt(PeerTypes).as("peer_count"),
+        famSum(PeerTypes).as("peer_amount_kin"))
+    val daily = CompositeModels.activeAccountsAppFrom(factIn, 0)
+      .select($"date_key", $"app_id",
+        $"active_users".as("daily_active_users"),
+        $"active_earners".as("daily_active_earners"),
+        $"active_spenders".as("daily_active_spenders"))
+    val monthly = CompositeModels.activeAccountsAppFrom(factIn, 29)
+      .select($"date_key", $"app_id",
+        $"active_users".as("monthly_active_users"),
+        $"active_earners".as("monthly_active_earners"),
+        $"active_spenders".as("monthly_active_spenders"))
+    val dim = nation.select($"n_nationkey", $"n_name")
+    val price = vf.select($"date_key", $"average_price")
+    def usd(kin: org.apache.spark.sql.Column) =
+      kin.cast(DoubleType) * $"average_price".cast(DoubleType)
+    txns
+      .join(daily, Seq("date_key", "app_id"), "left")
+      .join(monthly, Seq("date_key", "app_id"), "left")
+      .join(broadcast(dim), $"app_id" === $"n_nationkey", "left")
+      .join(price, Seq("date_key"))
+      .select($"date_key", $"app_id",
+        coalesce($"n_name", $"app_id".cast(StringType)).as("app_name"),
+        $"transaction_fees",
+        usd($"transaction_fees").as("transaction_fees_usd"),
+        $"transaction_count", $"transaction_amount_kin",
+        usd($"transaction_amount_kin").as("transaction_amount_usd"),
+        $"earn_count", $"earn_amount_kin",
+        usd($"earn_amount_kin").as("earn_amount_usd"),
+        $"spend_count", $"spend_amount_kin",
+        usd($"spend_amount_kin").as("spend_amount_usd"),
+        $"peer_count", $"peer_amount_kin",
+        usd($"peer_amount_kin").as("peer_amount_usd"),
+        coalesce($"daily_active_users", lit(0L)).as("daily_active_users"),
+        coalesce($"daily_active_earners", lit(0L)).as("daily_active_earners"),
+        coalesce($"daily_active_spenders", lit(0L)).as("daily_active_spenders"),
+        coalesce($"monthly_active_users", lit(0L)).as("monthly_active_users"),
+        coalesce($"monthly_active_earners", lit(0L)).as("monthly_active_earners"),
+        coalesce($"monthly_active_spenders", lit(0L)).as("monthly_active_spenders"))
+  }
+
+  lazy val dailySummaryByAppOracle: String = {
+    val daily = CompositeModels.activeAccountsAppOracle(0)
+    val monthly = CompositeModels.activeAccountsAppOracle(29)
+    s"""WITH fact AS (SELECT cast(ts AS DATE) AS date_key,
+       |                     coalesce(cast(json_extract_string(props,'$$.k') AS INTEGER),0) AS app_id,
+       |                     user_id AS wallet_id, event_type AS txn_type,
+       |                     cast(value AS DECIMAL(18,2)) AS amount
+       |              FROM events WHERE event_type <> 'error'),
+       |txns AS (SELECT date_key, app_id,
+       |                sum(cast(0.00001 AS DECIMAL(38,10))) AS transaction_fees,
+       |                count(*) AS transaction_count,
+       |                cast(sum(amount) AS DECIMAL(38,2)) AS transaction_amount_kin,
+       |                count(CASE WHEN txn_type IN ('signup','view') THEN 1 END) AS earn_count,
+       |                cast(coalesce(sum(CASE WHEN txn_type IN ('signup','view') THEN amount END), 0) AS DECIMAL(38,2)) AS earn_amount_kin,
+       |                count(CASE WHEN txn_type IN ('purchase','click') THEN 1 END) AS spend_count,
+       |                cast(coalesce(sum(CASE WHEN txn_type IN ('purchase','click') THEN amount END), 0) AS DECIMAL(38,2)) AS spend_amount_kin,
+       |                count(CASE WHEN txn_type IN ('click','view') THEN 1 END) AS peer_count,
+       |                cast(coalesce(sum(CASE WHEN txn_type IN ('click','view') THEN amount END), 0) AS DECIMAL(38,2)) AS peer_amount_kin
+       |         FROM fact GROUP BY 1, 2),
+       |daily AS (SELECT date_key, app_id,
+       |                 active_users AS daily_active_users,
+       |                 active_earners AS daily_active_earners,
+       |                 active_spenders AS daily_active_spenders
+       |          FROM ($daily) t),
+       |monthly AS (SELECT date_key, app_id,
+       |                   active_users AS monthly_active_users,
+       |                   active_earners AS monthly_active_earners,
+       |                   active_spenders AS monthly_active_spenders
+       |            FROM ($monthly) t),
+       |price AS (SELECT date_key, average_price
+       |          FROM (${KreModels.volatilityFactorOracle}) t)
+       |SELECT t.date_key, t.app_id,
+       |       coalesce(n.n_name, cast(t.app_id AS VARCHAR)) AS app_name,
+       |       t.transaction_fees,
+       |       cast(t.transaction_fees AS DOUBLE) * cast(p.average_price AS DOUBLE) AS transaction_fees_usd,
+       |       t.transaction_count, t.transaction_amount_kin,
+       |       cast(t.transaction_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS transaction_amount_usd,
+       |       t.earn_count, t.earn_amount_kin,
+       |       cast(t.earn_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS earn_amount_usd,
+       |       t.spend_count, t.spend_amount_kin,
+       |       cast(t.spend_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS spend_amount_usd,
+       |       t.peer_count, t.peer_amount_kin,
+       |       cast(t.peer_amount_kin AS DOUBLE) * cast(p.average_price AS DOUBLE) AS peer_amount_usd,
+       |       coalesce(d.daily_active_users, 0) AS daily_active_users,
+       |       coalesce(d.daily_active_earners, 0) AS daily_active_earners,
+       |       coalesce(d.daily_active_spenders, 0) AS daily_active_spenders,
+       |       coalesce(m.monthly_active_users, 0) AS monthly_active_users,
+       |       coalesce(m.monthly_active_earners, 0) AS monthly_active_earners,
+       |       coalesce(m.monthly_active_spenders, 0) AS monthly_active_spenders
+       |FROM txns t
+       |LEFT JOIN daily d ON t.date_key = d.date_key AND t.app_id = d.app_id
+       |LEFT JOIN monthly m ON t.date_key = m.date_key AND t.app_id = m.app_id
+       |LEFT JOIN nation n ON t.app_id = n.n_nationkey
+       |JOIN price p ON t.date_key = p.date_key""".stripMargin
+  }
+
   lazy val dailySummaryEcosystemOracle: String = {
     val daily = activeEcosystemOracle(0)
     val monthly = activeEcosystemOracle(29)

@@ -303,8 +303,18 @@ object KreModels {
     * reference's Sunday-anchored arithmetic (SURVEY §7.4.3 — don't
     * "fix" it): from = dateadd(week,-1,dateadd(day,-1,W)) = W−8;
     * to = dateadd(day,-2,W) = W−2 — i.e. previous-week Sunday through
-    * Saturday. Ops: J4 weekly range join (tiny broadcast anchor set),
-    * A1, J3 dim decoration, O1.
+    * Saturday. Ops: J4 weekly range join, A1, J3 dim decoration, O1.
+    *
+    * The window join is collapsed to a SCALAR anchor derivation instead
+    * of the naive `BETWEEN` join (which Spark would plan as a
+    * BroadcastNestedLoopJoin — |payout|×|weeks| compares): W−8 ≤ d ≤ W−2
+    * ⟺ W ∈ [d+2, d+8], and any 7 consecutive days contain exactly ONE
+    * Monday — the Monday of the week containing d+8. So each payout row
+    * maps to its unique served week by pure date arithmetic, then a
+    * broadcast SEMI join keeps only weeks that exist in the anchor set
+    * (exactly the weeks the original inner join could emit). Linear,
+    * map-side, no fan-out at all. (`RangeJoinRewrite` also handles the
+    * shifted-BETWEEN shape engine-wide for user-written queries.)
     */
   def kreWeeklyPayout(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -317,9 +327,9 @@ object KreModels {
       .select(date_trunc("week", $"date_key").cast(DateType).as("week_key"))
       .distinct()
     payout
-      .join(broadcast(weeks),
-        $"date_key" >= date_sub($"week_key", 8) &&
-          $"date_key" <= date_sub($"week_key", 2))
+      .withColumn("week_key",
+        date_trunc("week", date_add($"date_key", 8)).cast(DateType))
+      .join(broadcast(weeks), Seq("week_key"), "left_semi")
       .groupBy($"week_key", $"app_id", $"app_name")
       .agg(
         sum($"post_monopoly_payout").cast(DecimalType(38, 2))

@@ -226,6 +226,75 @@ object PayoutModels {
           lit("]")).as("top_apps_json"))
   }
 
+  /** q41: the weekly KRE payout API row — `weekly_kre_payout_summary.sql:
+    * 1-46`: per week, the TOTAL kin/usd payout over all apps plus the
+    * top-10 apps (dense_rank on kin payout) serialized as a JSON array
+    * of `{"id","name","kinPayout","usdPayout"}` objects — the row the
+    * reference's `krePayoutSummary` serving table replicates. Ops: W1/W3
+    * rank + filter, A1 totals, A10 array_agg(object)+to_json with a
+    * deterministic sort (collect_list ordering is not — SURVEY §2.4).
+    *
+    * Scale: input grain is (week, app) — calendar-bounded; the window
+    * partitions by week (tiny), the JSON leg aggregates ≤10 rows/week.
+    */
+  def weeklyKrePayoutSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    weeklyKrePayoutSummaryFrom(
+      KreModels.kreWeeklyPayout(spark, sfDir)
+        .select($"week_key".as("date_key"), $"app_id", $"app_name",
+          $"weekly_kin_payout", $"weekly_usd_payout"))
+  }
+
+  /** Frame-parameterized variant for the model registry (`weekly` =
+    * weekly_payout rows: date_key, app_id, app_name, weekly_kin_payout,
+    * weekly_usd_payout). */
+  def weeklyKrePayoutSummaryFrom(weekly: DataFrame): DataFrame = {
+    import weekly.sparkSession.implicits._
+    val w = Window.partitionBy($"date_key").orderBy($"weekly_kin_payout".desc)
+    val ranked = weekly.withColumn("payout_rank", dense_rank().over(w))
+    val totals = weekly.groupBy($"date_key")
+      .agg(sum($"weekly_kin_payout").cast(DecimalType(38, 2)).as("kin_payout"),
+        sum($"weekly_usd_payout").cast(DecimalType(38, 2)).as("usd_payout"))
+    val top10 = ranked.filter($"payout_rank" <= 10)
+      .groupBy($"date_key")
+      .agg(concat(lit("["),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"payout_rank", $"app_id",
+              $"app_name", $"weekly_kin_payout", $"weekly_usd_payout"))),
+            x => concat(lit("{\"id\":"), x("app_id").cast(StringType),
+              lit(",\"name\":\""), x("app_name"),
+              lit("\",\"kinPayout\":"),
+              x("weekly_kin_payout").cast(StringType),
+              lit(",\"usdPayout\":"),
+              x("weekly_usd_payout").cast(StringType), lit("}"))),
+          ","),
+        lit("]")).as("top_app_list"))
+    totals.join(top10, Seq("date_key"))
+      .select($"date_key", $"kin_payout", $"usd_payout", $"top_app_list")
+  }
+
+  lazy val weeklyKrePayoutSummaryOracle: String =
+    s"""WITH weekly AS (SELECT week_key AS date_key, app_id, app_name,
+       |                       weekly_kin_payout, weekly_usd_payout
+       |                FROM (${KreModels.kreWeeklyPayoutOracle}) t),
+       |ranked AS (SELECT *, dense_rank() OVER (PARTITION BY date_key
+       |                     ORDER BY weekly_kin_payout DESC) AS payout_rank
+       |           FROM weekly),
+       |totals AS (SELECT date_key,
+       |                  cast(sum(weekly_kin_payout) AS DECIMAL(38,2)) AS kin_payout,
+       |                  cast(sum(weekly_usd_payout) AS DECIMAL(38,2)) AS usd_payout
+       |           FROM weekly GROUP BY 1),
+       |top10 AS (SELECT date_key,
+       |                 '[' || string_agg('{"id":' || app_id ||
+       |                   ',"name":"' || app_name ||
+       |                   '","kinPayout":' || weekly_kin_payout ||
+       |                   ',"usdPayout":' || weekly_usd_payout || '}',
+       |                   ',' ORDER BY payout_rank, app_id) || ']' AS top_app_list
+       |          FROM ranked WHERE payout_rank <= 10 GROUP BY 1)
+       |SELECT t.date_key, t.kin_payout, t.usd_payout, j.top_app_list
+       |FROM totals t JOIN top10 j ON t.date_key = j.date_key""".stripMargin
+
   val weeklyTopAppsJsonOracle: String =
     """WITH weekly AS (
       |  SELECT cast(date_trunc('week', cast(ts AS DATE)) AS DATE) AS week_key,

@@ -25,6 +25,20 @@ object Shared {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 
+  // names materialized since the last drain — lets the bench annotate
+  // WHICH query paid each one-time materialization (per-query numbers
+  // are order-dependent otherwise: the first consumer pays the chain)
+  private val builtLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Names materialized since the last call (consumes the log). */
+  def drainBuilt(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var n = builtLog.poll()
+    while (n != null) { out += n; n = builtLog.poll() }
+    out.toSeq
+  }
+
   /** Build-once-per-(session, sfDir) materialized view of `build`. */
   def materialized(name: String, spark: SparkSession, sfDir: String)(
       build: => DataFrame): DataFrame =
@@ -33,6 +47,7 @@ object Shared {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-shared-$name-").toString
         build.write.mode("overwrite").parquet(dir)
+        builtLog.add(name)
         spark.read.parquet(dir)
       })
 }

@@ -24,10 +24,19 @@ import org.apache.spark.sql.types.{DateType, IntegerType}
   *   d >= date_sub(a, k) AND d <= a
   *     ⇒  explode(sequence(d, d+k)) AS anchor  JOIN ON anchor = a
   *
+  * Shifted windows — `d BETWEEN date_sub(a, k1) AND date_sub(a, k2)`
+  * (the reference's weekly payout window `kre_weekly_payout.sql`:
+  * previous-week Sunday..Saturday per week anchor, k1=8, k2=2) —
+  * rewrite the same way with the sequence shifted by the lower shift:
+  *
+  *   d >= date_sub(a, k1) AND d <= date_sub(a, k2)
+  *     ⇒  explode(sequence(d+k2, d+k1)) AS anchor  JOIN ON anchor = a
+  *
   * Row multiplicity is identical (each (row_d, row_a) pair with
-  * a−k ≤ d ≤ a matches exactly once on anchor = a); extra conjuncts in
-  * the original condition are preserved on the rewritten join. Fan-out
-  * is the constant k+1 — linear shuffle volume, never a nested loop.
+  * a−k1 ≤ d ≤ a−k2 matches exactly once on anchor = a, since
+  * d+k2 ≤ a ≤ d+k1 ⟺ the original bounds); extra conjuncts in the
+  * original condition are preserved on the rewritten join. Fan-out is
+  * the constant k1−k2+1 — linear shuffle volume, never a nested loop.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -47,11 +56,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** `d <= a` (either orientation). */
-  private def upperBound(e: Expression): Option[(Attribute, Attribute)] =
+  /** `d <= a` (shift 0) or `d <= date_sub(a, k2)` (shift k2), either
+    * comparison orientation. */
+  private def upperBound(e: Expression): Option[(Attribute, Attribute, Int)] =
     e match {
-      case LessThanOrEqual(d: Attribute, a: Attribute) => Some((d, a))
-      case GreaterThanOrEqual(a: Attribute, d: Attribute) => Some((d, a))
+      case LessThanOrEqual(d: Attribute, a: Attribute) => Some((d, a, 0))
+      case GreaterThanOrEqual(a: Attribute, d: Attribute) => Some((d, a, 0))
+      case LessThanOrEqual(d: Attribute,
+          DateSub(a: Attribute, Literal(k2: Int, IntegerType))) =>
+        Some((d, a, k2))
+      case GreaterThanOrEqual(DateSub(a: Attribute, Literal(k2: Int, IntegerType)),
+          d: Attribute) =>
+        Some((d, a, k2))
       case _ => None
     }
 
@@ -63,10 +79,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         hi <- conjuncts
         if lo ne hi
         (d1, a1, k) <- lowerBound(lo)
-        (d2, a2) <- upperBound(hi)
+        (d2, a2, k2) <- upperBound(hi)
         if d1.semanticEquals(d2) && a1.semanticEquals(a2)
         if d1.dataType == DateType && a1.dataType == DateType
-        if k > 0 && k <= MaxDays
+        if k > k2 && k2 >= 0 && (k - k2) <= MaxDays
         // d and a must come from opposite sides
         if (left.outputSet.contains(d1) && right.outputSet.contains(a1)) ||
           (right.outputSet.contains(d1) && left.outputSet.contains(a1))
@@ -75,8 +91,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val (dSide, aSide) = if (dOnLeft) (left, right) else (right, left)
         // Sequence is TimeZoneAwareExpression — without a timeZoneId the
         // node stays unresolved and the optimizer rejects the plan
+        val seqStart = if (k2 == 0) d1 else DateAdd(d1, Literal(k2))
         val gen = Explode(
-          new Sequence(d1, DateAdd(d1, Literal(k)), None,
+          new Sequence(seqStart, DateAdd(d1, Literal(k)), None,
             Some(conf.sessionLocalTimeZone)))
         val anchor = AttributeReference("graft_range_anchor", DateType)()
         val generate =
@@ -97,9 +114,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
   * `spark.sql.extensions=graft.plans.GraftExtensions` in cluster conf.
   * (An existing session can also opt in via
-  * `spark.experimental.extraOptimizations`.)
+  * `spark.experimental.extraOptimizations` +
+  * `graft.functions.GraftFunctions.register`.)
+  *
+  * Installs the planner rule AND the engine's native SQL functions
+  * (`float_dot` — the codegen'd embedding dot product), so the pure-SQL
+  * surface gets the same codegen path the DataFrame API uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.FloatDotProduct].getName, "float_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "float_dot takes exactly 2 arguments")
+        graft.functions.FloatDotProduct(children.head, children(1))
+      }))
+  }
 }

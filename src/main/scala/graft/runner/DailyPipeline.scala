@@ -22,18 +22,54 @@ import graft.sinks.Replicator
   */
 object DailyPipeline {
 
-  /** Serving tables → source models, mirroring the reference's six
-    * API-facing replications
-    * (the SQL files under `load_scripts/postgres_replication/daily_models/`); the
-    * camelCase rename projection is applied by the Replicator.
+  /** One API-facing replication: serving table ← source model, with the
+    * reference's explicit column renames where they go beyond
+    * camelization, and the sink-side watermark column they imply. */
+  final case class ServingSpec(
+      table: String, model: String,
+      renames: Map[String, String] = Map.empty,
+      watermarkCol: String = "dateKey")
+
+  /** The reference's seven API-facing replications: the six daily SQL
+    * files under `load_scripts/postgres_replication/daily_models/` plus
+    * the weekly `weekly_models/krePayoutSummary.sql`. The camelCase
+    * rename projection (+ per-table overrides) is applied by the
+    * Replicator.
     */
-  val ServingTables: Seq[(String, String)] = Seq(
-    "dailySummaryApp" -> "app_summary_dim",
-    "dailyAccountSummaryApp" -> "monthly_active_accounts",
-    "dailyAccountSummaryEcosystem" -> "daily_active_ecosystem",
-    "dailyMarketSummary" -> "market_summary",
-    "dailySummaryEcosystem" -> "daily_summary_ecosystem",
-    "kreSummary" -> "daily_kre_summary")
+  val ServingTables: Seq[ServingSpec] = Seq(
+    // dailySummaryApp.sql:1-29 — serves the wide per-app API row with
+    // the reference's full rename list (`app_id as "index"`, …)
+    ServingSpec("dailySummaryApp", "daily_summary_by_app",
+      renames = Map(
+        "date_key" -> "date",
+        "app_id" -> "index",
+        "app_name" -> "name",
+        "transaction_count" -> "totalDailyTransactions",
+        "transaction_amount_kin" -> "totalDailyAmount",
+        "transaction_amount_usd" -> "totalDailyAmountUsd",
+        "earn_count" -> "dailyEarnTransactions",
+        "earn_amount_kin" -> "dailyEarnAmount",
+        "earn_amount_usd" -> "dailyEarnAmountUsd",
+        "spend_count" -> "dailySpendTransactions",
+        "spend_amount_kin" -> "dailySpendAmount",
+        "spend_amount_usd" -> "dailySpendAmountUsd",
+        "peer_count" -> "dailyPeerTransactions",
+        "peer_amount_kin" -> "dailyPeerAmount",
+        "peer_amount_usd" -> "dailyPeerAmountUsd"),
+      watermarkCol = "date"),
+    ServingSpec("dailyAccountSummaryApp", "monthly_active_accounts"),
+    ServingSpec("dailyAccountSummaryEcosystem", "daily_active_ecosystem"),
+    ServingSpec("dailyMarketSummary", "market_summary"),
+    ServingSpec("dailySummaryEcosystem", "daily_summary_ecosystem"),
+    ServingSpec("kreSummary", "daily_kre_summary"),
+    // krePayoutSummary.sql:1-9 — the weekly payout API row
+    ServingSpec("krePayoutSummary", "weekly_kre_payout_summary",
+      renames = Map(
+        "date_key" -> "date",
+        "kin_payout" -> "kin",
+        "usd_payout" -> "usd",
+        "top_app_list" -> "top10"),
+      watermarkCol = "date"))
 
   final case class Report(
       modelRows: Map[String, Long],
@@ -82,8 +118,10 @@ final class DailyPipeline(
     val modelRows =
       runner.runAll(ModelRegistry.kreDag, resolve, ModelRegistry.clones)
     // --- 3. Daily replication: API-facing camelCase serving copies
-    val servedRows = DailyPipeline.ServingTables.map { case (table, model) =>
-      table -> replicator.replicate(table, runner.readModel(model))
+    val servedRows = DailyPipeline.ServingTables.map { spec =>
+      spec.table -> replicator.replicate(spec.table,
+        runner.readModel(spec.model),
+        renames = spec.renames, watermarkCol = spec.watermarkCol)
     }.toMap
     DailyPipeline.Report(modelRows, servedRows)
   }

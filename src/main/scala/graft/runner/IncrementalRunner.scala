@@ -3,6 +3,7 @@ package graft.runner
 import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Cadence of an incremental model — the reference's `incremental_epoch_dict`
   * (`kin-data-pipeline/execute_snowflake_load.py:45-49`).
@@ -98,19 +99,30 @@ final class IncrementalRunner(
   /** Incremental run: append only the new closed-period slice. Returns the
     * number of appended rows. A full build happens implicitly on first run
     * (watermark = epoch).
+    *
+    * The slice plan executes ONCE: it is persisted before the count, so
+    * the write streams from the persisted copy instead of re-running the
+    * whole model build (count-then-write on the raw plan doubles the cost
+    * of every model run — this is the production path).
+    * MEMORY_AND_DISK: a day-slice that outgrows executor storage spills
+    * instead of evicting (eviction would silently re-execute the build).
+    * `IncrementalRunnerSpec` pins single execution with an accumulator.
     */
   def runIncremental(m: ModelDef, resolve: String => DataFrame): Long = {
     val slice = incrementalSlice(m.build(spark, resolve), m)
-    val n = slice.count()
-    if (n > 0)
-      slice.write.mode(SaveMode.Append)
-        .partitionBy("date_key").parquet(targetPath(m.name))
-    else if (!exists(m.name))
-      // the reference's CTAS always creates the table; materialize an
-      // empty schema-bearing target so downstream models can resolve it
-      // (unpartitioned: a partitioned empty write emits no files)
-      slice.write.mode(SaveMode.Overwrite).parquet(targetPath(m.name))
-    n
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = slice.count()
+      if (n > 0)
+        slice.write.mode(SaveMode.Append)
+          .partitionBy("date_key").parquet(targetPath(m.name))
+      else if (!exists(m.name))
+        // the reference's CTAS always creates the table; materialize an
+        // empty schema-bearing target so downstream models can resolve it
+        // (unpartitioned: a partitioned empty write emits no files)
+        slice.write.mode(SaveMode.Overwrite).parquet(targetPath(m.name))
+      n
+    } finally slice.unpersist()
   }
 
   /** Full refresh: CTAS equivalent (`execute_snowflake_load.py:90-91`) —

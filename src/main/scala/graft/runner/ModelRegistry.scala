@@ -69,10 +69,12 @@ object ModelRegistry {
         val weeks = payout
           .select(date_trunc("week", $"date_key").cast(DateType)
             .as("week_key")).distinct()
+        // scalar week-anchor derivation (see KreModels.kreWeeklyPayout):
+        // the unique Monday in [d+2, d+8] is the Monday of week(d+8)
         payout
-          .join(broadcast(weeks),
-            $"date_key" >= date_sub($"week_key", 8) &&
-              $"date_key" <= date_sub($"week_key", 2))
+          .withColumn("week_key",
+            date_trunc("week", date_add($"date_key", 8)).cast(DateType))
+          .join(broadcast(weeks), Seq("week_key"), "left_semi")
           .groupBy($"week_key", $"app_id", $"app_name")
           .agg(
             sum($"post_monopoly_payout").cast(DecimalType(38, 2))
@@ -189,6 +191,19 @@ object ModelRegistry {
       Seq("fact_txn", "volatility_factor"),
       (_, resolve) => EcosystemModels.dailySummaryEcosystemFrom(
         resolve("fact_txn"), resolve("volatility_factor"))),
+    // wide per-app API row — daily_summary_by_app.sql (the row the
+    // dailySummaryApp serving table replicates)
+    ModelDef("daily_summary_by_app", Cadence.Daily,
+      Seq("fact_txn", "volatility_factor", AppDim),
+      (_, resolve) => EcosystemModels.dailySummaryByAppFrom(
+        resolve("fact_txn"), resolve("volatility_factor"),
+        resolve(AppDim))),
+    // weekly payout API row — weekly_kre_payout_summary.sql (the row the
+    // krePayoutSummary serving table replicates)
+    ModelDef("weekly_kre_payout_summary", Cadence.Weekly,
+      Seq("weekly_payout"),
+      (_, resolve) => PayoutModels.weeklyKrePayoutSummaryFrom(
+        resolve("weekly_payout"))),
     // --- metabase accounts mart: the app_transaction_summary grid
     // (from/to side × day/week/month; week+month regroup the DAY model)
     ModelDef("app_txn_summary_from_day", Cadence.Daily,

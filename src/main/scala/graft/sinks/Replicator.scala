@@ -29,24 +29,32 @@ final class Replicator(spark: SparkSession, servingDir: String) {
   private def sinkExists(table: String): Boolean =
     new java.io.File(sinkPath(table)).exists()
 
-  /** Sink-side watermark: max(dateKey) already served, or None (the sink
-    * holds camelized columns, so the watermark column is `dateKey`).
+  /** Sink-side watermark: max date already served, or None. The sink
+    * holds serving-side column names, so the watermark column defaults
+    * to `dateKey` (explicit renames may map it elsewhere, e.g. `date`).
     */
-  def sinkWatermark(table: String): Option[String] =
+  def sinkWatermark(table: String, watermarkCol: String = "dateKey")
+      : Option[String] =
     if (!sinkExists(table)) None
     else {
       val r = spark.read.parquet(sinkPath(table))
-        .agg(max($"dateKey").cast("string")).head()
+        .agg(max(col(watermarkCol)).cast("string")).head()
       if (r.isNullAt(0)) None else Some(r.getString(0))
     }
 
-  /** snake_case → camelCase (the API-facing rename projection). */
-  def camelize(df: DataFrame): DataFrame = {
+  /** snake_case → camelCase, with explicit per-column overrides — the
+    * API-facing rename projection. The reference's serving SQL renames
+    * some columns beyond camelization (`dailySummaryApp.sql`:
+    * `app_id as "index"`, `transaction_count as "totalDailyTransactions"`;
+    * `krePayoutSummary.sql`: `date_key as "date"`), passed as `renames`.
+    */
+  def camelize(df: DataFrame,
+      renames: Map[String, String] = Map.empty): DataFrame = {
     val renamed = df.columns.map { c =>
       val parts = c.split("_")
       val camel = parts.head +
         parts.tail.map(p => p.capitalize).mkString
-      col(c).as(camel)
+      col(c).as(renames.getOrElse(c, camel))
     }
     df.select(renamed.toSeq: _*)
   }
@@ -56,14 +64,16 @@ final class Replicator(spark: SparkSession, servingDir: String) {
     * rebuild=true: full replace. Returns rows written.
     */
   def replicate(table: String, source: DataFrame,
-      rebuild: Boolean = false): Long = {
+      rebuild: Boolean = false,
+      renames: Map[String, String] = Map.empty,
+      watermarkCol: String = "dateKey"): Long = {
     val slice =
       if (rebuild) source
-      else sinkWatermark(table) match {
+      else sinkWatermark(table, watermarkCol) match {
         case Some(wm) => source.filter($"date_key" > lit(wm))
         case None => source
       }
-    val out = camelize(slice)
+    val out = camelize(slice, renames)
     val n = out.count()
     if (rebuild || n > 0)
       out.write

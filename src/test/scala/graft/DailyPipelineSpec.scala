@@ -44,13 +44,31 @@ class DailyPipelineSpec extends AnyFunSuite {
     for (m <- ModelRegistry.kreDag) assert(p.runner.exists(m.name), m.name)
     assert(spark.table("ds_daily_kin_transactions").count() ==
       p.runner.readModel("daily_txn_summary").count())
-    // stage 3: all six serving tables written with camelCase columns
-    for ((table, model) <- DailyPipeline.ServingTables) {
-      val sink = spark.read.parquet(p.replicator.sinkPath(table))
-      assert(sink.columns.contains("dateKey"), table)
-      assert(sink.count() == p.runner.readModel(model).count(), table)
+    // stage 3: all seven serving tables written with their serving-side
+    // watermark column present (camelCase default, `date` where the
+    // reference's rename list says so)
+    assert(DailyPipeline.ServingTables.size == 7)
+    for (spec <- DailyPipeline.ServingTables) {
+      val sink = spark.read.parquet(p.replicator.sinkPath(spec.table))
+      assert(sink.columns.contains(spec.watermarkCol), spec.table)
+      assert(sink.count() == p.runner.readModel(spec.model).count(), spec.table)
     }
     assert(r1.servedRows("dailySummaryApp") > 0)
+    // the per-app API sink carries the reference's exact rename list
+    // (dailySummaryApp.sql:1-29) …
+    val appSink = spark.read.parquet(
+      p.replicator.sinkPath("dailySummaryApp"))
+    for (c <- Seq("date", "index", "name", "transactionFees",
+        "transactionFeesUsd", "totalDailyTransactions", "totalDailyAmount",
+        "totalDailyAmountUsd", "dailyEarnTransactions", "dailyActiveUsers",
+        "monthlyActiveUsers"))
+      assert(appSink.columns.contains(c), s"dailySummaryApp missing $c")
+    // … and the weekly payout sink the krePayoutSummary.sql renames
+    val kreSink = spark.read.parquet(
+      p.replicator.sinkPath("krePayoutSummary"))
+    assert(kreSink.columns.sorted.toSeq == Seq("date", "kin", "top10", "usd"))
+    assert(p.replicator.sinkWatermark("krePayoutSummary", "date").nonEmpty ==
+      (kreSink.count() > 0))
     // idempotence: a second run with no new data appends nothing anywhere
     val r2 = p.run(sources, Some(appJson),
       Some((series(1.0), series(10.0), series(100.0))))

@@ -64,6 +64,38 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  private def naiveShiftedJoin(): DataFrame =
+    // the reference's weekly-payout window shape: d BETWEEN a-8 AND a-2
+    price.join(anchors, $"date_key" >= date_sub($"anchor_date", 8) &&
+      $"date_key" <= date_sub($"anchor_date", 2))
+
+  test("shifted BETWEEN window (a-k1 .. a-k2) rewrites too") {
+    val before = naiveShiftedJoin()
+    assert(before.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expected = before.collect().map(_.toString).sorted.toSeq
+    withRule {
+      val after = naiveShiftedJoin()
+      val phys = after.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"), phys)
+      assert(phys.contains("Generate"), phys)
+      assert(after.collect().map(_.toString).sorted.toSeq == expected)
+      // each of the 30 anchors sees exactly its 7-day shifted window
+      assert(after.count() == 30L * 7L)
+    }
+  }
+
+  test("q29 weekly payout plans with no nested-loop join (rule not needed)") {
+    // the hand-written model derives each payout row's unique served
+    // Monday as a scalar (week(d+8)) — the last BNLJ in the repo, gone
+    val plan = graft.models.KreModels
+      .kreWeeklyPayout(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("non-range joins and open-ended ranges are left untouched") {
     withRule {
       // plain equi join: no Generate must appear
