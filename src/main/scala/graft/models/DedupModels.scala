@@ -285,12 +285,13 @@ object DedupModels {
         .select($"doc_a".as("doc_id"), $"component_id")
       // localCheckpoint (not cache): materializes the round AND truncates
       // lineage, so round N's plan doesn't nest N-1 prior plans — without
-      // it analysis/planning time grows with round count even when every
-      // round's data is cached (measured here: 10.8s → ~7s clean at
-      // sf0.1; large-star/small-star and pointer-jumping converge in
-      // O(log n) rounds but each round costs an extra self-join, which
-      // measured 3x slower on these small-diameter near-dup clusters —
-      // revisit only if component diameters grow)
+      // it analysis/planning grows with round count even when every
+      // round's data is cached (measured at sf0.1: 10.8s clean with
+      // cache() → 0.96s with localCheckpoint — the cost was plan
+      // re-analysis, not data. large-star/small-star and pointer-jumping
+      // converge in O(log n) rounds but each round costs an extra
+      // self-join, which measured 3x slower on these small-diameter
+      // near-dup clusters — revisit only if component diameters grow)
       val next = labels.union(neighborMin)
         .groupBy($"doc_id")
         .agg(min($"component_id").as("component_id"))

@@ -57,11 +57,59 @@ object DailyPipeline {
         "peer_amount_kin" -> "dailyPeerAmount",
         "peer_amount_usd" -> "dailyPeerAmountUsd"),
       watermarkCol = "date"),
-    ServingSpec("dailyAccountSummaryApp", "monthly_active_accounts"),
-    ServingSpec("dailyAccountSummaryEcosystem", "daily_active_ecosystem"),
-    ServingSpec("dailyMarketSummary", "market_summary"),
-    ServingSpec("dailySummaryEcosystem", "daily_summary_ecosystem"),
-    ServingSpec("kreSummary", "daily_kre_summary"),
+    // dailyAccountSummaryApp.sql — the creates summary ("segment" is the
+    // fixture's app key for the creates family; total_cost is the single
+    // cost column — the fixture has no solana-price series to split it)
+    ServingSpec("dailyAccountSummaryApp", "daily_account_summary_by_app",
+      renames = Map(
+        "date_key" -> "date",
+        "segment" -> "index",
+        "accounts_created" -> "accountsCreated",
+        "total_cost" -> "solCost"),
+      watermarkCol = "date"),
+    ServingSpec("dailyAccountSummaryEcosystem",
+      "daily_account_summary_ecosystem",
+      renames = Map(
+        "date_key" -> "date",
+        "accounts_created" -> "accountsCreated",
+        "total_cost" -> "solCost"),
+      watermarkCol = "date"),
+    // dailyMarketSummary.sql (no circulating-supply analog in fixture)
+    ServingSpec("dailyMarketSummary", "market_summary",
+      renames = Map(
+        "date_key" -> "date",
+        "avg_price" -> "price",
+        "market_cap" -> "marketCap",
+        "volume" -> "tradeVolume"),
+      watermarkCol = "date"),
+    // dailySummaryEcosystem.sql (the ecosystem twin of dailySummaryApp;
+    // our q39 row carries no fee columns — the per-app row q40 does)
+    ServingSpec("dailySummaryEcosystem", "daily_summary_ecosystem",
+      renames = Map(
+        "date_key" -> "date",
+        "app_count" -> "monthlyActiveApps",
+        "transaction_count" -> "totalDailyTransactions",
+        "transaction_amount_kin" -> "totalDailyAmount",
+        "transaction_amount_usd" -> "totalDailyAmountUsd",
+        "earn_count" -> "dailyEarnTransactions",
+        "earn_amount_kin" -> "dailyEarnAmount",
+        "earn_amount_usd" -> "dailyEarnAmountUsd",
+        "spend_count" -> "dailySpendTransactions",
+        "spend_amount_kin" -> "dailySpendAmount",
+        "spend_amount_usd" -> "dailySpendAmountUsd",
+        "peer_count" -> "dailyPeerTransactions",
+        "peer_amount_kin" -> "dailyPeerAmount",
+        "peer_amount_usd" -> "dailyPeerAmountUsd"),
+      watermarkCol = "date"),
+    // kreSummary.sql
+    ServingSpec("kreSummary", "daily_kre_summary",
+      renames = Map(
+        "date_key" -> "date",
+        "volatility_factor" -> "dailyVolatilityFactor",
+        "kin_payout" -> "dailyKinPayout",
+        "usd_payout" -> "dailyUsdPayout",
+        "transaction_count" -> "dailyTransactions"),
+      watermarkCol = "date"),
     // krePayoutSummary.sql:1-9 — the weekly payout API row
     ServingSpec("krePayoutSummary", "weekly_kre_payout_summary",
       renames = Map(
