@@ -74,7 +74,11 @@ class ModelDagSpec extends AnyFunSuite {
     "monthly_active_accounts", "weekly_top_apps_json", "monthly_txn_rollup",
     "gc_impacted_accounts", "monthly_inactive_wallets",
     "app_txn_summary_from_day", "app_txn_summary_from_week",
-    "fact_creations", "creates_by_type", "daily_summary_ecosystem")
+    "fact_creations", "creates_by_type", "daily_summary_ecosystem",
+    // round-4 composites: the per-app API row (backward-looking daily +
+    // monthly actives legs must make complete-day rows immutable) and
+    // the weekly JSON rollup chained off weekly_payout
+    "daily_summary_by_app", "weekly_kre_payout_summary")
 
   test("incremental catch-up converges to full refresh across the DAG") {
     val dag = ModelRegistry.kreDag.filter(m => convergenceSubset(m.name))
