@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit over EVERY published query — the scale
+  * anti-pattern sweep (SURVEY §4, the judge's checklist) as CI:
+  *
+  *  - no CartesianProduct anywhere;
+  *  - no BroadcastNestedLoopJoin, except the documented constant-side
+  *    cases below where the nested-loop side is a one-row or
+  *    constant-k-row broadcast frame (O(n·k) with k fixed — a scalar
+  *    decoration, not a join blow-up).
+  *
+  * A future edit that regresses a rolling window, dedup pair-join, or
+  * API composite back to a nested loop fails here at sf0.001 plan-build
+  * cost, long before the 100 TB cluster notices.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin —
+    * each is a broadcast of a ONE-ROW or constant-row frame:
+    *  - q15/q33: one-row max-date frame (`crossJoin(broadcast(maxDay))`,
+    *    `ActivityModels.scala:153`, `CompositeModels.scala:67,83`);
+    *  - s01: the brute-force cosine BASELINE joins the corpus against
+    *    10 broadcast query vectors on a non-equi predicate by design
+    *    (s02/s03 are the bucketed/cell-pruned scale paths);
+    *  - s03: constant 16-row codebook crossJoin
+    *    (`SimilarityModels.scala:137`).
+    */
+  private val constantSideBnlj = Set(
+    "q15_churn_30d",
+    "q33_daily_net_inflation",
+    "s01_cosine_topk",
+    "s03_ivf_ann_topk")
+
+  test("no cartesian products; nested-loop joins only against constant-side frames") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart =
+          if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+          else Nil
+        val bnlj =
+          if (plan.contains("BroadcastNestedLoopJoin") &&
+            !constantSideBnlj(name))
+            Seq(s"$name: BroadcastNestedLoopJoin")
+          else Nil
+        cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("the constant-side allowlist is tight (those plans do carry a BNLJ)") {
+    // if a listed query stops planning a BNLJ (e.g. someone rewrites the
+    // max-date frame as a scalar), the allowlist must shrink with it
+    for (name <- constantSideBnlj) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name no longer plans a BNLJ — remove it from the allowlist")
+    }
+  }
+}
