@@ -106,6 +106,8 @@ object SparkEntry {
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
+    "c01_decontamination" -> (CurationModels.decontamination _),
+    "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -161,6 +163,7 @@ object SparkEntry {
       "transaction_amount_kin", "earn_amount_kin", "spend_amount_kin",
       "peer_amount_kin"),
     "q41_weekly_kre_payout_summary" -> Seq("kin_payout", "usd_payout"),
+    "c01_decontamination" -> Seq("contamination"),
     "d03_lsh_near_dup_pairs" -> Seq("jaccard"),
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
     "d06_edit_distance_pairs" -> Seq("similarity"),
@@ -237,6 +240,8 @@ object SparkEntry {
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
+    "c01_decontamination" -> CurationModels.decontaminationOracle,
+    "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

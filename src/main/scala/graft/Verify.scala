@@ -27,7 +27,13 @@ object Verify {
     // native SQL surface (float_dot) — same codegen path as the typed API
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev aid (mirrors Bench): SPARK_GRAFT_ONLY=c01_x,c02_y restricts the
+    // dump — the driver doesn't set it, so driver runs cover every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

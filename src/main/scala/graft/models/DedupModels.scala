@@ -20,12 +20,14 @@ import org.apache.spark.sql.types._
 object DedupModels {
   import graft.catalog.Tables
 
-  /** Whitespace-collapsed lowercase tokens of `text`. */
-  private def normText(c: Column): Column =
+  /** Whitespace-collapsed lowercase tokens of `text` (shared with the
+    * curation tier — one normalization across dedup + decontamination).
+    */
+  private[models] def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
-  private def tokens(c: Column): Column = split(normText(c), " ")
+  private[models] def tokens(c: Column): Column = split(normText(c), " ")
 
-  private val normSqlDuck =
+  private[models] val normSqlDuck =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   /** d01: exact dedup — hash-groupBy on normalized text; canonical id =
