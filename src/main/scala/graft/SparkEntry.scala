@@ -108,6 +108,9 @@ object SparkEntry {
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
+    "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
+    "c04_chunk_windows" -> (CurationModels.chunkWindows _),
+    "c05_pack_sequences" -> (CurationModels.packSequences _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -242,6 +245,9 @@ object SparkEntry {
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
+    "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,
+    "c04_chunk_windows" -> CurationModels.chunkWindowsOracle,
+    "c05_pack_sequences" -> CurationModels.packSequencesOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Training-data CURATION operators over `documents` — the two pipeline
+/** Training-data CURATION operators over `documents` — the pipeline
   * stages that sit around dedup in a real LLM data build (beyond the
   * reference's surface, like `DedupModels`):
   *
@@ -18,16 +18,33 @@ import org.apache.spark.sql.types._
   *    per-stratum rates (language mixing) — reproducible across runs
   *    and engines because the "randomness" is an md5 of the stable key,
   *    never an RNG.
+  *  - REPETITION SIGNALS (c03): within-document repetition quality
+  *    filtering (Gopher-style) — type/token ratio, longest same-token
+  *    run, duplicate-bigram fraction — computed entirely with
+  *    higher-order array functions so the whole operator is a
+  *    zero-shuffle map over the corpus.
+  *  - CHUNKING (c04): overlapping fixed-width token windows — the
+  *    "split long documents into training-sample-sized pieces" stage.
+  *    A bounded generator (fan-out ≤ n/stride per doc), map-side only.
+  *  - SEQUENCE PACKING (c05): the GPT-pretraining packing index —
+  *    concatenate each (lang, shard) stream in stable doc order and
+  *    assign every document its token-offset interval and the
+  *    fixed-budget training sequences it lands in (documents crossing
+  *    a sequence boundary are flagged, exactly where a packer splits).
   *
-  * All hash math is md5-builtin (DedupModels' convention) so both
-  * operators stay oracle-checkable end-to-end.
+  * All hash math is md5-builtin (DedupModels' convention) so every
+  * operator stays oracle-checkable end-to-end.
   *
   * Scale: c01's join is gram-hash equi (shuffle keyed on the digest —
   * uniformly distributed, no skew); the eval side is |eval|-bounded and
   * AQE broadcasts it when it fits, while corpus grams stream through a
-  * distinct + count — never an all-pairs compare. c02 is a pure
-  * map-side projection: zero shuffles beyond the final aggregate-free
-  * write.
+  * distinct + count — never an all-pairs compare. c02/c03/c04 are pure
+  * map-side projections/generators: zero shuffles beyond the
+  * aggregate-free write. c05's only shuffle is the window partition on
+  * (lang, shard); shards are size-bounded by construction (`PackShard`
+  * docs), so no window partition ever exceeds a fixed row count no
+  * matter how large the corpus — packing a petabyte is embarrassingly
+  * parallel across shards.
   */
 object CurationModels {
   import graft.catalog.Tables
@@ -146,4 +163,195 @@ object CurationModels {
        |                           WHEN 'zh' THEN 192
        |                           ELSE 256 END) AS kept
        |FROM b""".stripMargin
+
+  /** c03: within-document repetition signals (the Gopher-style quality
+    * filter family). Per document with ≥2 tokens:
+    *  - `total_tokens` / `distinct_tokens` — type/token ratio raw parts;
+    *  - `top_token_count` — the longest run in the SORTED token array,
+    *    i.e. the highest single-token frequency, computed with one
+    *    `aggregate()` fold (no explode, no shuffle);
+    *  - `total_bigrams` / `distinct_bigrams` — duplicate-bigram mass;
+    *  - `ttr_micros` / `dup_bigram_micros` — exact integer micros (the
+    *    repo's no-float-drift idiom, see c01);
+    *  - `flagged` — repetitive iff TTR < 1/2 OR the top token exceeds
+    *    1/5 of the document (integer compares only).
+    *
+    * Scale: every column derives from the doc's own token array via
+    * higher-order functions — the operator is a stateless map; at
+    * 100 TB it pipelines inside the scan with no exchange at all.
+    */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .withColumn("total_tokens", size($"toks").cast(LongType))
+      .withColumn("distinct_tokens",
+        size(array_distinct($"toks")).cast(LongType))
+      .withColumn("top_token_count", expr(
+        """aggregate(sort_array(toks),
+          |  named_struct('prev', cast(null as string), 'run', 0L, 'mx', 0L),
+          |  (s, t) -> named_struct(
+          |    'prev', t,
+          |    'run', if(s.prev <=> t, s.run + 1L, 1L),
+          |    'mx', greatest(s.mx, if(s.prev <=> t, s.run + 1L, 1L))),
+          |  s -> s.mx)""".stripMargin))
+      .withColumn("bigrams", expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin))
+      .withColumn("total_bigrams", size($"bigrams").cast(LongType))
+      .withColumn("distinct_bigrams",
+        size(array_distinct($"bigrams")).cast(LongType))
+      .withColumn("ttr_micros",
+        expr("distinct_tokens * 1000000L div total_tokens"))
+      .withColumn("dup_bigram_micros",
+        expr("(total_bigrams - distinct_bigrams) * 1000000L div total_bigrams"))
+      .withColumn("flagged",
+        $"distinct_tokens" * 2 < $"total_tokens" ||
+          $"top_token_count" * 5 > $"total_tokens")
+      .select($"doc_id", $"total_tokens", $"distinct_tokens",
+        $"top_token_count", $"total_bigrams", $"distinct_bigrams",
+        $"ttr_micros", $"dup_bigram_micros", $"flagged")
+  }
+
+  val repetitionSignalsOracle: String =
+    s"""WITH docs AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS toks
+       |              FROM documents),
+       |ok AS (SELECT * FROM docs WHERE len(toks) >= 2),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM ok),
+       |tf AS (SELECT doc_id, max(cnt) AS top_token_count
+       |       FROM (SELECT doc_id, tok, count(*) AS cnt
+       |             FROM tok GROUP BY 1, 2) GROUP BY 1),
+       |big AS (SELECT doc_id, count(*) AS total_bigrams,
+       |               count(DISTINCT g) AS distinct_bigrams
+       |        FROM (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+       |              FROM (SELECT doc_id, toks,
+       |                           unnest(range(len(toks) - 1)) AS i FROM ok))
+       |        GROUP BY 1),
+       |base AS (SELECT doc_id, len(toks) AS total_tokens,
+       |                len(list_distinct(toks)) AS distinct_tokens FROM ok)
+       |SELECT b.doc_id,
+       |       cast(b.total_tokens AS BIGINT) AS total_tokens,
+       |       cast(b.distinct_tokens AS BIGINT) AS distinct_tokens,
+       |       cast(t.top_token_count AS BIGINT) AS top_token_count,
+       |       cast(g.total_bigrams AS BIGINT) AS total_bigrams,
+       |       cast(g.distinct_bigrams AS BIGINT) AS distinct_bigrams,
+       |       cast(b.distinct_tokens * 1000000 // b.total_tokens AS BIGINT)
+       |         AS ttr_micros,
+       |       cast((g.total_bigrams - g.distinct_bigrams) * 1000000
+       |            // g.total_bigrams AS BIGINT) AS dup_bigram_micros,
+       |       (b.distinct_tokens * 2 < b.total_tokens) OR
+       |       (t.top_token_count * 5 > b.total_tokens) AS flagged
+       |FROM base b JOIN tf t USING (doc_id) JOIN big g USING (doc_id)"""
+      .stripMargin
+
+  /** Chunk geometry: windows of `ChunkW` tokens every `ChunkS` tokens
+    * (overlap = W − S), plus a final short tail; a doc of ≤W tokens is
+    * one chunk. */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** c04: overlapping token-window chunking — split each document into
+    * training-sample-sized pieces. Chunk k covers tokens
+    * [k·S, min(k·S+W, n)); the chunk count is 1 + ceil((n−W)/S) for
+    * n>W else 1, so fan-out is bounded by n/S + 1 rows per doc.
+    * `chunk_hash` fingerprints the rejoined window (md5, the repo's
+    * oracle-checkable hash convention).
+    *
+    * Scale: a pure generator (`explode(sequence(...))` + `slice`) —
+    * map-side, no shuffle; chunk rows stream straight to the sink.
+    */
+  def chunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("k", explode(expr(
+        s"""sequence(0, if(size(toks) <= $ChunkW, 0L,
+           |  (size(toks) - $ChunkW + $ChunkS - 1) div $ChunkS))"""
+          .stripMargin)))
+      .withColumn("chunk", expr(s"slice(toks, int(k) * $ChunkS + 1, $ChunkW)"))
+      .select($"doc_id",
+        $"k".cast(LongType).as("chunk_index"),
+        ($"k" * ChunkS).cast(LongType).as("chunk_start"),
+        size($"chunk").cast(LongType).as("chunk_tokens"),
+        md5(concat_ws(" ", $"chunk")).as("chunk_hash"))
+  }
+
+  val chunkWindowsOracle: String =
+    s"""WITH docs AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS toks
+       |              FROM documents),
+       |d2 AS (SELECT doc_id, toks, len(toks) AS n FROM docs),
+       |ks AS (SELECT doc_id, toks, n,
+       |              unnest(range(CASE WHEN n <= $ChunkW THEN 1
+       |                    ELSE (n - $ChunkW + $ChunkS - 1) // $ChunkS + 1
+       |                    END)) AS k
+       |       FROM d2),
+       |c AS (SELECT doc_id, k,
+       |             toks[k*$ChunkS + 1 : k*$ChunkS + $ChunkW] AS chunk
+       |      FROM ks)
+       |SELECT doc_id,
+       |       cast(k AS BIGINT) AS chunk_index,
+       |       cast(k*$ChunkS AS BIGINT) AS chunk_start,
+       |       cast(len(chunk) AS BIGINT) AS chunk_tokens,
+       |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+
+  /** Packing geometry: training sequences of `PackBudget` tokens; the
+    * corpus is packed per (lang, shard) stream, shard = doc_id div
+    * `PackShard` — every window partition is ≤ PackShard rows by
+    * construction. */
+  private val PackBudget = 256L
+  private val PackShard = 200L
+
+  /** c05: sequence-packing index — the GPT-pretraining packing stage as
+    * a deterministic index. Documents are concatenated in stable
+    * doc_id order within each (lang, shard) stream; each doc gets its
+    * token-offset interval [start_offset, start_offset + n_tokens) and
+    * the fixed-budget sequences it lands in (`first_seq`/`last_seq` =
+    * offset div budget). `boundary_split` marks docs a packer would
+    * split across two training sequences.
+    *
+    * Scale: one running-sum window partitioned on (lang, shard). The
+    * shard key bounds every partition at `PackShard` docs, so the sort
+    * inside each window partition is constant-sized regardless of
+    * corpus size — the classic fix for the "global ordered cumsum"
+    * single-partition trap (offsets restart per shard, which is exactly
+    * how a production packer shards work anyway).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        expr(s"doc_id div $PackShard").as("shard"),
+        size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .withColumn("end_offset", sum($"n_tokens").over(w))
+      .withColumn("start_offset", $"end_offset" - $"n_tokens")
+      .withColumn("first_seq", expr(s"start_offset div $PackBudget"))
+      .withColumn("last_seq", expr(s"(end_offset - 1) div $PackBudget"))
+      .select($"doc_id", $"lang", $"shard", $"n_tokens", $"start_offset",
+        $"first_seq", $"last_seq",
+        ($"last_seq" > $"first_seq").as("boundary_split"))
+  }
+
+  val packSequencesOracle: String =
+    s"""WITH d AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
+       |                  len(string_split($normSqlDuck, ' ')) AS n_tokens
+       |           FROM documents),
+       |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+       |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |              AND CURRENT ROW) AS end_offset
+       |      FROM d)
+       |SELECT doc_id, lang, cast(shard AS BIGINT) AS shard,
+       |       cast(n_tokens AS BIGINT) AS n_tokens,
+       |       cast(end_offset - n_tokens AS BIGINT) AS start_offset,
+       |       cast((end_offset - n_tokens) // $PackBudget AS BIGINT)
+       |         AS first_seq,
+       |       cast((end_offset - 1) // $PackBudget AS BIGINT) AS last_seq,
+       |       (end_offset - 1) // $PackBudget >
+       |       (end_offset - n_tokens) // $PackBudget AS boundary_split
+       |FROM o""".stripMargin
 }

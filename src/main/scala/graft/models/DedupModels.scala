@@ -124,7 +124,7 @@ object DedupModels {
   private def lshNearDupPairsBuild(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    val dsh = shingleDf(spark, sfDir).cache()
+    val dsh = Shared.cacheOnce(shingleDf(spark, sfDir))
     val hashed = dsh.select($"doc_id", md5($"shingle").as("h"))
     val sig = hashed.groupBy($"doc_id")
       .agg(
@@ -137,11 +137,10 @@ object DedupModels {
     // cache() because the self-join below references `bands` on both
     // sides, and Spark recomputes a reused subtree per join branch
     // (2 short rows per doc: cheap to hold, spills to disk if not).
-    val bands = sig.select($"doc_id",
+    val bands = Shared.cacheOnce(sig.select($"doc_id",
         md5(concat($"mh0", $"mh1")).as("b0"),
         md5(concat($"mh2", $"mh3")).as("b1"))
-      .selectExpr("doc_id", "stack(2, 0, b0, 1, b1) AS (band_idx, band_val)")
-      .cache()
+      .selectExpr("doc_id", "stack(2, 0, b0, 1, b1) AS (band_idx, band_val)"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
@@ -268,13 +267,12 @@ object DedupModels {
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val edges = lshNearDupPairs(spark, sfDir)
+    val edges = Shared.cacheOnce(lshNearDupPairs(spark, sfDir)
       .filter($"inter_count" * 2 >= $"union_count")
-      .select($"doc_a", $"doc_b")
-      .cache()
+      .select($"doc_a", $"doc_b"))
     // undirected: propagate both ways each round
-    val bidir = edges.union(edges.select($"doc_b".as("doc_a"),
-      $"doc_a".as("doc_b"))).cache()
+    val bidir = Shared.cacheOnce(edges.union(edges.select(
+      $"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
     var labels = bidir.select($"doc_a".as("doc_id")).distinct()
       .withColumn("component_id", $"doc_id")
       .cache()

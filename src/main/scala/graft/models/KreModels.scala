@@ -63,14 +63,14 @@ object KreModels {
     import spark.implicits._
     // price is one row per day; caching it collapses the three plan
     // branches (days, served, mean) to a single scan+aggregate of events
-    val price = dailyPriceMicrosFrom(fact).cache()
+    val price = Shared.cacheOnce(dailyPriceMicrosFrom(fact))
     val days = price.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
-    val served = price
+    // referenced by both the mean and the deviation pass
+    val served = Shared.cacheOnce(price
       .withColumn("anchor_date",
         explode(sequence($"date_key", date_add($"date_key", 29))))
-      .join(broadcast(days), Seq("anchor_date"), "left_semi")
-      .cache() // referenced by both the mean and the deviation pass
+      .join(broadcast(days), Seq("anchor_date"), "left_semi"))
     val mean = served.groupBy($"anchor_date")
       .agg(expr("cast(sum(price_micros) as bigint) div count(1)")
         .as("mean_micros"))
@@ -134,8 +134,8 @@ object KreModels {
     // one parse of the fact slice feeds both the spend stream and the
     // anchor-day set (two plan branches would otherwise re-scan + re-parse
     // the JSON app key)
-    val fact = factIn
-      .select($"date_key", $"app_id", $"wallet_id", $"txn_type").cache()
+    val fact = Shared.cacheOnce(factIn
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type"))
     val spends = fact.filter($"txn_type" === "purchase")
       .select($"date_key", $"app_id", $"wallet_id")
     val days = fact.select($"date_key").distinct()
@@ -238,15 +238,15 @@ object KreModels {
     val total = aub.groupBy($"date_key")
       .agg(sum($"capped_aub").cast(DecimalType(38, 2)).as("total_aub"))
     val budget = lit(250000000.0d)
-    val pre = aub.join(total, Seq("date_key")).join(vf, Seq("date_key"))
-      .withColumn("app_aub_share",
-        $"capped_aub".cast(DoubleType) / $"total_aub".cast(DoubleType))
-      .withColumn("payout",
-        $"app_aub_share" * (budget *
-          (lit(1.0d) - $"volatility_factor".cast(DoubleType))))
-      .withColumn("rk", dense_rank().over(
-        Window.partitionBy($"date_key").orderBy($"payout".desc)))
-      .cache()
+    val pre = Shared.cacheOnce(
+      aub.join(total, Seq("date_key")).join(vf, Seq("date_key"))
+        .withColumn("app_aub_share",
+          $"capped_aub".cast(DoubleType) / $"total_aub".cast(DoubleType))
+        .withColumn("payout",
+          $"app_aub_share" * (budget *
+            (lit(1.0d) - $"volatility_factor".cast(DoubleType))))
+        .withColumn("rk", dense_rank().over(
+          Window.partitionBy($"date_key").orderBy($"payout".desc))))
     val top = pre.filter($"rk" === 1)
       .select($"date_key", $"app_aub_share".as("s1"))
     val second = pre.filter($"rk" === 2)

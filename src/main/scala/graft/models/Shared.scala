@@ -50,4 +50,15 @@ object Shared {
         builtLog.add(name)
         spark.read.parquet(dir)
       })
+
+  /** Idempotent `.cache()`: a model builder invoked twice in one
+    * session produces plan-identical frames, and a second `.cache()`
+    * fires `WARN CacheManager: Asked to cache already cached data`
+    * while registering nothing new. `Dataset.storageLevel` does the
+    * same plan-equality lookup the CacheManager uses, so skipping the
+    * call when a level is already set is behavior-identical minus the
+    * noise. */
+  private[graft] def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else df.cache()
 }

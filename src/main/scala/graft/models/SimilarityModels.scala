@@ -134,13 +134,12 @@ object SimilarityModels {
     // an uncached subtree would re-run the 16× crossJoin + window once
     // per join branch. In production this IS the materialized IVF index
     // table (2 short rows per vector), not a transient cache.
-    val top2 = base.crossJoin(broadcast(cents))
+    val top2 = Shared.cacheOnce(base.crossJoin(broadcast(cents))
       .withColumn("cent_sim", centSim)
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cent_sim".desc, $"cid")))
       .filter($"crk" <= 2)
-      .select($"vec_id", $"embedding", $"norm", $"cid", $"crk")
-      .cache()
+      .select($"vec_id", $"embedding", $"norm", $"cid", $"crk"))
     val assigned = top2.filter($"crk" === 1)
       .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"),
         $"norm".as("c_norm"), $"cid".as("cell"))

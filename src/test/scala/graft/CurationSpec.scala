@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.models.CurationModels
+
+/** Edge-case semantics for the curation tier (c03/c04/c05) on
+  * handcrafted documents — the places the geometry is easy to get
+  * wrong: chunk boundaries at exactly W and W+1 tokens, packing
+  * boundary splits at exact budget multiples, repetition flags on
+  * degenerate (all-same-token) docs. The sf0.01 oracle checks prove
+  * engine-vs-DuckDB agreement; these prove the NUMBERS mean what the
+  * scaladoc claims.
+  */
+class CurationSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write handcrafted docs as a documents.parquet fixture dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-curation").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("c03: degenerate all-same-token doc flags; fully distinct doc does not") {
+    val dir = docsDir(Seq(
+      (1L, "a a a a a a", "en", "s"), // 6 tokens, 1 distinct, run 6
+      (2L, "a b c d e f", "en", "s"), // all distinct, runs of 1
+      (3L, "a", "en", "s"))) // 1 token: excluded (no bigrams)
+    val out = CurationModels.repetitionSignals(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("total_tokens") == 6)
+    assert(r1.getAs[Long]("distinct_tokens") == 1)
+    assert(r1.getAs[Long]("top_token_count") == 6)
+    assert(r1.getAs[Long]("total_bigrams") == 5)
+    assert(r1.getAs[Long]("distinct_bigrams") == 1) // "a a" ×5
+    assert(r1.getAs[Long]("ttr_micros") == 166666) // floor(1e6/6)
+    assert(r1.getAs[Long]("dup_bigram_micros") == 800000)
+    assert(r1.getAs[Boolean]("flagged"))
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top_token_count") == 1)
+    assert(r2.getAs[Long]("ttr_micros") == 1000000)
+    assert(r2.getAs[Long]("dup_bigram_micros") == 0)
+    assert(!r2.getAs[Boolean]("flagged"))
+  }
+
+  test("c03: top_token_count is the max frequency, not the max adjacent run") {
+    // 'b' appears 3 times but never adjacently — sort_array makes the
+    // fold count frequency, not surface runs
+    val dir = docsDir(Seq((1L, "b x b y b z", "en", "s")))
+    val r = CurationModels.repetitionSignals(spark, dir).head()
+    assert(r.getAs[Long]("top_token_count") == 3)
+  }
+
+  test("c04: chunk geometry at n<W, n=W, n=W+1, and exact coverage") {
+    val w = 32; val s = 24
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, doc(5), "en", "s"), // n < W: one short chunk
+      (2L, doc(w), "en", "s"), // n = W: exactly one full chunk
+      (3L, doc(w + 1), "en", "s"), // n = W+1: second chunk carries tail
+      (4L, doc(80), "en", "s"))) // chunks at 0,24,48 — 48+32=80 covers the doc
+    val out = CurationModels.chunkWindows(spark, dir)
+      .select($"doc_id", $"chunk_index", $"chunk_start", $"chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 5L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 32L)))
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 0L, 32L), (3L, 1L, 24L, 9L)))
+    assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 0L, 0L, 32L),
+      (4L, 1L, 24L, 32L), (4L, 2L, 48L, 32L))) // no redundant tail chunk
+    // coverage: consecutive chunks overlap by exactly W−S=8 tokens and
+    // the last chunk reaches the document end
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.sliding(2).forall { case Array(a, b) =>
+      b._3 == a._3 + s && a._3 + a._4 - b._3 == (w - s).min(b._4.toInt)
+    })
+    assert(d4.last._3 + d4.last._4 == 80)
+  }
+
+  test("c05: packing offsets are contiguous per stream; boundary splits exact") {
+    // budget 256: doc sizes 200, 56, 100 → offsets [0,200) [200,256) [256,356)
+    // doc 2 ends exactly at the budget boundary → NOT split;
+    // doc 3 sits wholly in seq 1 → not split;
+    // then 150 + 120: [356,506) spans seqs 1..1? 506/256 → first=1 last=1 no;
+    // add 20-token doc at [506,526): first=1, last=2? 525 div 256 = 2 → split
+    val sizes = Seq(200, 56, 100, 150, 20)
+    def doc(n: Int) = (1 to n).map(_ => "x").mkString(" ")
+    val dir = docsDir(sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, doc(n), "en", "s")
+    })
+    val out = CurationModels.packSequences(spark, dir)
+      .orderBy($"doc_id")
+      .select($"start_offset", $"n_tokens", $"first_seq", $"last_seq",
+        $"boundary_split")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // contiguity: each start = previous start + previous n
+    assert(out.sliding(2).forall { case Seq(a, b) => b._1 == a._1 + a._2 })
+    assert(out.map(_._1) == Seq(0L, 200L, 256L, 356L, 506L))
+    // doc 0 crosses 0→200? no (200 < 256): not split
+    assert(out(0) == ((0L, 200L, 0L, 0L, false)))
+    // doc 1 [200,256): last token at offset 255 → still seq 0, not split
+    assert(out(1) == ((200L, 56L, 0L, 0L, false)))
+    // doc 2 [256,356): wholly seq 1
+    assert(out(2) == ((256L, 100L, 1L, 1L, false)))
+    // doc 3 [356,506): 505 div 256 = 1 → seq 1, not split
+    assert(out(3) == ((356L, 150L, 1L, 1L, false)))
+    // doc 4 [506,526): 506 div 256 = 1, 525 div 256 = 2 → SPLIT
+    assert(out(4) == ((506L, 20L, 1L, 2L, true)))
+  }
+
+  test("c05: streams pack independently per (lang, shard)") {
+    // same doc sizes in two languages: offsets restart per stream
+    def doc(n: Int) = (1 to n).map(_ => "x").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, doc(10), "en", "s"), (2L, doc(10), "en", "s"),
+      (3L, doc(10), "zh", "s"), (4L, doc(10), "zh", "s")))
+    val out = CurationModels.packSequences(spark, dir)
+      .select($"lang", $"doc_id", $"start_offset")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(("en", 1L, 0L), ("en", 2L, 10L),
+      ("zh", 3L, 0L), ("zh", 4L, 10L)))
+  }
+}
