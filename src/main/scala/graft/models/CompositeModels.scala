@@ -146,10 +146,11 @@ object CompositeModels {
 
   /** q34: 30-day rolling distinct actives per (day, app) with the
     * spender/earner/user split — `monthly_active_accounts_app.sql:19-38`.
-    * The reference's three ×30 range joins become three explode-to-equi
-    * phases over DEDUPED (date, app, wallet) triples (same rewrite as
-    * q16): explode factor is a constant 30 applied after dedupe, so the
-    * shuffled volume is 30×|distinct triples| — linear, no range BNLJ.
+    * The reference's three ×30 range joins become ONE explode-to-equi
+    * phase over a DEDUPED flagged (date, app, wallet) grid (same
+    * rewrite family as q16; see [[activeAccountsAppFrom]]): explode
+    * factor is a constant 30 applied after dedupe, so the shuffled
+    * volume is 30×|distinct triples| — linear, no range BNLJ.
     */
   def monthlyActiveAccounts(spark: SparkSession, sfDir: String): DataFrame =
     monthlyActiveAccountsFrom(factTxn(spark, sfDir))
@@ -169,44 +170,51 @@ object CompositeModels {
   /** App-grain actives at any window — the reference's
     * `{daily,weekly,monthly}_active_accounts_app.sql` grid (lookback
     * 0 / 6 / 29); lookback=0 skips the explode entirely (plain per-day
-    * aggregate). */
+    * aggregate).
+    *
+    * One-pass formulation: the reference's three per-role pipelines
+    * (users = spend ∪ earn, spenders, earners — each its own distinct +
+    * range join + aggregate, stitched with two left joins) collapse to
+    * ONE deduped (date, app, wallet) grid carrying role flags, ONE
+    * explode, and conditional count-distincts in a single aggregate.
+    * That is one fact scan instead of three and one dedup shuffle
+    * instead of three, with no post-joins; `countDistinct(when(flag,
+    * wallet))` counts a wallet iff the flag holds on ANY of its rows in
+    * the window — exactly "wallet ∈ role set within window". Spark
+    * plans the three distincts via a ×3 Expand ahead of a single
+    * partial+final aggregate pair, which shuffles less than three
+    * separate distinct pipelines at every scale.
+    */
   def activeAccountsAppFrom(factIn: DataFrame, lookback: Int): DataFrame = {
     import factIn.sparkSession.implicits._
     // no cache: every caller passes a MATERIALIZED fact (session memo or
-    // runner target), so each leg is a pruned columnar re-scan — at
-    // 100 TB that beats pinning the fact in executor storage, and it
-    // avoids duplicate-cache churn when several models share the scan
+    // runner target), so the single leg is a pruned columnar scan — at
+    // 100 TB that beats pinning the fact in executor storage
     val fact = factIn
       .select($"date_key", $"app_id", $"wallet_id", $"txn_type")
     val days = fact.select($"date_key").distinct()
       .withColumnRenamed("date_key", "anchor_date")
-    def rolled(src: DataFrame, cnt: String): DataFrame =
-      if (lookback == 0)
-        src.distinct()
-          .withColumn("anchor_date", $"date_key")
-          .groupBy($"anchor_date", $"app_id")
-          .agg(countDistinct($"wallet_id").as(cnt))
-      else src.distinct()
+    // the reference's `type in (2,3)` / `(1,3)` spender/earner split,
+    // mapped through the q07 event-type convention
+    val grid = fact
+      .filter($"txn_type".isin("purchase", "click", "signup", "view"))
+      .groupBy($"date_key", $"app_id", $"wallet_id")
+      .agg(
+        max($"txn_type".isin("purchase", "click")).as("is_spend"),
+        max($"txn_type".isin("signup", "view")).as("is_earn"))
+    val anchored =
+      if (lookback == 0) grid.withColumn("anchor_date", $"date_key")
+      else grid
         .withColumn("anchor_date",
           explode(sequence($"date_key", date_add($"date_key", lookback))))
         .join(broadcast(days), Seq("anchor_date"), "left_semi")
-        .groupBy($"anchor_date", $"app_id")
-        .agg(countDistinct($"wallet_id").as(cnt))
-    // the reference's `type in (2,3)` / `(1,3)` spender/earner split,
-    // mapped through the q07 event-type convention
-    val spend = fact.filter($"txn_type".isin("purchase", "click"))
-      .select($"date_key", $"app_id", $"wallet_id")
-    val earn = fact.filter($"txn_type".isin("signup", "view"))
-      .select($"date_key", $"app_id", $"wallet_id")
-    rolled(spend.union(earn), "active_users")
-      .join(rolled(spend, "active_spenders"),
-        Seq("anchor_date", "app_id"), "left")
-      .join(rolled(earn, "active_earners"),
-        Seq("anchor_date", "app_id"), "left")
+    anchored.groupBy($"anchor_date", $"app_id")
+      .agg(
+        countDistinct($"wallet_id").as("active_users"),
+        countDistinct(when($"is_spend", $"wallet_id")).as("active_spenders"),
+        countDistinct(when($"is_earn", $"wallet_id")).as("active_earners"))
       .select($"anchor_date".as("date_key"), $"app_id",
-        $"active_users",
-        coalesce($"active_spenders", lit(0L)).as("active_spenders"),
-        coalesce($"active_earners", lit(0L)).as("active_earners"))
+        $"active_users", $"active_spenders", $"active_earners")
   }
 
   /** Per-(day, app) actives oracle at any lookback window — the SQL twin

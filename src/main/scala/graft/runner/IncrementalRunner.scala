@@ -113,16 +113,32 @@ final class IncrementalRunner(
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = slice.count()
-      if (n > 0)
+      if (n > 0) {
+        clearEmptyMarker(m.name)
         slice.write.mode(SaveMode.Append)
           .partitionBy("date_key").parquet(targetPath(m.name))
-      else if (!exists(m.name))
+      } else if (!exists(m.name))
         // the reference's CTAS always creates the table; materialize an
         // empty schema-bearing target so downstream models can resolve it
         // (unpartitioned: a partitioned empty write emits no files)
         slice.write.mode(SaveMode.Overwrite).parquet(targetPath(m.name))
       n
     } finally slice.unpersist()
+  }
+
+  /** An existing target with NO `date_key=` partition directories can
+    * only be the empty schema-bearing marker (every data write is
+    * partitioned) — drop its root-level files before the first real
+    * append, or the mixed flat/partitioned layout breaks partition
+    * discovery on read. */
+  private def clearEmptyMarker(name: String): Unit = {
+    val root = new java.io.File(targetPath(name))
+    val files = Option(root.listFiles()).getOrElse(Array.empty)
+    if (files.nonEmpty && !files.exists(f =>
+        f.isDirectory && f.getName.startsWith("date_key=")))
+      files.foreach { f =>
+        if (!f.isDirectory) f.delete(): Unit
+      }
   }
 
   /** Full refresh: CTAS equivalent (`execute_snowflake_load.py:90-91`) —
@@ -144,6 +160,14 @@ final class IncrementalRunner(
     * truncated, as `incremental_cleanup.py:30-35` does), so the next
     * incremental run re-fills. Append-only models are skipped
     * (`incremental_cleanup.py:78`).
+    *
+    * Scale: targets are partitioned by `date_key`, so the delete is a
+    * PARTITION-DIRECTORY drop — O(partitions at/after the cut), zero
+    * data read or rewritten. Repairing one bad day in a years-deep
+    * model touches one directory; the surviving partitions' files are
+    * bit-identical (asserted by IncrementalRunnerSpec), which is the
+    * cost profile of the reference's warehouse-side
+    * `DELETE FROM … WHERE DATE_KEY >= d`.
     */
   def repair(m: ModelDef, cutoff: LocalDate): Boolean = {
     if (m.appendOnly || !exists(m.name)) return false
@@ -153,17 +177,28 @@ final class IncrementalRunner(
       case Cadence.Weekly => cut.minusDays((cut.getDayOfWeek.getValue - 1).toLong)
       case Cadence.Monthly => cut.withDayOfMonth(1)
     }
-    val keep = readModel(m.name).filter($"date_key" < lit(truncated.toString))
-    // rewrite via temp dir: parquet sources can't overwrite themselves
-    val tmp = targetPath(m.name) + "__repair_tmp"
-    keep.write.mode(SaveMode.Overwrite).partitionBy("date_key").parquet(tmp)
-    val fs = new java.io.File(targetPath(m.name))
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(): Unit
     }
-    rmrf(fs)
-    new java.io.File(tmp).renameTo(fs)
+    val root = new java.io.File(targetPath(m.name))
+    val partDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date_key="))
+    val doomed = partDirs.filter { d =>
+      !LocalDate.parse(d.getName.stripPrefix("date_key="))
+        .isBefore(truncated)
+    }
+    if (doomed.length == partDirs.length) {
+      // repair empties the table: a partition dir with no data files is
+      // unreadable, so fall back to a schema-bearing empty target (the
+      // same shape runIncremental's empty first run writes)
+      val schema = readModel(m.name).schema
+      doomed.foreach(rmrf)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(targetPath(m.name))
+    } else doomed.foreach(rmrf)
+    true
   }
 
   /** Kahn topological order over declared deps (only deps that are

@@ -82,6 +82,53 @@ class IncrementalRunnerSpec extends AnyFunSuite {
     assert(refilled == 4) // days 5..8 rebuilt
   }
 
+  test("repair drops only doomed partitions; surviving files untouched") {
+    val wh = tmpDir()
+    val m = dailyModel(() => sourceDf(10))
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    r.runIncremental(m, _ => sourceDf(10))
+    val root = java.nio.file.Paths.get(r.targetPath("daily_totals"))
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(_.contains("date_key=2024-01-04")))
+    assert(r.repair(m, LocalDate.parse("2024-01-05")))
+    val after = snapshot()
+    val surviving = before.filter { case (path, _) =>
+      "date_key=(\\d{4}-\\d{2}-\\d{2})".r.findFirstMatchIn(path)
+        .exists(md => LocalDate.parse(md.group(1))
+          .isBefore(LocalDate.parse("2024-01-05")))
+    }
+    // the delete is a partition-directory drop: every surviving data file
+    // keeps its exact path AND mtime (nothing was rewritten), and nothing
+    // at/after the cut remains
+    assert(after == surviving)
+  }
+
+  test("repair to empty leaves a readable schema-bearing target") {
+    val wh = tmpDir()
+    val m = dailyModel(() => sourceDf(10))
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    r.runIncremental(m, _ => sourceDf(10))
+    assert(r.repair(m, LocalDate.parse("2024-01-01")))
+    val emptied = r.readModel("daily_totals")
+    assert(emptied.count() == 0)
+    assert(emptied.columns.toSet == Set("date_key", "total"))
+    // watermark falls back to the epoch and the next run rebuilds all
+    assert(r.watermark("daily_totals") == r.Epoch)
+    assert(r.runIncremental(m, _ => sourceDf(10)) == 8)
+    // the refilled target must be readable: the empty marker's flat
+    // files are cleared before the partitioned append (mixed layouts
+    // break partition discovery)
+    assert(r.readModel("daily_totals").count() == 8)
+  }
+
   test("append-only models are excluded from repair (skip list)") {
     val wh = tmpDir()
     val m = dailyModel(() => sourceDf(10)).copy(appendOnly = true)
