@@ -111,6 +111,7 @@ object SparkEntry {
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
     "c04_chunk_windows" -> (CurationModels.chunkWindows _),
     "c05_pack_sequences" -> (CurationModels.packSequences _),
+    "c06_curation_funnel" -> (CurationModels.curationFunnel _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -248,6 +249,7 @@ object SparkEntry {
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,
     "c04_chunk_windows" -> CurationModels.chunkWindowsOracle,
     "c05_pack_sequences" -> CurationModels.packSequencesOracle,
+    "c06_curation_funnel" -> CurationModels.curationFunnelOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -354,4 +354,89 @@ object CurationModels {
        |       (end_offset - 1) // $PackBudget >
        |       (end_offset - n_tokens) // $PackBudget AS boundary_split
        |FROM o""".stripMargin
+
+  /** c06: the curation FUNNEL — the end-to-end keep/drop decision a
+    * training-data build materializes before packing, composed from the
+    * tier's own stages. Per document:
+    *
+    *  - `is_duplicate` — not the canonical (min-doc_id) representative
+    *    of its exact-dedup fingerprint group (d01);
+    *  - `rep_flagged` — repetition quality filter fired (c03; docs too
+    *    short for bigrams pass by definition);
+    *  - `contaminated` — benchmark decontamination fired at the review
+    *    threshold (c01; docs with zero eval-gram hits pass);
+    *  - `sample_kept` — survived the deterministic language-mix
+    *    downsampling (c02);
+    *  - `verdict` — the FIRST failing stage in pipeline order
+    *    (eval → duplicate → repetitive → contaminated → sampled_out),
+    *    else 'kept'. The eval slice itself is excluded from training by
+    *    construction.
+    *
+    * Downstream, `packSequences` over `verdict = 'kept'` is the curated
+    * corpus (composition shown in CurationSpec).
+    *
+    * Scale: every leg is doc-keyed (uniform join keys, no skew) and
+    * itself scale-shaped (see each stage's note); the funnel adds three
+    * hash joins on doc_id and one on the 32-hex fingerprint — all
+    * shuffle-partitionable, nothing quadratic, no driver-side state.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source",
+        md5(normText($"text")).as("fp"))
+    val canon = DedupModels.dedupExact(spark, sfDir)
+      .select($"fingerprint".as("fp"), $"canonical_doc_id")
+    val rep = repetitionSignals(spark, sfDir)
+      .select($"doc_id", $"flagged".as("rep_flagged"))
+    val cont = decontamination(spark, sfDir)
+      .select($"doc_id", $"flagged".as("cont_flagged"))
+    val samp = stratifiedSample(spark, sfDir)
+      .select($"doc_id", $"kept")
+    docs
+      .join(canon, Seq("fp"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(samp, Seq("doc_id"))
+      .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
+      .withColumn("rep_flagged", coalesce($"rep_flagged", lit(false)))
+      .withColumn("contaminated", coalesce($"cont_flagged", lit(false)))
+      .withColumn("sample_kept", $"kept")
+      .withColumn("verdict",
+        when($"source" === EvalSource, "eval")
+          .when($"is_duplicate", "duplicate")
+          .when($"rep_flagged", "repetitive")
+          .when($"contaminated", "contaminated")
+          .when(!$"sample_kept", "sampled_out")
+          .otherwise("kept"))
+      .select($"doc_id", $"lang", $"source", $"is_duplicate",
+        $"rep_flagged", $"contaminated", $"sample_kept", $"verdict")
+  }
+
+  val curationFunnelOracle: String =
+    s"""WITH canon AS (${DedupModels.dedupExactOracle}),
+       |rep AS ($repetitionSignalsOracle),
+       |cont AS ($decontaminationOracle),
+       |samp AS ($stratifiedSampleOracle),
+       |docs AS (SELECT doc_id, lang, source, md5($normSqlDuck) AS fp
+       |         FROM documents),
+       |j AS (SELECT d.doc_id, d.lang, d.source,
+       |             d.doc_id <> c.canonical_doc_id AS is_duplicate,
+       |             coalesce(r.flagged, false) AS rep_flagged,
+       |             coalesce(n.flagged, false) AS contaminated,
+       |             s.kept AS sample_kept
+       |      FROM docs d
+       |      JOIN canon c ON d.fp = c.fingerprint
+       |      LEFT JOIN rep r ON d.doc_id = r.doc_id
+       |      LEFT JOIN cont n ON d.doc_id = n.doc_id
+       |      JOIN samp s ON d.doc_id = s.doc_id)
+       |SELECT doc_id, lang, source, is_duplicate, rep_flagged,
+       |       contaminated, sample_kept,
+       |       CASE WHEN source = '$EvalSource' THEN 'eval'
+       |            WHEN is_duplicate THEN 'duplicate'
+       |            WHEN rep_flagged THEN 'repetitive'
+       |            WHEN contaminated THEN 'contaminated'
+       |            WHEN NOT sample_kept THEN 'sampled_out'
+       |            ELSE 'kept' END AS verdict
+       |FROM j""".stripMargin
 }

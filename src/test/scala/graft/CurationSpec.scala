@@ -115,6 +115,37 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4) == ((506L, 20L, 1L, 2L, true)))
   }
 
+  test("c06: funnel verdicts follow pipeline precedence") {
+    // docs 1/2 are identical AND repetitive; doc 3 is eval-source and
+    // also a duplicate of them — precedence must be eval > duplicate >
+    // repetitive (sampling never reached for any of these)
+    val rep = "a a a a a a"
+    val dir = docsDir(Seq(
+      (1L, rep, "en", "s"),
+      (2L, rep, "en", "s"),
+      (3L, rep, "en", "src0"),
+      (4L, "b c d e f g", "fr", "s"))) // clean: fr keeps all buckets
+    val out = CurationModels.curationFunnel(spark, dir)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(out(3L) == "eval") // eval wins even though it's a duplicate
+    assert(out(1L) == "repetitive") // canonical, so dedup passes it
+    assert(out(2L) == "duplicate") // duplicate wins over repetitive
+    assert(out(4L) == "kept")
+  }
+
+  test("c06→c05 composition: packing the kept set stays contiguous") {
+    val dir = docsDir((1 to 20).map(i =>
+      (i.toLong, (1 to 10).map(j => s"w$i$j").mkString(" "), "fr", "s")))
+    val kept = CurationModels.curationFunnel(spark, dir)
+      .filter($"verdict" === "kept").select($"doc_id")
+    assert(kept.count() == 20) // fr, all distinct+clean: funnel keeps all
+    val packed = CurationModels.packSequences(spark, dir)
+      .join(kept, Seq("doc_id"))
+      .orderBy($"doc_id")
+      .select($"start_offset", $"n_tokens").as[(Long, Long)].collect()
+    assert(packed.sliding(2).forall { case Array(a, b) => b._1 == a._1 + a._2 })
+  }
+
   test("c05: streams pack independently per (lang, shard)") {
     // same doc sizes in two languages: offsets restart per stream
     def doc(n: Int) = (1 to n).map(_ => "x").mkString(" ")
