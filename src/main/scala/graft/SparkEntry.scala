@@ -117,6 +117,7 @@ object SparkEntry {
     "t03_quality_score" -> (TextModels.qualityScore _),
     "t04_token_counts" -> (TextModels.tokenCounts _),
     "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
+    "t06_heavy_hitters" -> (TextModels.heavyHitters _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -255,6 +256,7 @@ object SparkEntry {
     "t03_quality_score" -> TextModels.qualityScoreOracle,
     "t04_token_counts" -> TextModels.tokenCountsOracle,
     "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
+    "t06_heavy_hitters" -> TextModels.heavyHittersOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

@@ -174,4 +174,46 @@ object TextModels {
        |       count(*) AS doc_count,
        |       min(doc_id) AS canonical_doc_id
        |FROM documents GROUP BY 1""".stripMargin
+
+  private val HeavyK = 10
+
+  /** t06: corpus heavy hitters — exact top-`HeavyK` tokens per language
+    * by frequency (ties broken lexically for determinism). The standard
+    * corpus-analysis op behind stopword lists, tokenizer audits, and
+    * boilerplate discovery.
+    *
+    * Scale: token counting is a two-stage hash aggregate on
+    * (lang, token) — map-side partial combine absorbs the explode
+    * fan-out, and the rank window partitions by language over the
+    * AGGREGATED vocabulary (|distinct tokens| rows, not |token
+    * occurrences|), so the sort input is vocabulary-sized; vocabularies
+    * grow sublinearly with corpus size (Heaps' law), keeping the window
+    * cheap even at 100 TB.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select($"lang", explode(toks($"text")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("token_count"))
+    counts
+      .withColumn("token_rank", row_number().over(
+        Window.partitionBy($"lang")
+          .orderBy($"token_count".desc, $"token".asc)).cast(LongType))
+      .filter($"token_rank" <= HeavyK)
+      .select($"lang", $"token_rank", $"token", $"token_count")
+  }
+
+  val heavyHittersOracle: String =
+    s"""WITH tok AS (SELECT lang, unnest(string_split($normSqlDuck, ' ')) AS token
+       |             FROM documents),
+       |counts AS (SELECT lang, token, count(*) AS token_count
+       |           FROM tok GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |                  ORDER BY token_count DESC, token ASC) AS token_rank
+       |           FROM counts)
+       |SELECT lang, cast(token_rank AS BIGINT) AS token_rank, token,
+       |       token_count
+       |FROM ranked WHERE token_rank <= $HeavyK""".stripMargin
 }
