@@ -34,10 +34,11 @@ object EcosystemModels {
     * daily variant (no explode — a plain per-day aggregate).
     *
     * One-pass formulation (same rewrite as
-    * `CompositeModels.activeAccountsAppFrom`): one deduped
-    * (date, wallet) grid with role flags, one explode, conditional
-    * count-distincts in a single aggregate — one fact scan and one
-    * dedup shuffle instead of three of each, no post-joins.
+    * `CompositeModels.activeAccountsAppFrom`, incl. the two-level
+    * flag-reduction aggregate instead of Expand-planned
+    * count-distincts): one deduped (date, wallet) grid with role
+    * flags, one explode, two plain hash aggregates — one fact scan and
+    * one dedup shuffle instead of three of each, no post-joins.
     */
   def activeEcosystemFrom(factIn: DataFrame, lookback: Int): DataFrame = {
     import factIn.sparkSession.implicits._
@@ -58,11 +59,14 @@ object EcosystemModels {
             explode(sequence($"date_key", date_add($"date_key", lookback))))
           .join(broadcast(days), Seq("anchor_date"), "left_semi")
       }
-    anchored.groupBy($"anchor_date".as("date_key"))
+    anchored
+      .groupBy($"anchor_date", $"wallet_id")
+      .agg(max($"is_spend").as("w_spend"), max($"is_earn").as("w_earn"))
+      .groupBy($"anchor_date".as("date_key"))
       .agg(
-        countDistinct($"wallet_id").as("active_users"),
-        countDistinct(when($"is_spend", $"wallet_id")).as("active_spenders"),
-        countDistinct(when($"is_earn", $"wallet_id")).as("active_earners"))
+        count(lit(1)).as("active_users"),
+        sum(when($"w_spend", 1L).otherwise(0L)).as("active_spenders"),
+        sum(when($"w_earn", 1L).otherwise(0L)).as("active_earners"))
   }
 
   /** q38: weekly (7-day rolling) ecosystem actives —
