@@ -299,24 +299,19 @@ object CompositeModels {
       .groupBy($"date_key")
       .agg(sum($"post_monopoly_payout").cast(Money).as("kin_payout"),
         sum($"post_monopoly_payout_usd").cast(Money).as("usd_payout"))
-    val days = fact.select($"date_key").distinct()
-      .withColumnRenamed("date_key", "anchor_date")
-    def rolled(src: DataFrame, cnt: String): DataFrame =
-      src.select($"date_key", $"wallet_id").distinct()
-        .withColumn("anchor_date",
-          explode(sequence($"date_key", date_add($"date_key", 29))))
-        .join(broadcast(days), Seq("anchor_date"), "left_semi")
-        .groupBy($"anchor_date".as("date_key"))
-        .agg(countDistinct($"wallet_id").as(cnt))
-    val spend = fact.filter($"txn_type".isin("purchase", "click"))
-    val earn = fact.filter($"txn_type".isin("signup", "view"))
-    val mau = rolled(spend.union(earn), "monthly_active_users")
-    val mas = rolled(spend, "monthly_active_spenders")
-    val mae = rolled(earn, "monthly_active_earners")
+    // monthly actives via the one-pass ecosystem grid (single fact
+    // scan, flag-reduction aggregate — see activeAccountsAppFrom).
+    // The reference's final SELECT inner-joins each role leg, so a date
+    // whose whole 30-day window lacks a role is DROPPED, not 0-filled —
+    // filter to reproduce that join semantics exactly
+    val monthly = EcosystemModels.activeEcosystemFrom(factIn, 29)
+      .filter($"active_spenders" > 0 && $"active_earners" > 0)
+      .select($"date_key",
+        $"active_users".as("monthly_active_users"),
+        $"active_spenders".as("monthly_active_spenders"),
+        $"active_earners".as("monthly_active_earners"))
     dt.join(aub, Seq("date_key"))
-      .join(mae, Seq("date_key"))
-      .join(mas, Seq("date_key"))
-      .join(mau, Seq("date_key"))
+      .join(monthly, Seq("date_key"))
       .join(vf, Seq("date_key"))
       .join(payouts, Seq("date_key"))
       .select($"date_key", $"active_apps", $"active_user_balance",
