@@ -76,7 +76,15 @@ object CurationModels {
     * and a review flag at ≥20% containment (integer compare, no
     * float threshold drift).
     */
-  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame =
+    // session-memoized: c01 and the funnel's contamination leg (c06)
+    // share one materialization (the runner's materialized-model role,
+    // same as the KRE chain in Shared)
+    Shared.materialized("c01_decontamination", spark, sfDir)(
+      decontaminationBuild(spark, sfDir))
+
+  private def decontaminationBuild(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val grams = gramDf(spark, sfDir)
     val evalGrams = grams.filter($"source" === EvalSource)
