@@ -62,4 +62,21 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name no longer plans a BNLJ — remove it from the allowlist")
     }
   }
+
+  test("scan hygiene: canary queries prune columns and push literal filters") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def formatted(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // q03 needs only (date, wallet): the heavy JSON `props` payload and
+    // `value` must never reach its scan (column pruning at the reader)
+    val q03 = formatted("q03_daily_distinct_wallets")
+    assert(!q03.contains("props") && !q03.contains("value:"),
+      "q03 scan reads columns the query never uses")
+    // q20's literal equality must be pushed INTO the parquet scan, not
+    // evaluated post-read (predicate pushdown to footers/row groups)
+    val q20 = formatted("q20_daily_wide_summary")
+    assert(q20.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "q20 literal filter is not pushed to the orders scan")
+  }
 }
