@@ -260,12 +260,14 @@ object CompositeModels {
 
   val monthlyActiveAccountsOracle: String = activeAccountsAppOracle(29)
 
-  /** q35: the 7-way wide API row — `daily_kre_summary.sql:77-83`: daily
-    * transactions ⋈ AUB totals ⋈ monthly active earners ⋈ spenders ⋈
-    * users ⋈ volatility factor ⋈ payouts, all keyed on date.
-    * Every leg is a one-row-per-day aggregate; Catalyst/AQE broadcasts
-    * them, so join width costs nothing at scale — width here exercises
-    * join reorder over 7 inputs.
+  /** q35: the wide KRE API row — `daily_kre_summary.sql:77-83`: daily
+    * transactions ⋈ AUB totals ⋈ monthly actives ⋈ volatility factor ⋈
+    * payouts, all keyed on date. The reference's three separate monthly
+    * role legs come from the shared one-pass grid (see
+    * `EcosystemModels.activeEcosystemFrom`), so the physical join is
+    * 5 inputs for the same 12-column row. Every leg is a
+    * one-row-per-day aggregate; Catalyst/AQE broadcasts them, so join
+    * width costs nothing at scale.
     */
   def dailyKreSummary(spark: SparkSession, sfDir: String): DataFrame = {
     // AUB, VF and the payout are session-memoized materializations —

@@ -236,6 +236,37 @@ final class IncrementalRunner(
     * `CREATE TABLE … CLONE` analog), resolvable via
     * `spark.table(cloneName)`.
     */
+  /** Run only the models of one cadence — the reference's weekly /
+    * monthly pipeline manifests (`sf_weekly_pipeline.yaml`,
+    * `sf_monthly_pipeline.yaml` glob only `{weekly,monthly}_models/`).
+    * Upstream models owned by OTHER cadences resolve from their
+    * materialized warehouse targets, exactly as the reference's weekly
+    * SQL reads tables the daily pipeline built.
+    */
+  def runCadence(all: Seq[ModelDef], cadence: Cadence,
+      sources: String => DataFrame): Map[String, Long] = {
+    val byName = all.map(m => m.name -> m).toMap
+    val resolve: String => DataFrame = name =>
+      if (byName.contains(name)) readModel(name) else sources(name)
+    topoOrder(all).filter(_.cadence == cadence).map { m =>
+      val n = if (m.fullRefresh) runFullRefresh(m, resolve)
+        else runIncremental(m, resolve)
+      spark.catalog.clearCache()
+      m.name -> n
+    }.toMap
+  }
+
+  /** Registry-wide repair — the reference's incremental-cleanup
+    * manifest (`sf_incremental_cleanup.yaml` → `incremental_cleanup.py`
+    * loops every model): delete each model's rows at/after the cutoff
+    * (cadence-truncated per model), honoring the append-only skip list;
+    * the next scheduled runs refill. Returns which models were
+    * repaired.
+    */
+  def cleanupFromDate(models: Seq[ModelDef],
+      cutoff: LocalDate): Map[String, Boolean] =
+    models.map(m => m.name -> repair(m, cutoff)).toMap
+
   def runAll(models: Seq[ModelDef],
       sources: String => DataFrame,
       clones: Seq[(String, String)] = Nil): Map[String, Long] = {

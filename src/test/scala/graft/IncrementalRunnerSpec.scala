@@ -138,6 +138,61 @@ class IncrementalRunnerSpec extends AnyFunSuite {
     assert(r.watermark("daily_totals") == "2024-01-08") // untouched
   }
 
+  test("cadence manifests run only their models, reading cross-cadence targets") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-15"))
+    val daily = ModelDef("fact_daily", Cadence.Daily, Seq("events_src"),
+      (_, resolve) => resolve("events_src")
+        .groupBy($"date_key").agg(sum($"amount").as("total")))
+    val weekly = ModelDef("weekly_rollup", Cadence.Weekly, Seq("fact_daily"),
+      (_, resolve) => resolve("fact_daily")
+        .groupBy(date_trunc("week", $"date_key").cast("date").as("date_key"))
+        .agg(sum($"total").as("total")))
+    val all = Seq(daily, weekly)
+    // the daily manifest builds ONLY the daily model (all 10 days are
+    // closed relative to Jan 15)
+    val d = r.runCadence(all, Cadence.Daily, _ => sourceDf(10))
+    assert(d.keySet == Set("fact_daily") && d("fact_daily") == 10)
+    assert(!r.exists("weekly_rollup"))
+    // the weekly manifest builds ONLY the weekly model, reading the
+    // daily model's materialized target (not re-running its build);
+    // week keys Jan 1 and Jan 8 both precede date_trunc(week, Jan 15)
+    val w = r.runCadence(all, Cadence.Weekly, _ => sourceDf(10))
+    assert(w.keySet == Set("weekly_rollup"))
+    assert(r.readModel("weekly_rollup").count() == 2)
+  }
+
+  test("registry-wide cleanup repairs every model; reruns refill (recovery path)") {
+    val whA = tmpDir(); val whB = tmpDir()
+    def models = {
+      val daily = ModelDef("fact_daily", Cadence.Daily, Seq("events_src"),
+        (_, resolve) => resolve("events_src")
+          .groupBy($"date_key").agg(sum($"amount").as("total")))
+      val skip = ModelDef("append_log", Cadence.Daily, Seq("events_src"),
+        (_, resolve) => resolve("events_src")
+          .select($"date_key", $"wallet").distinct(),
+        appendOnly = true)
+      Seq(daily, skip)
+    }
+    val a = new IncrementalRunner(spark, whA, LocalDate.parse("2024-01-09"))
+    a.runAll(models, _ => sourceDf(10))
+    // corrupt-then-recover: delete from the 5th, rerun — the reference's
+    // cleanup manifest followed by the next scheduled pipeline
+    val repaired = a.cleanupFromDate(models, LocalDate.parse("2024-01-05"))
+    assert(repaired == Map("fact_daily" -> true, "append_log" -> false))
+    a.runAll(models, _ => sourceDf(10))
+    // must equal an uninterrupted build
+    val b = new IncrementalRunner(spark, whB, LocalDate.parse("2024-01-09"))
+    b.runAll(models, _ => sourceDf(10))
+    val ra = a.readModel("fact_daily").orderBy($"date_key")
+      .select($"date_key".cast("string"), $"total")
+      .as[(String, BigDecimal)].collect().toSeq
+    val rb = b.readModel("fact_daily").orderBy($"date_key")
+      .select($"date_key".cast("string"), $"total")
+      .as[(String, BigDecimal)].collect().toSeq
+    assert(ra == rb && ra.size == 8)
+  }
+
   test("DAG executes in declared dependency order") {
     val wh = tmpDir()
     val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-06"))
