@@ -95,6 +95,7 @@ object SparkEntry {
     "q40_daily_summary_by_app" -> (EcosystemModels.dailySummaryByApp _),
     "q41_weekly_kre_payout_summary" -> (PayoutModels.weeklyKrePayoutSummary _),
     "q42_weekly_active_accounts_app" -> (CompositeModels.weeklyActiveAccountsApp _),
+    "q43_asof_price_join" -> (ActivityModels.asofPriceJoin _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -168,6 +169,7 @@ object SparkEntry {
       "transaction_amount_kin", "earn_amount_kin", "spend_amount_kin",
       "peer_amount_kin"),
     "q41_weekly_kre_payout_summary" -> Seq("kin_payout", "usd_payout"),
+    "q43_asof_price_join" -> Seq("day_amount", "asof_price"),
     "c01_decontamination" -> Seq("contamination"),
     "d03_lsh_near_dup_pairs" -> Seq("jaccard"),
     "d05_embedding_near_dup" -> Seq("max_cosine", "min_cosine"),
@@ -235,6 +237,7 @@ object SparkEntry {
     "q40_daily_summary_by_app" -> EcosystemModels.dailySummaryByAppOracle,
     "q41_weekly_kre_payout_summary" -> PayoutModels.weeklyKrePayoutSummaryOracle,
     "q42_weekly_active_accounts_app" -> CompositeModels.weeklyActiveAccountsAppOracle,
+    "q43_asof_price_join" -> ActivityModels.asofPriceJoinOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

@@ -15,6 +15,57 @@ import org.apache.spark.sql.types._
 object ActivityModels {
   import TxnModels.{factTxn, ratio6, Amount}
 
+  /** q43: AS-OF join — decorate each trading day with the most recent
+    * price observation at-or-before it (prices are published only every
+    * third calendar day here, so most days resolve to an earlier one).
+    * Spark has no native as-of join and the naive theta join
+    * (`e.date >= p.date` + keep latest) plans a BroadcastNestedLoopJoin;
+    * the scale-correct rewrite resolves the as-of on the CALENDAR
+    * dimension: distinct fact days left-join the sparse price days,
+    * one `last(_, ignoreNulls)` pass over the ordered calendar carries
+    * each price forward, and the filled calendar broadcast-equi-joins
+    * back to the fact aggregate. The only window runs over |days| rows
+    * (calendar-bounded — the q17/q18 single-partition calendar pattern);
+    * fact-sized data never feeds a non-equi join. For per-key as-of
+    * (quotes per symbol) the same shape partitions the window by key.
+    */
+  def asofPriceJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = factTxn(spark, sfDir)
+    val daily = fact.groupBy($"date_key")
+      .agg(count(lit(1)).as("txn_count"),
+        sum($"amount").cast(Amount).as("day_amount"))
+    val prices = daily
+      .filter(dayofmonth($"date_key") % 3 === 0)
+      .select($"date_key", $"day_amount".as("price"))
+    val w = Window.orderBy($"date_key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = daily.select($"date_key")
+      .join(prices, Seq("date_key"), "left")
+      .withColumn("asof_price", last($"price", ignoreNulls = true).over(w))
+      .withColumn("asof_price_date",
+        last(when($"price".isNotNull, $"date_key"), ignoreNulls = true)
+          .over(w))
+      .select($"date_key", $"asof_price", $"asof_price_date")
+    daily.join(broadcast(filled), Seq("date_key"))
+      .select($"date_key", $"txn_count", $"day_amount",
+        $"asof_price", $"asof_price_date")
+  }
+
+  val asofPriceJoinOracle: String =
+    """WITH fact AS (SELECT cast(ts AS DATE) AS date_key,
+      |                     cast(value AS DECIMAL(18,2)) AS amount
+      |              FROM events WHERE event_type <> 'error'),
+      |daily AS (SELECT date_key, count(*) AS txn_count,
+      |                 cast(sum(amount) AS DECIMAL(18,2)) AS day_amount
+      |          FROM fact GROUP BY 1),
+      |prices AS (SELECT date_key, day_amount AS price
+      |           FROM daily WHERE day(date_key) % 3 = 0)
+      |SELECT d.date_key, d.txn_count, d.day_amount,
+      |       p.price AS asof_price, p.date_key AS asof_price_date
+      |FROM daily d ASOF LEFT JOIN prices p ON d.date_key >= p.date_key"""
+      .stripMargin
+
   /** q03: per-day distinct wallets + txn count. Ops: A5 exact
     * count-distinct (`daily_kin_blocks.sql:5`), A1.
     * Scale: count_distinct expands then two-phase aggregates; the group key
