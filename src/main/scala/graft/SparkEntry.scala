@@ -96,6 +96,7 @@ object SparkEntry {
     "q41_weekly_kre_payout_summary" -> (PayoutModels.weeklyKrePayoutSummary _),
     "q42_weekly_active_accounts_app" -> (CompositeModels.weeklyActiveAccountsApp _),
     "q43_asof_price_join" -> (ActivityModels.asofPriceJoin _),
+    "q44_sessionization" -> (ActivityModels.sessionization _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "q41_weekly_kre_payout_summary" -> PayoutModels.weeklyKrePayoutSummaryOracle,
     "q42_weekly_active_accounts_app" -> CompositeModels.weeklyActiveAccountsAppOracle,
     "q43_asof_price_join" -> ActivityModels.asofPriceJoinOracle,
+    "q44_sessionization" -> ActivityModels.sessionizationOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

@@ -28,7 +28,11 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer `div`, NOT `/`: long/long plans as DOUBLE division, and
+      // doubles can't hold 1.7e18 nanos — epoch timestamps came back ±1µs
+      // (caught by q44's microsecond-exact session algebra). `div` floors
+      // exactly like DuckDB's epoch_us over TIMESTAMP_NS.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

@@ -66,6 +66,62 @@ object ActivityModels {
       |FROM daily d ASOF LEFT JOIN prices p ON d.date_key >= p.date_key"""
       .stripMargin
 
+  /** Session gap: a quiet period longer than this starts a new session. */
+  private val SessionGapUs = 21600L * 1000000L // 6 hours
+
+  /** q44: gap-based SESSIONIZATION (beyond-reference) — split each
+    * wallet's event stream into sessions wherever the inter-event gap
+    * exceeds [[SessionGapUs]], then aggregate per session. The classic
+    * event-analytics operator Spark ships no primitive for: lag +
+    * running sum over a per-key ordered window assigns session indexes
+    * in one pass. Timestamps are compared as integer MICROSECONDS
+    * (`unix_micros` ↔ DuckDB `epoch_us` — both floor the nano payload),
+    * so the boundary algebra is drift-free across engines.
+    *
+    * Scale: one shuffle on wallet_id; both windows and the final
+    * aggregate share that partitioning (no second exchange). Per-key
+    * ordered state is the sort of each wallet's own events — the same
+    * linear shape q15/q19 use; a hot wallet bounds a partition's sort,
+    * not the cluster.
+    */
+  def sessionization(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.catalog.Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "error")
+      .select($"user_id".as("wallet_id"), $"event_id",
+        unix_micros($"ts").as("ts_us"))
+    val w = Window.partitionBy($"wallet_id").orderBy($"ts_us", $"event_id")
+    ev
+      .withColumn("new_session",
+        when($"ts_us" - lag($"ts_us", 1).over(w) > SessionGapUs, 1L)
+          .otherwise(0L)) // first event: null gap → 0 (session 0 opens)
+      .withColumn("session_idx", sum($"new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"wallet_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"),
+        max($"ts_us").as("end_us"))
+      .withColumn("duration_s", expr("(end_us - start_us) div 1000000L"))
+  }
+
+  val sessionizationOracle: String =
+    s"""WITH ev AS (SELECT user_id AS wallet_id, event_id, epoch_us(ts) AS ts_us
+       |            FROM events WHERE event_type <> 'error'),
+       |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+       |               (PARTITION BY wallet_id ORDER BY ts_us, event_id)
+       |               > $SessionGapUs THEN 1 ELSE 0 END AS new_session
+       |      FROM ev),
+       |s AS (SELECT *, sum(new_session) OVER (PARTITION BY wallet_id
+       |               ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED
+       |               PRECEDING AND CURRENT ROW) AS session_idx
+       |      FROM g)
+       |SELECT wallet_id, cast(session_idx AS BIGINT) AS session_idx,
+       |       count(*) AS n_events,
+       |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       |       cast((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT)
+       |         AS duration_s
+       |FROM s GROUP BY 1, 2""".stripMargin
+
   /** q03: per-day distinct wallets + txn count. Ops: A5 exact
     * count-distinct (`daily_kin_blocks.sql:5`), A1.
     * Scale: count_distinct expands then two-phase aggregates; the group key
