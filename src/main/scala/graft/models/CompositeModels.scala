@@ -144,16 +144,49 @@ object CompositeModels {
        |            ELSE 'None' END AS inflation_flag
        |FROM joined""".stripMargin
 
+  /** THE shared intermediate of the whole actives family (q34, q38,
+    * q39, q40 ×2, q42, q35's monthly leg): the deduped per-day activity
+    * grid — one row per (date, app, wallet) observed in the fact,
+    * flagged by role (the reference's `type in (2,3)` / `(1,3)`
+    * spender/earner split mapped through the q07 event-type
+    * convention). No role pre-filter, so the grid's day set is exactly
+    * the fact's day set — the anchor-calendar every rolling window
+    * derives from.
+    *
+    * Scale: this is the ONE dedup shuffle of the family. At 100 TB the
+    * fact is scanned once and reduced to |distinct (date, app, wallet)|
+    * rows; every rolling-actives consumer (lookback 0/6/29, app or
+    * ecosystem grain) reads this table instead of re-deriving it —
+    * previously q40 alone re-derived it twice and q34/q38/q42 once
+    * each. */
+  def appActivityGridFrom(factIn: DataFrame): DataFrame = {
+    import factIn.sparkSession.implicits._
+    factIn
+      .select($"date_key", $"app_id", $"wallet_id", $"txn_type")
+      .groupBy($"date_key", $"app_id", $"wallet_id")
+      .agg(
+        max($"txn_type".isin(EcosystemModels.SpendTypes: _*)).as("is_spend"),
+        max($"txn_type".isin(EcosystemModels.EarnTypes: _*)).as("is_earn"))
+  }
+
+  /** Session-memoized materialization of [[appActivityGridFrom]] — the
+    * in-JVM analog of the registry's `app_activity_grid` model: built
+    * once per (session, sfDir), consumed by every actives query. */
+  def appActivityGrid(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("app_activity_grid", spark, sfDir) {
+      appActivityGridFrom(factTxn(spark, sfDir))
+    }
+
   /** q34: 30-day rolling distinct actives per (day, app) with the
     * spender/earner/user split — `monthly_active_accounts_app.sql:19-38`.
     * The reference's three ×30 range joins become ONE explode-to-equi
-    * phase over a DEDUPED flagged (date, app, wallet) grid (same
-    * rewrite family as q16; see [[activeAccountsAppFrom]]): explode
-    * factor is a constant 30 applied after dedupe, so the shuffled
-    * volume is 30×|distinct triples| — linear, no range BNLJ.
+    * phase over the shared DEDUPED flagged (date, app, wallet) grid
+    * (same rewrite family as q16; see [[activeAccountsAppFromGrid]]):
+    * explode factor is a constant 30 applied after dedupe, so the
+    * shuffled volume is 30×|distinct triples| — linear, no range BNLJ.
     */
   def monthlyActiveAccounts(spark: SparkSession, sfDir: String): DataFrame =
-    monthlyActiveAccountsFrom(factTxn(spark, sfDir))
+    activeAccountsAppFromGrid(appActivityGrid(spark, sfDir), 29)
 
   /** Frame-parameterized variant for the model registry. */
   def monthlyActiveAccountsFrom(factIn: DataFrame): DataFrame =
@@ -163,7 +196,7 @@ object CompositeModels {
     * `weekly_active_accounts_app.sql` (the grid cell q34/q40 don't
     * cover; daily=q40 legs, monthly=q34). */
   def weeklyActiveAccountsApp(spark: SparkSession, sfDir: String): DataFrame =
-    activeAccountsAppFrom(factTxn(spark, sfDir), 6)
+    activeAccountsAppFromGrid(appActivityGrid(spark, sfDir), 6)
 
   val weeklyActiveAccountsAppOracle: String = activeAccountsAppOracle(6)
 
@@ -187,29 +220,32 @@ object CompositeModels {
     * formulations shuffle twice; this one moves 1× the exploded grid
     * per stage instead of 3×.
     */
-  def activeAccountsAppFrom(factIn: DataFrame, lookback: Int): DataFrame = {
-    import factIn.sparkSession.implicits._
-    // no cache: every caller passes a MATERIALIZED fact (session memo or
-    // runner target), so the single leg is a pruned columnar scan — at
-    // 100 TB that beats pinning the fact in executor storage
-    val fact = factIn
-      .select($"date_key", $"app_id", $"wallet_id", $"txn_type")
-    val days = fact.select($"date_key").distinct()
-      .withColumnRenamed("date_key", "anchor_date")
-    // the reference's `type in (2,3)` / `(1,3)` spender/earner split,
-    // mapped through the q07 event-type convention
-    val grid = fact
-      .filter($"txn_type".isin("purchase", "click", "signup", "view"))
-      .groupBy($"date_key", $"app_id", $"wallet_id")
-      .agg(
-        max($"txn_type".isin("purchase", "click")).as("is_spend"),
-        max($"txn_type".isin("signup", "view")).as("is_earn"))
+  def activeAccountsAppFrom(factIn: DataFrame, lookback: Int): DataFrame =
+    activeAccountsAppFromGrid(appActivityGridFrom(factIn), lookback)
+
+  /** The tail of [[activeAccountsAppFrom]] over an already-built (often
+    * materialized — [[appActivityGrid]] / the registry model) grid:
+    * role-filter, constant-factor explode against the grid's own day
+    * calendar, then the two-level flag-reduction aggregate. */
+  def activeAccountsAppFromGrid(gridIn: DataFrame, lookback: Int): DataFrame = {
+    import gridIn.sparkSession.implicits._
+    // rows carrying neither role can't contribute to any count; drop
+    // them BEFORE the ×(lookback+1) explode (with the current event
+    // vocabulary every fact row carries a role, so this is a no-op
+    // guard, not a data filter)
+    val grid = gridIn.filter($"is_spend" || $"is_earn")
     val anchored =
       if (lookback == 0) grid.withColumn("anchor_date", $"date_key")
-      else grid
-        .withColumn("anchor_date",
-          explode(sequence($"date_key", date_add($"date_key", lookback))))
-        .join(broadcast(days), Seq("anchor_date"), "left_semi")
+      else {
+        // the grid is an UNFILTERED dedupe of the fact, so its day set
+        // IS the fact's day set — the anchor calendar
+        val days = gridIn.select($"date_key").distinct()
+          .withColumnRenamed("date_key", "anchor_date")
+        grid
+          .withColumn("anchor_date",
+            explode(sequence($"date_key", date_add($"date_key", lookback))))
+          .join(broadcast(days), Seq("anchor_date"), "left_semi")
+      }
     anchored
       .groupBy($"anchor_date", $"app_id", $"wallet_id")
       .agg(max($"is_spend").as("w_spend"), max($"is_earn").as("w_earn"))
@@ -276,13 +312,15 @@ object CompositeModels {
     val aub = KreModels.activeUserBalance(spark, sfDir)
     val vf = KreModels.volatilityFactor(spark, sfDir)
     val payout = KreModels.dailyPayout(spark, sfDir)
-    dailyKreSummaryFrom(factTxn(spark, sfDir), aub, vf, payout)
+    dailyKreSummaryFrom(factTxn(spark, sfDir),
+      appActivityGrid(spark, sfDir), aub, vf, payout)
   }
 
   /** The q35 composite over already-built inputs (`factIn` = q01 rows,
-    * `aubIn` = q28 rows, `vfIn` = q27 rows, `payoutIn` = q26 rows). */
-  def dailyKreSummaryFrom(factIn: DataFrame, aubIn: DataFrame,
-      vfIn: DataFrame, payoutIn: DataFrame): DataFrame = {
+    * `gridIn` = the [[appActivityGridFrom]] rows, `aubIn` = q28 rows,
+    * `vfIn` = q27 rows, `payoutIn` = q26 rows). */
+  def dailyKreSummaryFrom(factIn: DataFrame, gridIn: DataFrame,
+      aubIn: DataFrame, vfIn: DataFrame, payoutIn: DataFrame): DataFrame = {
     import factIn.sparkSession.implicits._
     // no cache — same reasoning as activeAccountsAppFrom
     val fact = factIn
@@ -301,12 +339,12 @@ object CompositeModels {
       .groupBy($"date_key")
       .agg(sum($"post_monopoly_payout").cast(Money).as("kin_payout"),
         sum($"post_monopoly_payout_usd").cast(Money).as("usd_payout"))
-    // monthly actives via the one-pass ecosystem grid (single fact
-    // scan, flag-reduction aggregate — see activeAccountsAppFrom).
-    // The reference's final SELECT inner-joins each role leg, so a date
-    // whose whole 30-day window lacks a role is DROPPED, not 0-filled —
-    // filter to reproduce that join semantics exactly
-    val monthly = EcosystemModels.activeEcosystemFrom(factIn, 29)
+    // monthly actives via the shared activity grid (no fact re-scan —
+    // see appActivityGridFrom). The reference's final SELECT inner-joins
+    // each role leg, so a date whose whole 30-day window lacks a role is
+    // DROPPED, not 0-filled — filter to reproduce that join semantics
+    // exactly
+    val monthly = EcosystemModels.activeEcosystemFromGrid(gridIn, 29)
       .filter($"active_spenders" > 0 && $"active_earners" > 0)
       .select($"date_key",
         $"active_users".as("monthly_active_users"),

@@ -40,19 +40,28 @@ object EcosystemModels {
     * flags, one explode, two plain hash aggregates — one fact scan and
     * one dedup shuffle instead of three of each, no post-joins.
     */
-  def activeEcosystemFrom(factIn: DataFrame, lookback: Int): DataFrame = {
-    import factIn.sparkSession.implicits._
-    val fact = factIn.select($"date_key", $"wallet_id", $"txn_type")
-    val grid = fact
-      .filter($"txn_type".isin(SpendTypes ++ EarnTypes: _*))
+  def activeEcosystemFrom(factIn: DataFrame, lookback: Int): DataFrame =
+    activeEcosystemFromGrid(
+      CompositeModels.appActivityGridFrom(factIn), lookback)
+
+  /** Ecosystem tail over the shared app-grain activity grid
+    * ([[CompositeModels.appActivityGridFrom]]): the app dimension is
+    * OR-reduced away — a wallet's ecosystem role flag is the max of its
+    * per-app flags, so the (date, wallet) grid derived here is
+    * row-identical to deduping the fact directly at ecosystem grain.
+    * Reading the materialized grid replaces a full fact scan with a
+    * scan of |distinct (date, app, wallet)| pre-deduped rows. */
+  def activeEcosystemFromGrid(gridIn: DataFrame, lookback: Int): DataFrame = {
+    import gridIn.sparkSession.implicits._
+    val grid = gridIn
       .groupBy($"date_key", $"wallet_id")
-      .agg(
-        max($"txn_type".isin(SpendTypes: _*)).as("is_spend"),
-        max($"txn_type".isin(EarnTypes: _*)).as("is_earn"))
+      .agg(max($"is_spend").as("is_spend"), max($"is_earn").as("is_earn"))
+      .filter($"is_spend" || $"is_earn")
     val anchored =
       if (lookback == 0) grid.withColumn("anchor_date", $"date_key")
       else {
-        val days = fact.select($"date_key").distinct()
+        // the grid is an unfiltered dedupe of the fact → same day set
+        val days = gridIn.select($"date_key").distinct()
           .withColumnRenamed("date_key", "anchor_date")
         grid
           .withColumn("anchor_date",
@@ -72,7 +81,8 @@ object EcosystemModels {
   /** q38: weekly (7-day rolling) ecosystem actives —
     * `weekly_active_accounts_ecosystem.sql:1-58`. */
   def weeklyActiveEcosystem(spark: SparkSession, sfDir: String): DataFrame =
-    activeEcosystemFrom(factTxn(spark, sfDir), 6)
+    activeEcosystemFromGrid(
+      CompositeModels.appActivityGrid(spark, sfDir), 6)
 
   private def activeEcosystemOracle(lookback: Int): String = {
     val window =
@@ -116,12 +126,15 @@ object EcosystemModels {
   def dailySummaryEcosystem(spark: SparkSession, sfDir: String): DataFrame = {
     val fact = factTxn(spark, sfDir)
     val vf = KreModels.volatilityFactor(spark, sfDir)
-    dailySummaryEcosystemFrom(fact, vf)
+    dailySummaryEcosystemFrom(fact,
+      CompositeModels.appActivityGrid(spark, sfDir), vf)
   }
 
-  /** Frame-parameterized variant for the model registry (`vf` must carry
+  /** Frame-parameterized variant for the model registry (`gridIn` =
+    * the shared activity grid; `vf` must carry
     * (date_key, average_price)). */
-  def dailySummaryEcosystemFrom(factIn: DataFrame, vf: DataFrame): DataFrame = {
+  def dailySummaryEcosystemFrom(factIn: DataFrame, gridIn: DataFrame,
+      vf: DataFrame): DataFrame = {
     import factIn.sparkSession.implicits._
     val fact = factIn.select($"date_key", $"app_id", $"wallet_id",
       $"txn_type", $"amount")
@@ -141,11 +154,11 @@ object EcosystemModels {
         famSum(SpendTypes).as("spend_amount_kin"),
         famCnt(PeerTypes).as("peer_count"),
         famSum(PeerTypes).as("peer_amount_kin"))
-    val daily = activeEcosystemFrom(factIn, 0)
+    val daily = activeEcosystemFromGrid(gridIn, 0)
       .select($"date_key", $"active_users".as("daily_active_users"),
         $"active_spenders".as("daily_active_spenders"),
         $"active_earners".as("daily_active_earners"))
-    val monthly = activeEcosystemFrom(factIn, 29)
+    val monthly = activeEcosystemFromGrid(gridIn, 29)
       .select($"date_key", $"active_users".as("monthly_active_users"),
         $"active_spenders".as("monthly_active_spenders"),
         $"active_earners".as("monthly_active_earners"))
@@ -188,19 +201,23 @@ object EcosystemModels {
     *
     * Scale: every leg aggregates to (day, app) grain BEFORE any join,
     * so all five joins are dimension-sized regardless of fact volume;
-    * the app dim is broadcast; the fact is scanned once per leg with
-    * only the needed columns (pruned columnar re-scans beat pinning
-    * the fact in executor memory at 100 TB).
+    * the app dim is broadcast; the txns leg scans the fact once
+    * (amount columns the grid doesn't carry), and both actives legs
+    * read the shared materialized activity grid instead of re-deduping
+    * the fact — one fact scan + one grid build per session/run instead
+    * of the three fact scans this model paid before.
     */
   def dailySummaryByApp(spark: SparkSession, sfDir: String): DataFrame =
     dailySummaryByAppFrom(factTxn(spark, sfDir),
+      CompositeModels.appActivityGrid(spark, sfDir),
       KreModels.volatilityFactor(spark, sfDir),
       graft.catalog.Tables.nation(spark, sfDir))
 
-  /** Frame-parameterized variant for the model registry (`vf` carries
-    * (date_key, average_price); `nation` is the app dim). */
-  def dailySummaryByAppFrom(factIn: DataFrame, vf: DataFrame,
-      nation: DataFrame): DataFrame = {
+  /** Frame-parameterized variant for the model registry (`gridIn` =
+    * the shared activity grid; `vf` carries (date_key, average_price);
+    * `nation` is the app dim). */
+  def dailySummaryByAppFrom(factIn: DataFrame, gridIn: DataFrame,
+      vf: DataFrame, nation: DataFrame): DataFrame = {
     import factIn.sparkSession.implicits._
     val fact = factIn.select($"date_key", $"app_id", $"wallet_id",
       $"txn_type", $"amount")
@@ -221,12 +238,12 @@ object EcosystemModels {
         famSum(SpendTypes).as("spend_amount_kin"),
         famCnt(PeerTypes).as("peer_count"),
         famSum(PeerTypes).as("peer_amount_kin"))
-    val daily = CompositeModels.activeAccountsAppFrom(factIn, 0)
+    val daily = CompositeModels.activeAccountsAppFromGrid(gridIn, 0)
       .select($"date_key", $"app_id",
         $"active_users".as("daily_active_users"),
         $"active_earners".as("daily_active_earners"),
         $"active_spenders".as("daily_active_spenders"))
-    val monthly = CompositeModels.activeAccountsAppFrom(factIn, 29)
+    val monthly = CompositeModels.activeAccountsAppFromGrid(gridIn, 29)
       .select($"date_key", $"app_id",
         $"active_users".as("monthly_active_users"),
         $"active_earners".as("monthly_active_earners"),

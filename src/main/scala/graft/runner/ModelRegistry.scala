@@ -16,8 +16,11 @@ import graft.models._
   *   fact_txn ─→ volatility_factor;  fact_txn+closing_balance ─→
   *   active_user_balance ─→ daily_payout ─→ weekly_payout
   * Metabase mart (reporting):
+  *   fact_txn ─→ app_activity_grid ─→ every rolling-actives model
+  *   (monthly_active_accounts, {daily,weekly,monthly}_active_ecosystem,
+  *   {daily,weekly}_active_accounts_app) and the wide API rows;
   *   fact_txn ─→ daily_txn_summary, amount_histogram,
-  *   daily_active_union, monthly_active_accounts;
+  *   daily_active_union;
   *   closing_balance ─→ balance_buckets, daily_churn_volume;
   *   daily_payout+closing_balance+daily_churn_volume ─→
   *   daily_net_inflation
@@ -41,6 +44,14 @@ object ModelRegistry {
   val kreDag: Seq[ModelDef] = Seq(
     ModelDef("fact_txn", Cadence.Daily, Seq("events"),
       (_, resolve) => TxnModels.factTxnFrom(resolve("events"))),
+    // THE shared intermediate of the actives family: the deduped
+    // flagged (date, app, wallet) grid. Rows are within-day aggregates
+    // keyed by date_key, so the daily watermark append is exact; every
+    // rolling-actives consumer below reads this materialized table
+    // instead of re-deduping the fact.
+    ModelDef("app_activity_grid", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        CompositeModels.appActivityGridFrom(resolve("fact_txn"))),
     ModelDef("closing_balance", Cadence.Daily, Seq("events"),
       (_, resolve) => ActivityModels.closingBalanceFrom(resolve("events"))),
     ModelDef("volatility_factor", Cadence.Daily, Seq("fact_txn"),
@@ -105,9 +116,10 @@ object ModelRegistry {
       (_, resolve) => ActivityModels.amountHistogramFrom(resolve("fact_txn"))),
     ModelDef("daily_active_union", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) => ActivityModels.dailyActiveUnionFrom(resolve("fact_txn"))),
-    ModelDef("monthly_active_accounts", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) =>
-        CompositeModels.monthlyActiveAccountsFrom(resolve("fact_txn"))),
+    ModelDef("monthly_active_accounts", Cadence.Daily,
+      Seq("app_activity_grid"),
+      (_, resolve) => CompositeModels.activeAccountsAppFromGrid(
+        resolve("app_activity_grid"), 29)),
     ModelDef("balance_buckets", Cadence.Daily, Seq("closing_balance"),
       (_, resolve) =>
         ActivityModels.balanceBucketsFrom(resolve("closing_balance"))),
@@ -121,10 +133,11 @@ object ModelRegistry {
         resolve("daily_churn_volume"))),
     // --- api mart ---
     ModelDef("daily_kre_summary", Cadence.Daily,
-      Seq("fact_txn", "active_user_balance", "volatility_factor",
-        "daily_payout"),
+      Seq("fact_txn", "app_activity_grid", "active_user_balance",
+        "volatility_factor", "daily_payout"),
       (_, resolve) => CompositeModels.dailyKreSummaryFrom(
-        resolve("fact_txn"), resolve("active_user_balance"),
+        resolve("fact_txn"), resolve("app_activity_grid"),
+        resolve("active_user_balance"),
         resolve("volatility_factor"), resolve("daily_payout"))),
     // --- remaining reference families (VERDICT r2 gap #1) ---
     // app summary decorated with the app dim — daily_kin_transactions'
@@ -177,27 +190,31 @@ object ModelRegistry {
       fullRefresh = true),
     // ecosystem-grain activity family —
     // {daily,weekly,monthly}_active_accounts_ecosystem.sql
-    ModelDef("daily_active_ecosystem", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) =>
-        EcosystemModels.activeEcosystemFrom(resolve("fact_txn"), 0)),
-    ModelDef("weekly_active_ecosystem", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) =>
-        EcosystemModels.activeEcosystemFrom(resolve("fact_txn"), 6)),
-    ModelDef("monthly_active_ecosystem", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) =>
-        EcosystemModels.activeEcosystemFrom(resolve("fact_txn"), 29)),
+    ModelDef("daily_active_ecosystem", Cadence.Daily,
+      Seq("app_activity_grid"),
+      (_, resolve) => EcosystemModels.activeEcosystemFromGrid(
+        resolve("app_activity_grid"), 0)),
+    ModelDef("weekly_active_ecosystem", Cadence.Daily,
+      Seq("app_activity_grid"),
+      (_, resolve) => EcosystemModels.activeEcosystemFromGrid(
+        resolve("app_activity_grid"), 6)),
+    ModelDef("monthly_active_ecosystem", Cadence.Daily,
+      Seq("app_activity_grid"),
+      (_, resolve) => EcosystemModels.activeEcosystemFromGrid(
+        resolve("app_activity_grid"), 29)),
     // wide ecosystem API row — daily_summary_ecosystem.sql
     ModelDef("daily_summary_ecosystem", Cadence.Daily,
-      Seq("fact_txn", "volatility_factor"),
+      Seq("fact_txn", "app_activity_grid", "volatility_factor"),
       (_, resolve) => EcosystemModels.dailySummaryEcosystemFrom(
-        resolve("fact_txn"), resolve("volatility_factor"))),
+        resolve("fact_txn"), resolve("app_activity_grid"),
+        resolve("volatility_factor"))),
     // wide per-app API row — daily_summary_by_app.sql (the row the
     // dailySummaryApp serving table replicates)
     ModelDef("daily_summary_by_app", Cadence.Daily,
-      Seq("fact_txn", "volatility_factor", AppDim),
+      Seq("fact_txn", "app_activity_grid", "volatility_factor", AppDim),
       (_, resolve) => EcosystemModels.dailySummaryByAppFrom(
-        resolve("fact_txn"), resolve("volatility_factor"),
-        resolve(AppDim))),
+        resolve("fact_txn"), resolve("app_activity_grid"),
+        resolve("volatility_factor"), resolve(AppDim))),
     // weekly payout API row — weekly_kre_payout_summary.sql (the row the
     // krePayoutSummary serving table replicates)
     ModelDef("weekly_kre_payout_summary", Cadence.Weekly,
@@ -255,12 +272,14 @@ object ModelRegistry {
       (_, resolve) => AccountModels.accountSummaryFrom(
         resolve("creates_by_segment"), byApp = false)),
     // --- app-grain actives completing the active-accounts grid
-    ModelDef("daily_active_accounts_app", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) =>
-        CompositeModels.activeAccountsAppFrom(resolve("fact_txn"), 0)),
-    ModelDef("weekly_active_accounts_app", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) =>
-        CompositeModels.activeAccountsAppFrom(resolve("fact_txn"), 6)))
+    ModelDef("daily_active_accounts_app", Cadence.Daily,
+      Seq("app_activity_grid"),
+      (_, resolve) => CompositeModels.activeAccountsAppFromGrid(
+        resolve("app_activity_grid"), 0)),
+    ModelDef("weekly_active_accounts_app", Cadence.Daily,
+      Seq("app_activity_grid"),
+      (_, resolve) => CompositeModels.activeAccountsAppFromGrid(
+        resolve("app_activity_grid"), 6)))
 
   /** The reference's 13 zero-copy clone publications
     * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
