@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, IntegerType}
@@ -37,6 +37,19 @@ import org.apache.spark.sql.types.{DateType, IntegerType}
   * d+k2 ≤ a ≤ d+k1 ⟺ the original bounds); extra conjuncts in the
   * original condition are preserved on the rewritten join. Fan-out is
   * the constant k1−k2+1 — linear shuffle volume, never a nested loop.
+  *
+  * OUTER joins rewrite when the date-carrying side `d` is the join's
+  * NON-preserved side — the reference's own left-range shape
+  * (`daily_active_user_balance_by_app.sql:47-49`: anchors LEFT JOIN
+  * balance rows on `bal.date_key BETWEEN a−29 AND a`). Exploded copies
+  * of an inner-side row that match nothing are simply dropped, and a
+  * preserved row with no match in its window null-extends exactly once
+  * — multiplicity is untouched, no collapse step needed. When `d` sits
+  * on the PRESERVED side the rewrite is unsound as-is (a preserved row
+  * whose window matches on some anchors but not others would emit
+  * spurious null-extended copies; collapsing them needs a row identity
+  * the plan doesn't carry), so that shape — absent from the reference
+  * corpus — is left to Spark's nested-loop plan.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -71,8 +84,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** A join type this rule can rewrite with the date side `dOnLeft`:
+    * inner always; an outer join only when the exploding (date) side is
+    * its non-preserved side (see scaladoc — exploding a preserved side
+    * breaks the one-null-row-per-unmatched multiplicity). */
+  private def rewritable(jt: JoinType, dOnLeft: Boolean): Boolean =
+    jt match {
+      case Inner => true
+      case LeftOuter => !dOnLeft
+      case RightOuter => dOnLeft
+      case _ => false
+    }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, jt @ (Inner | LeftOuter | RightOuter),
+        Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val rewritten = for {
         lo <- conjuncts
@@ -86,6 +112,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // d and a must come from opposite sides
         if (left.outputSet.contains(d1) && right.outputSet.contains(a1)) ||
           (right.outputSet.contains(d1) && left.outputSet.contains(a1))
+        if rewritable(jt, left.outputSet.contains(d1))
       } yield {
         val dOnLeft = left.outputSet.contains(d1)
         val (dSide, aSide) = if (dOnLeft) (left, right) else (right, left)
@@ -101,8 +128,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val rest = conjuncts.filter(c => (c ne lo) && (c ne hi))
         val newCond = (EqualTo(anchor, a1) +: rest).reduce(And)
         val newJoin =
-          if (dOnLeft) Join(generate, aSide, Inner, Some(newCond), hint)
-          else Join(aSide, generate, Inner, Some(newCond), hint)
+          if (dOnLeft) Join(generate, aSide, jt, Some(newCond), hint)
+          else Join(aSide, generate, jt, Some(newCond), hint)
         // restore the original output (drop the generated anchor column)
         Project(j.output, newJoin)
       }

@@ -96,6 +96,68 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  // the reference's left-range shape (daily_active_user_balance_by_app
+  // .sql:47-49): preserved anchors LEFT JOIN date-carrying rows. The
+  // 100.. anchors sit past the price calendar, so they must survive as
+  // exactly one null-extended row each.
+  private def anchorsWithGap: DataFrame =
+    ((30 until 60) ++ (100 until 105)).map(i => Tuple1(day(i)))
+      .toDF("anchor_date")
+
+  private def naiveLeftRangeJoin(): DataFrame =
+    anchorsWithGap.join(price,
+      $"date_key" >= date_sub($"anchor_date", 29) &&
+        $"date_key" <= $"anchor_date",
+      "left")
+
+  test("LEFT range join rewrites when the date side is non-preserved") {
+    val before = naiveLeftRangeJoin()
+    assert(before.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expected = before.collect().map(_.toString).sorted.toSeq
+    withRule {
+      val after = naiveLeftRangeJoin()
+      val phys = after.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"), phys)
+      assert(phys.contains("Generate"), phys)
+      assert(after.collect().map(_.toString).sorted.toSeq == expected)
+      // 30 matched anchors × 30-day window + 5 unmatched anchors kept
+      // as exactly one null-extended row each
+      assert(after.count() == 30L * 30L + 5L)
+    }
+  }
+
+  test("RIGHT range join rewrites when the date side is non-preserved") {
+    val naive = () => price.join(anchorsWithGap,
+      $"date_key" >= date_sub($"anchor_date", 29) &&
+        $"date_key" <= $"anchor_date",
+      "right")
+    val expected = naive().collect().map(_.toString).sorted.toSeq
+    withRule {
+      val after = naive()
+      val phys = after.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"), phys)
+      assert(after.collect().map(_.toString).sorted.toSeq == expected)
+    }
+  }
+
+  test("outer range join with the date on the PRESERVED side stays put") {
+    // exploding the preserved side would emit spurious null-extended
+    // copies for partially-matched rows — the rule must not touch it
+    val naive = () => price.join(anchors,
+      $"date_key" >= date_sub($"anchor_date", 29) &&
+        $"date_key" <= $"anchor_date",
+      "left")
+    val expected = naive().collect().map(_.toString).sorted.toSeq
+    withRule {
+      val after = naive()
+      assert(!after.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(after.collect().map(_.toString).sorted.toSeq == expected)
+    }
+  }
+
   test("non-range joins and open-ended ranges are left untouched") {
     withRule {
       // plain equi join: no Generate must appear
