@@ -30,9 +30,12 @@ object Tables {
     if (raw.schema("ts").dataType == LongType)
       // integer `div`, NOT `/`: long/long plans as DOUBLE division, and
       // doubles can't hold 1.7e18 nanos — epoch timestamps came back ±1µs
-      // (caught by q44's microsecond-exact session algebra). `div` floors
-      // exactly like DuckDB's epoch_us over TIMESTAMP_NS.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // (caught by q44's microsecond-exact session algebra). `div` alone
+      // truncates toward zero while DuckDB's epoch_us FLOORS, so correct
+      // the remainder for negative (pre-1970) nanos; the correction is 0
+      // for every non-negative ts, keeping current fixtures bit-identical.
+      raw.withColumn("ts", timestamp_micros(
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
     else raw
   }
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

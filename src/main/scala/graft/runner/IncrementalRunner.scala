@@ -159,7 +159,10 @@ final class IncrementalRunner(
   /** Repair: delete target rows with `date_key >= cutoff` (cadence-
     * truncated, as `incremental_cleanup.py:30-35` does), so the next
     * incremental run re-fills. Append-only models are skipped
-    * (`incremental_cleanup.py:78`).
+    * (`incremental_cleanup.py:78`). Returns true only when partitions
+    * were actually deleted — a missing/empty target or a cutoff past
+    * every partition reports false, so `cleanupFromDate`'s result map
+    * reflects real deletions.
     *
     * Scale: targets are partitioned by `date_key`, so the delete is a
     * PARTITION-DIRECTORY drop — O(partitions at/after the cut), zero
@@ -182,13 +185,25 @@ final class IncrementalRunner(
       f.delete(): Unit
     }
     val root = new java.io.File(targetPath(m.name))
-    val partDirs = Option(root.listFiles()).getOrElse(Array.empty)
+    val allPartDirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("date_key="))
-    val doomed = partDirs.filter { d =>
-      !LocalDate.parse(d.getName.stripPrefix("date_key="))
-        .isBefore(truncated)
+    // a target with zero partition dirs is the empty schema-bearing
+    // marker — nothing to delete, report no repair happened
+    if (allPartDirs.isEmpty) return false
+    // tolerate partition values that aren't ISO dates (a null date_key's
+    // __HIVE_DEFAULT_PARTITION__, or externally-written dirs): they can
+    // never be ≥ a date cutoff, so skip them instead of aborting the
+    // whole registry-wide cleanup on an unparseable name
+    val partDirs = allPartDirs.flatMap { d =>
+      scala.util.Try(
+        LocalDate.parse(d.getName.stripPrefix("date_key=")))
+        .toOption.map(d -> _)
     }
-    if (doomed.length == partDirs.length) {
+    val doomed = partDirs.collect {
+      case (d, date) if !date.isBefore(truncated) => d
+    }
+    if (doomed.isEmpty) return false
+    if (doomed.length == allPartDirs.length) {
       // repair empties the table: a partition dir with no data files is
       // unreadable, so fall back to a schema-bearing empty target (the
       // same shape runIncremental's empty first run writes)

@@ -281,6 +281,28 @@ object ModelRegistry {
       (_, resolve) => CompositeModels.activeAccountsAppFromGrid(
         resolve("app_activity_grid"), 6)))
 
+  /** OPT-IN sketch tier — the 100 TB rolling-actives architecture
+    * (`models/SketchModels.scala`) run under the runner's
+    * watermark/closed-period/repair semantics. Not part of [[kreDag]]
+    * (estimates are approximate; the exact models above remain the
+    * correctness surface — same layering as s01 ↔ s02/s03): append it
+    * explicitly, `runner.runAll(ModelRegistry.kreDag ++
+    * ModelRegistry.sketchDag, …)`.
+    *
+    * Layer 1 appends |apps| kilobyte sketch rows per day (within-day
+    * aggregates keyed by date_key → exact watermark appends); layer 2
+    * re-estimates rolling windows from the materialized sketch table —
+    * a daily 30-day MAU refresh reads 30×|apps| KB rows instead of
+    * 30 days of raw events.
+    */
+  val sketchDag: Seq[ModelDef] = Seq(
+    ModelDef("daily_active_sketches", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => SketchModels.dailyActiveSketches(resolve("fact_txn"))),
+    ModelDef("monthly_active_estimates", Cadence.Daily,
+      Seq("daily_active_sketches"),
+      (_, resolve) => SketchModels.rollingFromSketches(
+        resolve("daily_active_sketches"), 29)))
+
   /** The reference's 13 zero-copy clone publications
     * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
     * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a

@@ -138,6 +138,34 @@ class IncrementalRunnerSpec extends AnyFunSuite {
     assert(r.watermark("daily_totals") == "2024-01-08") // untouched
   }
 
+  test("repair tolerates non-date partition dirs and no-op cutoffs") {
+    val wh = tmpDir()
+    val m = dailyModel(() => sourceDf(10))
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    r.runIncremental(m, _ => sourceDf(10))
+    // an externally-written non-ISO partition value must not abort the
+    // repair (it is skipped, never deleted)
+    val alien = new java.io.File(
+      r.targetPath("daily_totals"), "date_key=__HIVE_DEFAULT_PARTITION__")
+    assert(alien.mkdir())
+    assert(r.repair(m, LocalDate.parse("2024-01-05")))
+    assert(alien.exists())
+    assert(r.watermark("daily_totals") == "2024-01-04")
+    // a cutoff past every partition deletes nothing → reports false
+    assert(!r.repair(m, LocalDate.parse("2025-06-01")))
+  }
+
+  test("repair of an empty schema-bearing target reports false") {
+    val wh = tmpDir()
+    // today = start of data → zero closed periods → empty marker target
+    val m = dailyModel(() => sourceDf(10))
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-01"))
+    assert(r.runIncremental(m, _ => sourceDf(10)) == 0)
+    assert(!r.repair(m, LocalDate.parse("2024-01-01")))
+    // the marker stays readable afterwards
+    assert(r.readModel("daily_totals").count() == 0)
+  }
+
   test("cadence manifests run only their models, reading cross-cadence targets") {
     val wh = tmpDir()
     val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-15"))

@@ -68,7 +68,7 @@ class ModelDagSpec extends AnyFunSuite {
   // (per-day hash aggregates over the same inputs); running all 47
   // through three DAG builds tripled suite time for no new evidence.
   private val convergenceSubset = Set(
-    "fact_txn", "closing_balance", "volatility_factor",
+    "fact_txn", "app_activity_grid", "closing_balance", "volatility_factor",
     "active_user_balance", "daily_payout", "weekly_payout",
     "daily_txn_summary", "daily_churn_volume", "daily_net_inflation",
     "monthly_active_accounts", "weekly_top_apps_json", "monthly_txn_rollup",
@@ -100,5 +100,28 @@ class ModelDagSpec extends AnyFunSuite {
       assert(tableHash(r2.readModel(m)) == tableHash(rf.readModel(m)),
         s"model $m diverged between incremental and full refresh")
     }
+  }
+
+  test("opt-in sketch tier runs under the runner; incremental ≡ full on estimates") {
+    // the 100 TB MAU path: layer 1 appends per-day sketch rows under the
+    // daily watermark, layer 2 re-estimates rolling windows from the
+    // materialized sketch table. HLL registers are set-based (insertion-
+    // order independent), so a two-step incremental build must produce
+    // the same estimates as one full build.
+    val dag = ModelRegistry.kreDag.filter(_.name == "fact_txn") ++
+      ModelRegistry.sketchDag
+    val whInc = Files.createTempDirectory("graft-sketch-inc").toString
+    val whFull = Files.createTempDirectory("graft-sketch-full").toString
+    val r1 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-01-20"))
+    r1.runAll(dag, sources)
+    val r2 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-02-05"))
+    val appended = r2.runAll(dag, sources)
+    assert(appended("daily_active_sketches") > 0)
+    assert(appended("monthly_active_estimates") > 0)
+    val rf = new IncrementalRunner(spark, whFull, LocalDate.parse("2024-02-05"))
+    rf.runAll(dag, sources)
+    val inc = r2.readModel("monthly_active_estimates")
+    assert(inc.count() > 0)
+    assert(tableHash(inc) == tableHash(rf.readModel("monthly_active_estimates")))
   }
 }
