@@ -10,20 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // engine-wide planner extension (see Verify) — identical session shape
-    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
-    // native SQL surface (float_dot) — same codegen path as the typed API
-    graft.functions.GraftFunctions.register(spark)
+    val spark = GraftSession.create(s"local[$cpus]", cpus.toInt, "graft-bench")
     // warmup: JIT + codegen + parquet reader + shuffle machinery
     spark.range(2000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")

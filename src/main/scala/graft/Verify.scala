@@ -7,25 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it only as
-      // long under this flag (graft.catalog.Tables.events normalizes back).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // explicit (Spark 4 defaults): runtime re-planning + skew-join
-      // splitting — hot wallets/apps are skewed keys (SURVEY §7.4.5)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // engine-wide planner extension: constant-width date-BETWEEN joins
-    // rewrite to explode-to-equi (identity-preserving; RangeJoinRewriteSpec)
-    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
-    // native SQL surface (float_dot) — same codegen path as the typed API
-    graft.functions.GraftFunctions.register(spark)
+    val spark = GraftSession.create(s"local[$cpus]", cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
     // dev aid (mirrors Bench): SPARK_GRAFT_ONLY=c01_x,c02_y restricts the
     // dump — the driver doesn't set it, so driver runs cover every query

@@ -2,6 +2,7 @@ package graft.tools
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import graft.GraftSession
 
 /** Dev drive: bucketed tables make the fact⋈fact join shuffle-free.
   *
@@ -16,14 +17,12 @@ object BucketingDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val wh = Files.createTempDirectory("graft-bucket-wh").toString
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.install(GraftSession.configure(
+      SparkSession.builder().master("local[8]")
+        .appName("graft-bucketingdemo"), 8)
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

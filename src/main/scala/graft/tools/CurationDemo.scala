@@ -2,6 +2,7 @@ package graft.tools
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+import graft.GraftSession
 import graft.runner.CurationPipeline
 
 /** Dev drive of the curated-corpus build over real test data: one
@@ -12,14 +13,7 @@ import graft.runner.CurationPipeline
 object CurationDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create("local[4]", 4, "graft-curationdemo")
 
     val wh = Files.createTempDirectory("graft-curation-demo").toString
     val report = new CurationPipeline(spark, wh).run(sfDir)

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.GraftSession
 import org.apache.spark.sql.functions._
 import graft.plans.RangeJoinRewrite
 
@@ -11,10 +12,11 @@ import graft.plans.RangeJoinRewrite
   */
 object RangeJoinBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    // this demo measures the rule OFF vs ON, so it manages
+    // extraOptimizations itself — configure() only, no install()
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
+      .appName("graft-rangejoinbench"), 8)
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")

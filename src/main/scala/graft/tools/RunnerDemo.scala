@@ -3,6 +3,7 @@ package graft.tools
 import java.nio.file.Files
 import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
+import graft.GraftSession
 import org.apache.spark.sql.functions._
 import graft.runner._
 
@@ -13,14 +14,7 @@ import graft.runner._
 object RunnerDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create("local[4]", 4, "graft-runnerdemo")
     import spark.implicits._
 
     val wh = Files.createTempDirectory("graft-demo-wh").toString

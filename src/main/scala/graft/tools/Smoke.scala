@@ -1,18 +1,12 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.GraftSession
 
 /** Dev smoke: replicates the driver's t1 check (SparkEntry.entry rows>0). */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create("local[4]", 4, "graft-smoke")
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)
