@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus a decode → feature-extract stage.
   *
-  * The decode step is a STUB (this container has no image/audio codecs):
-  * `fakeDecode` derives deterministic pseudo-metadata from the bytes'
-  * md5. The Spark-side plumbing is real and is what a production decoder
-  * would drop into: a typed Dataset, `mapPartitions` for per-partition
-  * batch processing (the Scala analog of `mapInPandas` — one iterator
-  * per partition so a decoder can amortize model/codec init), and a
-  * binary+metadata schema.
+  * The decode step parses REAL image headers in pure JVM —
+  * [[headerDecode]] reads PNG IHDR and JPEG SOF frame headers
+  * (width/height/channels from the first bytes; no codec needed) — and
+  * falls back to [[fakeDecode]]'s deterministic pseudo-metadata for
+  * payloads that aren't recognizable images (the text-byte fixtures of
+  * m02/m03). Full pixel decode/resample still needs a codec library
+  * this container doesn't ship; the Spark-side plumbing is what a
+  * production decoder drops into: a typed Dataset, `mapPartitions` for
+  * per-partition batch processing (the Scala analog of `mapInPandas` —
+  * one iterator per partition so a decoder can amortize model/codec
+  * init), and a binary+metadata schema.
   *
   * Scale: decode is embarrassingly parallel over partitions; binary
   * payloads never shuffle (features are extracted before any wide op),
@@ -29,9 +33,55 @@ object MultimodalOps {
       doc_id: Long, format: String, byte_len: Int,
       width: Int, height: Int, channels: Int)
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * A production build replaces ONLY this function (same signature):
-    * bytes in, dimensions out.
+  /** Pure-JVM image header parse: (width, height, channels) from the
+    * leading bytes of a PNG (signature + IHDR chunk: width/height at
+    * offsets 16/20, color type at 25) or JPEG (marker walk to the first
+    * SOFn frame header). None for anything unrecognizable — callers
+    * fall back to [[fakeDecode]]. This is the real decode a metadata
+    * summary needs; pixel data is never touched.
+    */
+  def headerDecode(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length >= 26 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(b, 12, 4, "US-ASCII") == "IHDR") {
+      // color type → samples per pixel (PNG spec §4.1.1)
+      val channels = u8(25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return None
+      }
+      Some((be32(16), be32(20), channels))
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG segments to the first SOFn (frame) header
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          i += 2 // standalone markers carry no length field
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn payload: len(2) precision(1) height(2) width(2) ncomp(1)
+          if (i + 9 >= b.length) return None
+          return Some((be16(i + 7), be16(i + 5), u8(i + 9)))
+        } else {
+          i += 2 + be16(i + 2)
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Fallback decoder for non-image payloads — deterministic
+    * pseudo-metadata from the bytes' md5, standing in for codecs (audio
+    * duration, video streams) the container doesn't ship.
     */
   def fakeDecode(media: Array[Byte]): (Int, Int, Int) = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(media)
@@ -39,9 +89,15 @@ object MultimodalOps {
     (64 + u(0) * 8, 64 + u(1) * 8, if (u(2) % 2 == 0) 3 else 1)
   }
 
+  /** The decode entry used by [[decodeFeatures]]: real header parse
+    * first, md5 fallback for unrecognized payloads. */
+  def decode(media: Array[Byte]): (Int, Int, Int) =
+    headerDecode(media).getOrElse(fakeDecode(media))
+
   /** Lift the documents table into a media table: text bytes as the
-    * opaque payload (the fixture has no real images; the schema and
-    * partition behavior are what's under test).
+    * opaque payload (non-image payloads exercise the fakeDecode
+    * fallback; the schema and partition behavior are what's under
+    * test for m02/m03).
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -49,6 +105,78 @@ object MultimodalOps {
       .select($"doc_id", encode($"text", "UTF-8").as("media"),
         concat(lit("fake/"), $"lang").as("format"))
       .as[MediaRecord]
+  }
+
+  // ---- deterministic image-binary generators (the m01 fixture) -----
+  // Real, spec-valid headers assembled byte-by-byte in pure JVM. Pixel
+  // payloads are empty/absent (header parsing never reads them), which
+  // also makes every generated file a CONSTANT size per format — the
+  // property the DuckDB oracle's byte accounting relies on.
+
+  private def beInt(v: Int): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngChunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(payload)
+    beInt(payload.length) ++ tb ++ payload ++ beInt(crc.getValue.toInt)
+  }
+
+  /** A minimal valid PNG: signature, IHDR with the given dims/color
+    * type, an IDAT holding the fixed 8-byte zlib stream for empty input,
+    * IEND. Always [[PngBytesLen]] (65) bytes. */
+  def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdr = beInt(w) ++ beInt(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val emptyZlib = Array(0x78, 0x9c, 0x03, 0x00, 0x00, 0x00, 0x00, 0x01)
+      .map(_.toByte)
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", emptyZlib) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** A minimal valid JPEG: SOI, JFIF APP0, an SOF0 frame header with
+    * the given dims and 3 components, EOI. Always [[JpegBytesLen]] (41)
+    * bytes. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def m(a: Int, b: Int) = Array(a.toByte, b.toByte)
+    val app0 = m(0xff, 0xe0) ++ m(0x00, 0x10) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = m(0xff, 0xc0) ++ m(0x00, 0x11) ++ Array[Byte](8) ++
+      m(h >>> 8, h & 0xff) ++ m(w >>> 8, w & 0xff) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)
+    m(0xff, 0xd8) ++ app0 ++ sof0 ++ m(0xff, 0xd9)
+  }
+
+  /** Generated-file sizes — the oracle-side byte-accounting constants
+    * (pinned by MultimodalSpec). */
+  val PngBytesLen = 65
+  val JpegBytesLen = 41
+
+  /** m01's media table: one REAL image binary per document, with
+    * dimensions and format derived from doc_id ALONE —
+    * `w = 16 + id%64`, `h = 16 + (id/7)%64`, `id%3 ∈` {RGB PNG,
+    * grayscale PNG, JPEG} — so the DuckDB oracle recomputes the
+    * expected metadata arithmetically while the Spark side actually
+    * PARSES it back out of the bytes it generated.
+    */
+  def imageTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val w = 16 + (id % 64).toInt
+        val h = 16 + ((id / 7) % 64).toInt
+        (id % 3) match {
+          case 0 => MediaRecord(id, pngBytes(w, h, 2), "image/png")
+          case 1 => MediaRecord(id, pngBytes(w, h, 0), "image/png")
+          case _ => MediaRecord(id, jpegBytes(w, h), "image/jpeg")
+        }
+      }
   }
 
   /** Decode + feature-extract via mapPartitions: the iterator shape lets
@@ -61,20 +189,14 @@ object MultimodalOps {
     ds.mapPartitions { it =>
       // per-partition init would go here (codec/context setup)
       it.map { r =>
-        val (w, h, c) = fakeDecode(r.media)
+        val (w, h, c) = decode(r.media)
         MediaFeatures(r.doc_id, r.format, r.media.length, w, h, c)
       }
     }
   }
 
-  /** m01: per-format media metadata summary. The md5-derived fake dims
-    * are reproduced in pure SQL so the whole pipeline (binary encode →
-    * "decode" → aggregate) stays oracle-checkable; `decodeFeatures`
-    * computes the same values through the mapPartitions path (asserted
-    * equal in MultimodalSpec).
-    */
   /** The SQL replay of `fakeDecode` over the media table — (doc_id,
-    * lang, byte_len, width, height, channels) — shared by m01 and m03.
+    * lang, byte_len, width, height, channels) — the m03 fixture path.
     */
   private def decodedMediaSql(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -96,10 +218,17 @@ object MultimodalOps {
           hexVal(substring($"h", 6, 1))) % 2 === 0, 3).otherwise(1))
   }
 
+  /** m01: per-format media metadata summary over REAL image binaries —
+    * generate ([[imageTable]]), parse the headers back out through the
+    * mapPartitions decode path ([[decodeFeatures]] → [[headerDecode]]),
+    * aggregate. The oracle recomputes the same metadata from
+    * imageTable's doc_id arithmetic (dims) and the constant generated
+    * file sizes — DuckDB never needs to parse a PNG.
+    */
   def mediaMetaSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    decodedMediaSql(spark, sfDir)
-      .groupBy(concat(lit("fake/"), $"lang").as("format"))
+    decodeFeatures(imageTable(spark, sfDir))
+      .groupBy($"format")
       .agg(count(lit(1)).as("media_count"),
         sum($"byte_len").cast(LongType).as("total_bytes"),
         sum($"width").cast(LongType).as("width_sum"),
@@ -239,27 +368,26 @@ object MultimodalOps {
        |         AS landscape_count
        |FROM resized GROUP BY 1""".stripMargin
 
+  /** The arithmetic twin of [[imageTable]] + [[headerDecode]]: dims
+    * replay the doc_id derivation, byte lengths are the constant
+    * generated-file sizes (65 PNG / 41 JPEG, pinned in
+    * MultimodalSpec). */
   val mediaMetaSummaryOracle: String =
-    """WITH media AS (
-      |  SELECT doc_id, lang, encode(text) AS media,
-      |         octet_length(encode(text)) AS byte_len,
-      |         md5(text) AS h
-      |  FROM documents),
-      |decoded AS (
-      |  SELECT lang, byte_len,
-      |         64 + ((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16 +
-      |               (strpos('0123456789abcdef', substr(h,2,1)) - 1)) * 8 AS width,
-      |         64 + ((strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16 +
-      |               (strpos('0123456789abcdef', substr(h,4,1)) - 1)) * 8 AS height,
-      |         CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1)) - 1) * 16 +
-      |                    (strpos('0123456789abcdef', substr(h,6,1)) - 1)) % 2 = 0
-      |              THEN 3 ELSE 1 END AS channels
-      |  FROM media)
-      |SELECT 'fake/' || lang AS format,
-      |       count(*) AS media_count,
-      |       cast(sum(byte_len) AS BIGINT) AS total_bytes,
-      |       cast(sum(width) AS BIGINT) AS width_sum,
-      |       cast(sum(height) AS BIGINT) AS height_sum,
-      |       cast(sum(channels) AS BIGINT) AS channel_sum
-      |FROM decoded GROUP BY 1""".stripMargin
+    s"""WITH img AS (
+       |  SELECT doc_id,
+       |         16 + (doc_id % 64) AS width,
+       |         16 + ((doc_id // 7) % 64) AS height,
+       |         CASE WHEN doc_id % 3 = 2 THEN 'image/jpeg'
+       |              ELSE 'image/png' END AS format,
+       |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
+       |         CASE WHEN doc_id % 3 = 2 THEN $JpegBytesLen
+       |              ELSE $PngBytesLen END AS byte_len
+       |  FROM documents)
+       |SELECT format,
+       |       count(*) AS media_count,
+       |       cast(sum(byte_len) AS BIGINT) AS total_bytes,
+       |       cast(sum(width) AS BIGINT) AS width_sum,
+       |       cast(sum(height) AS BIGINT) AS height_sum,
+       |       cast(sum(channels) AS BIGINT) AS channel_sum
+       |FROM img GROUP BY 1""".stripMargin
 }

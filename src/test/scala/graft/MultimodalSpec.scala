@@ -12,21 +12,59 @@ class MultimodalSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
-  test("mapPartitions decode path matches the SQL fake-decode exactly") {
+  test("headerDecode parses real PNG and JPEG headers (pure JVM)") {
+    // generated images round-trip: dims parsed back out of the bytes
+    assert(MultimodalOps.headerDecode(
+      MultimodalOps.pngBytes(640, 480, 2)) == Some((640, 480, 3)))
+    assert(MultimodalOps.headerDecode(
+      MultimodalOps.pngBytes(31, 17, 0)) == Some((31, 17, 1)))
+    assert(MultimodalOps.headerDecode(
+      MultimodalOps.pngBytes(5, 9, 6)) == Some((5, 9, 4)))
+    assert(MultimodalOps.headerDecode(
+      MultimodalOps.jpegBytes(800, 600)) == Some((800, 600, 3)))
+    // a REAL png from the wild: the canonical 1×1 transparent PNG
+    // (RGBA, color type 6) every image toolchain emits
+    val onePixel = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk" +
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(MultimodalOps.headerDecode(onePixel) == Some((1, 1, 4)))
+    // non-images miss and fall back to the deterministic stub
+    val text = "not an image".getBytes("UTF-8")
+    assert(MultimodalOps.headerDecode(text).isEmpty)
+    assert(MultimodalOps.decode(text) == MultimodalOps.fakeDecode(text))
+  }
+
+  test("generated file sizes match the oracle's byte-accounting constants") {
+    assert(MultimodalOps.pngBytes(16, 16, 2).length ==
+      MultimodalOps.PngBytesLen)
+    assert(MultimodalOps.pngBytes(4096, 4096, 0).length ==
+      MultimodalOps.PngBytesLen)
+    assert(MultimodalOps.jpegBytes(16, 16).length ==
+      MultimodalOps.JpegBytesLen)
+    assert(MultimodalOps.jpegBytes(4096, 4096).length ==
+      MultimodalOps.JpegBytesLen)
+  }
+
+  test("m01 parses headers back out of generated binaries (round-trip)") {
     val sfDir = "/root/testdata/sf0.001"
-    val viaDs = MultimodalOps.decodeFeatures(
-      MultimodalOps.mediaTable(spark, sfDir))
+    // expected metadata straight from the doc_id arithmetic, no parsing
+    val expected = graft.catalog.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "16 + (doc_id % 64) AS width",
+        "16 + ((doc_id div 7) % 64) AS height",
+        "CASE WHEN doc_id % 3 = 2 THEN 'image/jpeg' ELSE 'image/png' END AS format",
+        "CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels")
       .groupBy($"format")
       .agg(count(lit(1)).as("media_count"),
-        sum($"byte_len".cast("long")).as("total_bytes"),
         sum($"width".cast("long")).as("width_sum"),
         sum($"height".cast("long")).as("height_sum"),
         sum($"channels".cast("long")).as("channel_sum"))
-    val viaSql = MultimodalOps.mediaMetaSummary(spark, sfDir)
-    val a = viaDs.orderBy($"format").collect().map(_.toSeq).toSeq
-    val b = viaSql.orderBy($"format").collect().map(_.toSeq).toSeq
+    val actual = MultimodalOps.mediaMetaSummary(spark, sfDir)
+      .drop("total_bytes")
+    val a = actual.orderBy($"format").collect().map(_.toSeq).toSeq
+    val b = expected.orderBy($"format").collect().map(_.toSeq).toSeq
     assert(a == b)
-    assert(a.nonEmpty)
+    assert(a.size == 2) // png + jpeg
   }
 
   test("typed resize plan matches the SQL replay (m03)") {
