@@ -52,14 +52,14 @@ object CurationModels {
 
   /** The held-out "benchmark" slice of the fixture: one source column
     * value — deterministic and non-empty at every SF. */
-  private val EvalSource = "src0"
+  private[graft] val EvalSource = "src0"
   private val N = 5 // word n-gram width for containment
 
   /** Distinct (doc_id, source, gram-md5) triples; docs shorter than N
     * tokens carry no grams (nothing to match on). */
-  private def gramDf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
+  private[graft] def gramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"source", tokens($"text").as("toks"))
       .filter(size($"toks") >= N)
       .select($"doc_id", $"source",
@@ -68,6 +68,35 @@ object CurationModels {
             (0 until N).map(o => element_at($"toks", i + o)): _*))))
           .as("gram"))
       .distinct()
+  }
+
+  private def gramDf(spark: SparkSession, sfDir: String): DataFrame =
+    gramsOf(Tables.documents(spark, sfDir))
+
+  /** The distinct eval-slice gram set — the fixed reference an
+    * incremental curation run checks new documents against
+    * (`CurationPipeline` materializes it once at snapshot time). */
+  private[graft] def evalGramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    gramsOf(docs.filter($"source" === EvalSource))
+      .select($"gram").distinct()
+  }
+
+  /** Contamination of `corpusDocs` against a pre-built eval gram set —
+    * the incremental twin of [[decontamination]]'s hits/totals algebra
+    * (same flag rule; inner join, so only contaminated docs appear). */
+  private[graft] def contaminationOf(corpusDocs: DataFrame,
+      evalGrams: DataFrame): DataFrame = {
+    import corpusDocs.sparkSession.implicits._
+    val grams = gramsOf(corpusDocs)
+    val totals = grams.groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_ngrams"))
+    val hits = grams.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("hit_ngrams"))
+    totals.join(hits, Seq("doc_id"))
+      .withColumn("flagged", $"hit_ngrams" * 5 >= $"total_ngrams")
+      .select($"doc_id", $"flagged")
   }
 
   /** c01: corpus documents contaminated by eval n-grams — per flagged
@@ -142,14 +171,19 @@ object CurationModels {
     * engines, and partitionings (no RNG, no row order dependence);
     * sampling a petabyte is a stateless map over the corpus.
     */
-  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSampleFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized variant (stateless per-doc map — incremental
+    * runs feed only the NEW documents through it). */
+  def stratifiedSampleFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val hexVal: Column => Column =
       c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
     val threshold = Per256.foldRight(lit(DefaultPer256): Column) {
       case ((lang, t), acc) => when($"lang" === lang, lit(t)).otherwise(acc)
     }
-    Tables.documents(spark, sfDir)
+    docs
       .select($"doc_id", $"lang",
         md5($"doc_id".cast(StringType)).as("h"))
       .withColumn("bucket",
@@ -188,9 +222,14 @@ object CurationModels {
     * higher-order functions — the operator is a stateless map; at
     * 100 TB it pipelines inside the scan with no exchange at all.
     */
-  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionSignalsFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized variant (per-doc — incremental runs feed only
+    * the NEW documents through it). */
+  def repetitionSignalsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= 2)
       .withColumn("total_tokens", size($"toks").cast(LongType))
@@ -310,7 +349,7 @@ object CurationModels {
     * `PackShard` — every window partition is ≤ PackShard rows by
     * construction. */
   private val PackBudget = 256L
-  private val PackShard = 200L
+  private[graft] val PackShard = 200L
 
   /** c05: sequence-packing index — the GPT-pretraining packing stage as
     * a deterministic index. Documents are concatenated in stable
@@ -327,12 +366,19 @@ object CurationModels {
     * single-partition trap (offsets restart per shard, which is exactly
     * how a production packer shards work anyway).
     */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized variant — incremental packing re-runs this
+    * over ONLY the (lang, shard) streams new documents touched
+    * (offsets restart per shard, so untouched streams are immutable).
+    */
+  def packSequencesFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+    docs
       .select($"doc_id", $"lang",
         expr(s"doc_id div $PackShard").as("shard"),
         size(tokens($"text")).cast(LongType).as("n_tokens"))
@@ -388,11 +434,18 @@ object CurationModels {
     * hash joins on doc_id and one on the 32-hex fingerprint — all
     * shuffle-partitionable, nothing quadratic, no driver-side state.
     */
+  /** (doc_id, lang, source, fp) — the exact-dedup fingerprint the
+    * funnel (and the incremental pipeline's group bookkeeping) keys on.
+    */
+  private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"lang", $"source",
+      md5(normText($"text")).as("fp"))
+  }
+
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"lang", $"source",
-        md5(normText($"text")).as("fp"))
+    val docs = fingerprintsOf(Tables.documents(spark, sfDir))
     val canon = DedupModels.dedupExact(spark, sfDir)
       .select($"fingerprint".as("fp"), $"canonical_doc_id")
     val rep = repetitionSignals(spark, sfDir)

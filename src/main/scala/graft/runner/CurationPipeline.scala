@@ -1,8 +1,8 @@
 package graft.runner
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import graft.catalog.Tables
-import graft.models.CurationModels
+import graft.models.{CurationModels, DedupModels}
 
 /** The composed curated-corpus build — the LLM-training-data analog of
   * [[DailyPipeline]]: where the reference's manifest sequences
@@ -16,17 +16,39 @@ import graft.models.CurationModels
   * with every stage MATERIALIZED to the warehouse dir, so downstream
   * consumers (and re-runs, and the packing stage itself) read tables
   * instead of re-deriving plans — the same architecture the incremental
-  * runner gives the reference's model DAG. All three stages are CTAS
-  * overwrites: the documents snapshot has no date axis, so this is the
-  * reference's full-refresh branch, and every stage is deterministic
+  * runner gives the reference's model DAG. Every stage is deterministic
   * (md5-hash sampling, lexical tie-breaks), so a re-run over unchanged
   * input reproduces identical tables (CurationPipelineSpec).
+  *
+  * TWO RUN MODES, mirroring the runner's CTAS vs watermark semantics:
+  *
+  *  - [[run]] — full snapshot CTAS, which ALSO materializes the two
+  *    bookkeeping tables incremental runs need: `curation_groups`
+  *    (fingerprint → canonical doc) and `curation_eval_grams` (the
+  *    fixed benchmark gram set).
+  *  - [[runIncremental]] — a corpus is append-only: process ONLY the
+  *    documents above the doc_id watermark, derive their stage flags
+  *    (per-doc signals + contamination vs the materialized eval grams +
+  *    duplicate status vs the materialized fingerprint groups), append
+  *    their funnel rows and kept docs, and repack ONLY the
+  *    (lang, shard) streams the new docs touched (dynamic partition
+  *    overwrite — offsets restart per shard, so untouched streams are
+  *    provably unchanged).
+  *
+  * Why emitted verdicts are IMMUTABLE under this watermark: new doc_ids
+  * are strictly greater than every processed id, so a new member can
+  * never become its fingerprint group's canonical (min id) — old
+  * duplicate flags stand; per-doc signals (c02/c03) depend on nothing
+  * else; and the eval slice is a FIXED reference (new eval docs are
+  * rejected loudly — admitting them could flip old docs' contamination
+  * and would require a historical re-verdict, i.e. a fresh [[run]]).
   *
   * Scale: the funnel is doc-keyed joins over linear stage outputs; the
   * curated corpus is one hash semi-join of the raw snapshot against the
   * kept ids; packing reads the materialized curated table with
-  * shard-bounded window partitions. Nothing here holds state on the
-  * driver beyond the per-stage row counts in the report.
+  * shard-bounded window partitions. An incremental run's cost is
+  * O(new docs + touched shards), never O(corpus). Nothing here holds
+  * state on the driver beyond the per-stage row counts in the report.
   */
 object CurationPipeline {
   final case class Report(
@@ -41,13 +63,31 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
 
   def targetPath(name: String): String = s"$warehouseDir/$name"
 
+  private def report(): CurationPipeline.Report = {
+    val funnel = spark.read.parquet(targetPath("curation_funnel"))
+    val packed = spark.read.parquet(targetPath("curated_packing"))
+    CurationPipeline.Report(
+      verdictCounts = funnel.groupBy($"verdict").count()
+        .as[(String, Long)].collect().toMap,
+      curatedRows =
+        Tables.documents(spark, targetPath("curated_corpus")).count(),
+      packedRows = packed.count(),
+      boundarySplitDocs = packed.filter($"boundary_split").count())
+  }
+
   def run(sfDir: String): CurationPipeline.Report = {
     // --- 1. funnel verdicts
     CurationModels.curationFunnel(spark, sfDir)
       .write.mode(SaveMode.Overwrite).parquet(targetPath("curation_funnel"))
     val funnel = spark.read.parquet(targetPath("curation_funnel"))
-    val verdictCounts = funnel.groupBy($"verdict").count()
-      .as[(String, Long)].collect().toMap
+    // --- 1b. incremental bookkeeping: fingerprint groups + the fixed
+    // eval gram reference (what runIncremental re-verdicts against)
+    DedupModels.dedupExact(spark, sfDir)
+      .select($"fingerprint".as("fp"), $"canonical_doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(targetPath("curation_groups"))
+    CurationModels.evalGramsOf(Tables.documents(spark, sfDir))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_eval_grams"))
     // --- 2. curated corpus: kept documents with all source columns,
     // written under a documents.parquet path so the corpus dir IS a
     // valid Tables-resolvable fixture layout for every downstream op
@@ -56,17 +96,112 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .join(keptIds, Seq("doc_id"), "left_semi")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${targetPath("curated_corpus")}/documents.parquet")
-    val curatedRows =
-      Tables.documents(spark, targetPath("curated_corpus")).count()
     // --- 3. packing index over the CURATED set (offsets are positions
-    // in the curated training stream, not the raw snapshot)
+    // in the curated training stream, not the raw snapshot), partitioned
+    // by the stream key so incremental runs can overwrite ONLY the
+    // streams they touch
     CurationModels.packSequences(spark, targetPath("curated_corpus"))
-      .write.mode(SaveMode.Overwrite).parquet(targetPath("curated_packing"))
-    val packed = spark.read.parquet(targetPath("curated_packing"))
-    CurationPipeline.Report(
-      verdictCounts = verdictCounts,
-      curatedRows = curatedRows,
-      packedRows = packed.count(),
-      boundarySplitDocs = packed.filter($"boundary_split").count())
+      .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
+      .parquet(targetPath("curated_packing"))
+    report()
+  }
+
+  /** Incremental catch-up over an appended corpus: `sfDir` now holds
+    * the snapshot PLUS new documents (all with doc_id above the
+    * processed watermark). Equivalent to one full [[run]] over the
+    * union — CurationPipelineSpec pins table-level equality.
+    */
+  def runIncremental(sfDir: String): CurationPipeline.Report = {
+    val funnelOld = spark.read.parquet(targetPath("curation_funnel"))
+    val wm = funnelOld.agg(org.apache.spark.sql.functions.max($"doc_id"))
+      .head().getLong(0)
+    val newDocs = Tables.documents(spark, sfDir).filter($"doc_id" > wm)
+      .persist()
+    try {
+      // frozen-eval guard (see class scaladoc)
+      val newEval = newDocs
+        .filter($"source" === CurationModels.EvalSource).count()
+      require(newEval == 0,
+        s"$newEval new docs carry the eval source — the benchmark " +
+          "reference is fixed; re-run the full snapshot to re-verdict " +
+          "history against a changed eval set")
+
+      // --- 1. verdicts for the new docs only
+      val fps = CurationModels.fingerprintsOf(newDocs)
+      val groups = spark.read.parquet(targetPath("curation_groups"))
+      // canonical resolution: known group → its (older, smaller-id)
+      // canonical stands; unseen fingerprint → min doc_id among the
+      // new members founds the group
+      val newGroupMin = fps.groupBy($"fp")
+        .agg(org.apache.spark.sql.functions.min($"doc_id").as("new_min"))
+      val canon = newGroupMin.join(groups, Seq("fp"), "left")
+        .select($"fp",
+          org.apache.spark.sql.functions
+            .coalesce($"canonical_doc_id", $"new_min")
+            .as("canonical_doc_id"),
+          $"canonical_doc_id".isNull.as("founded"))
+      val rep = CurationModels.repetitionSignalsFrom(newDocs)
+        .select($"doc_id", $"flagged".as("rep_flagged"))
+      val evalGrams = spark.read.parquet(targetPath("curation_eval_grams"))
+      val cont = CurationModels.contaminationOf(newDocs, evalGrams)
+        .select($"doc_id", $"flagged".as("cont_flagged"))
+      val samp = CurationModels.stratifiedSampleFrom(newDocs)
+        .select($"doc_id", $"kept")
+      import org.apache.spark.sql.functions._
+      val newFunnel = fps
+        .join(canon.select($"fp", $"canonical_doc_id"), Seq("fp"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(samp, Seq("doc_id"))
+        .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
+        .withColumn("rep_flagged", coalesce($"rep_flagged", lit(false)))
+        .withColumn("contaminated", coalesce($"cont_flagged", lit(false)))
+        .withColumn("sample_kept", $"kept")
+        .withColumn("verdict",
+          when($"source" === CurationModels.EvalSource, "eval")
+            .when($"is_duplicate", "duplicate")
+            .when($"rep_flagged", "repetitive")
+            .when($"contaminated", "contaminated")
+            .when(!$"sample_kept", "sampled_out")
+            .otherwise("kept"))
+        .select($"doc_id", $"lang", $"source", $"is_duplicate",
+          $"rep_flagged", $"contaminated", $"sample_kept", $"verdict")
+        .persist()
+      newFunnel.write.mode(SaveMode.Append)
+        .parquet(targetPath("curation_funnel"))
+      // newly-founded fingerprint groups join the bookkeeping table
+      canon.filter($"founded")
+        .select($"fp", $"canonical_doc_id")
+        .write.mode(SaveMode.Append).parquet(targetPath("curation_groups"))
+
+      // --- 2. append the new kept docs to the curated corpus
+      val keptNewIds = newFunnel.filter($"verdict" === "kept")
+        .select($"doc_id")
+      newDocs.join(keptNewIds, Seq("doc_id"), "left_semi")
+        .write.mode(SaveMode.Append)
+        .parquet(s"${targetPath("curated_corpus")}/documents.parquet")
+
+      // --- 3. repack ONLY the (lang, shard) streams the new kept docs
+      // touched; every other stream's rows are byte-identical (offsets
+      // restart per shard) and stay in place via dynamic partition
+      // overwrite
+      val touched = newDocs.join(keptNewIds, Seq("doc_id"), "left_semi")
+        .select($"lang",
+          expr(s"doc_id div ${CurationModels.PackShard}").as("shard"))
+        .distinct()
+      val curated = Tables.documents(spark, targetPath("curated_corpus"))
+      val touchedDocs = curated
+        .withColumn("shard",
+          expr(s"doc_id div ${CurationModels.PackShard}"))
+        .join(touched, Seq("lang", "shard"), "left_semi")
+        .drop("shard")
+      CurationModels.packSequencesFrom(touchedDocs)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang", "shard")
+        .parquet(targetPath("curated_packing"))
+      newFunnel.unpersist()
+      report()
+    } finally newDocs.unpersist()
   }
 }

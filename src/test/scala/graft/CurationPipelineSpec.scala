@@ -46,4 +46,70 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/curated_packing").collect().toSet
       == packed1)
   }
+
+  private def tableRows(path: String): Seq[String] = {
+    val df = spark.read.parquet(path)
+    df.select(df.columns.sorted.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("incremental run over appended docs ≡ one full run over the union") {
+    val snapDir = Files.createTempDirectory("graft-cur-snap").toString
+    val unionDir = Files.createTempDirectory("graft-cur-union").toString
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs0.write.parquet(s"$snapDir/documents.parquet")
+    // appended batch: ids above every processed id, never eval-sourced,
+    // hitting every verdict path
+    val dupOfOld = docs0.filter($"doc_id" === 3)
+      .select($"text").head().getString(0)
+    val evalText = docs0.filter($"source" === "src0")
+      .orderBy($"doc_id").select($"text").head().getString(0)
+    val fresh = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen violet umbrellas drift quietly past the harbor wall"
+    val newRows = Seq(
+      (500L, dupOfOld, "fr", "src1"), // joins an EXISTING dedup group
+      (501L, fresh, "fr", "src2"), // unique → kept
+      (502L, Seq.fill(30)("spam").mkString(" "), "fr", "src3"), // repetitive
+      (503L, evalText + " zz yy xx ww vv", "fr", "src4"), // contaminated
+      (504L, fresh + " and then some", "fr", "src5"), // founds a NEW group
+      (505L, fresh + " and then some", "fr", "src6")) // its duplicate
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs0.unionByName(newRows).write.parquet(s"$unionDir/documents.parquet")
+
+    // path A: snapshot + incremental catch-up
+    val whInc = Files.createTempDirectory("graft-cur-inc").toString
+    val inc = new CurationPipeline(spark, whInc)
+    inc.run(snapDir)
+    val rInc = inc.runIncremental(unionDir)
+    // path B: one full run over the union
+    val whFull = Files.createTempDirectory("graft-cur-full").toString
+    val rFull = new CurationPipeline(spark, whFull).run(unionDir)
+
+    assert(rInc == rFull)
+    for (t <- Seq("curation_funnel", "curated_corpus/documents.parquet",
+        "curated_packing"))
+      assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
+
+    // the new batch exercised every verdict path as designed
+    val v = spark.read.parquet(s"$whInc/curation_funnel")
+      .filter($"doc_id" >= 500L)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(v(500L) == "duplicate") // existing group, sticky canonical
+    assert(v(501L) == "kept")
+    assert(v(502L) == "repetitive")
+    assert(v(503L) == "contaminated")
+    assert(v(504L) == "kept") // founded the new group
+    assert(v(505L) == "duplicate") // within-batch duplicate
+
+    // frozen-eval guard: a new eval-source doc must be rejected loudly
+    val badDir = Files.createTempDirectory("graft-cur-bad").toString
+    docs0.unionByName(Seq((600L, "new benchmark item", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long")))
+      .write.parquet(s"$badDir/documents.parquet")
+    assertThrows[IllegalArgumentException] {
+      inc.runIncremental(badDir)
+    }
+  }
 }
