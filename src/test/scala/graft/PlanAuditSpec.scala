@@ -63,11 +63,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  import org.apache.spark.sql.execution.ExplainMode
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** True iff the plan references the column anywhere — as a resolved
+    * attribute (`col#id`) or in a scan's ReadSchema (`col:type`). */
+  private def readsColumn(plan: String, col: String): Boolean =
+    plan.contains(col + "#") || plan.contains(col + ":")
+
   test("scan hygiene: canary queries prune columns and push literal filters") {
-    import org.apache.spark.sql.execution.ExplainMode
-    def formatted(name: String): String =
-      SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // q03 needs only (date, wallet): the heavy JSON `props` payload and
     // `value` must never reach its scan (column pruning at the reader)
     val q03 = formatted("q03_daily_distinct_wallets")
@@ -78,5 +84,43 @@ class PlanAuditSpec extends AnyFunSuite {
     val q20 = formatted("q20_daily_wide_summary")
     assert(q20.contains("EqualTo(o_orderpriority,1-URGENT)"),
       "q20 literal filter is not pushed to the orders scan")
+  }
+
+  test("round-4/5 families: pruned scans and pushed filters") {
+    // q44 reads raw events: the error filter must reach the parquet
+    // scan, and the heavy props/value payloads must never leave the
+    // reader (the query needs only user_id, event_id, ts)
+    val q44 = formatted("q44_sessionization")
+    assert(q44.contains("Not(EqualTo(event_type,error))"),
+      "q44 error filter is not pushed to the events scan")
+    assert(!readsColumn(q44, "props") && !readsColumn(q44, "value"),
+      "q44 scan reads payload columns the query never uses")
+    // c02 samples on (doc_id, lang) alone — the corpus text column (the
+    // fixture's heavy payload) must not be read
+    val c02 = formatted("c02_stratified_sample")
+    assert(!readsColumn(c02, "text"),
+      "c02 scan reads the text payload it never uses")
+    // c05 tokenizes text but has no use for source/n_chars
+    val c05 = formatted("c05_pack_sequences")
+    assert(!readsColumn(c05, "n_chars"),
+      "c05 scan reads n_chars it never uses")
+    // c01's gram join likewise keys on (doc_id, source, text) only
+    val c01 = formatted("c01_decontamination")
+    assert(!readsColumn(c01, "n_chars"),
+      "c01 scan reads n_chars it never uses")
+    // q40's legs read the materialized fact and the shared activity
+    // grid; neither needs the fact's event_id
+    val q40 = formatted("q40_daily_summary_by_app")
+    assert(!readsColumn(q40, "event_id"),
+      "q40 scan reads event_id it never uses")
+    // q42 runs entirely off the shared deduped grid — the raw fact's
+    // txn_type must be absent from every scan (no fact re-scan)
+    val q42 = formatted("q42_weekly_active_accounts_app")
+    assert(!readsColumn(q42, "txn_type"),
+      "q42 re-scans the fact instead of the shared activity grid")
+    // q43 aggregates (date_key, amount) only before the calendar as-of
+    val q43 = formatted("q43_asof_price_join")
+    assert(!readsColumn(q43, "wallet_id"),
+      "q43 scan reads wallet_id it never uses")
   }
 }
