@@ -68,4 +68,28 @@ object ExternalSeed {
           .as("date_key"),
         $"prices", $"market_caps", $"total_volumes")
   }
+
+  /** S6, incremental: the watermark variant the reference never shipped
+    * (its seed refetches FULL history every run and leaves
+    * `external_endpoint_data_seed.py:83-89`'s own
+    * "TODO: Make this API call incremental" standing). Callers fetch
+    * only a recent window of the three series (the API supports
+    * `days=N`), parse it through the same [[buildPriceDim]] semantics,
+    * and this returns ONLY the closed-period rows above the existing
+    * dim's date watermark — the slice to append, matching the runner's
+    * high-watermark convention (`IncrementalRunner`). Already-loaded
+    * days are never rewritten, so a daily seed appends one row instead
+    * of rebuilding years of history.
+    */
+  def buildPriceDimIncrement(spark: SparkSession, existing: DataFrame,
+      prices: DataFrame, marketCaps: DataFrame,
+      totalVolumes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fresh = buildPriceDim(spark, prices, marketCaps, totalVolumes)
+    val wm = existing.agg(max($"date_key").as("max_loaded"))
+    fresh
+      .crossJoin(broadcast(wm)) // one-row watermark frame, no collect
+      .filter($"max_loaded".isNull || $"date_key" > $"max_loaded")
+      .drop("max_loaded")
+  }
 }

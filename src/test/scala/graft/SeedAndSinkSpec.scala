@@ -43,6 +43,33 @@ class SeedAndSinkSpec extends AnyFunSuite {
       rows(0).getDouble(3) == 100.0)
   }
 
+  test("S6 incremental: price re-seed appends only above the watermark") {
+    def series(v: Double, n: Int) = (0 until n).map(i =>
+      (1700000000000L + i * 86400000L, v * (i + 1))).toDF("ts", "value")
+    // snapshot: a 5-point series → 4 closed days loaded
+    val snapshot = ExternalSeed.buildPriceDim(spark,
+      series(1.0, 5), series(10.0, 5), series(100.0, 5))
+    assert(snapshot.count() == 4)
+    // the API refetch window overlaps history (last 4 points + 3 new)
+    def window(v: Double) = (3 until 10).map(i =>
+      (1700000000000L + i * 86400000L, v * (i + 1))).toDF("ts", "value")
+    val inc = ExternalSeed.buildPriceDimIncrement(spark, snapshot,
+      window(1.0), window(10.0), window(100.0))
+    // snapshot + increment ≡ one full seed over the complete series
+    val full = ExternalSeed.buildPriceDim(spark,
+      series(1.0, 10), series(10.0, 10), series(100.0, 10))
+    val merged = snapshot.unionByName(inc)
+      .orderBy($"date_key").collect().map(_.toString).toSeq
+    assert(merged == full.orderBy($"date_key").collect()
+      .map(_.toString).toSeq)
+    // overlap days were NOT re-emitted
+    assert(inc.count() == full.count() - snapshot.count())
+    // empty existing dim (first run): the whole closed window loads
+    val firstRun = ExternalSeed.buildPriceDimIncrement(spark,
+      snapshot.filter(lit(false)), window(1.0), window(10.0), window(100.0))
+    assert(firstRun.count() == 6) // 7 points → 6 closed days
+  }
+
   test("S7: replicator camelizes and appends only past the sink watermark") {
     val serving = Files.createTempDirectory("graft-serving").toString
     val rep = new Replicator(spark, serving)
