@@ -53,6 +53,12 @@ object EcosystemModels {
     * scan of |distinct (date, app, wallet)| pre-deduped rows. */
   def activeEcosystemFromGrid(gridIn: DataFrame, lookback: Int): DataFrame = {
     import gridIn.sparkSession.implicits._
+    // OR-reduce the app dimension away; keep the full day set (the
+    // grid is an unfiltered dedupe of the fact → same calendar).
+    // The explode stays the right tail at THIS grain for every window
+    // width: the (date, wallet) set is small after dedupe and the
+    // interval path's per-wallet window sorts measured slower (see
+    // CompositeModels.IntervalPathMinLookback).
     val grid = gridIn
       .groupBy($"date_key", $"wallet_id")
       .agg(max($"is_spend").as("is_spend"), max($"is_earn").as("is_earn"))
@@ -60,7 +66,6 @@ object EcosystemModels {
     val anchored =
       if (lookback == 0) grid.withColumn("anchor_date", $"date_key")
       else {
-        // the grid is an unfiltered dedupe of the fact → same day set
         val days = gridIn.select($"date_key").distinct()
           .withColumnRenamed("date_key", "anchor_date")
         grid

@@ -27,13 +27,19 @@ class PlanAuditSpec extends AnyFunSuite {
     *    10 broadcast query vectors on a non-equi predicate by design
     *    (s02/s03 are the bucketed/cell-pruned scale paths);
     *  - s03: constant 16-row codebook crossJoin
-    *    (`SimilarityModels.scala:137`).
+    *    (`SimilarityModels.scala:137`);
+    *  - q34/q40: the interval-path rolling actives fan the broadcast
+    *    day CALENDAR (|days| rows, KBs) across the (app, role) list —
+    *    output-sized anchor rows, never data×data
+    *    (`CompositeModels.rollingFromIntervals`).
     */
   private val constantSideBnlj = Set(
     "q15_churn_30d",
     "q33_daily_net_inflation",
     "s01_cosine_topk",
-    "s03_ivf_ann_topk")
+    "s03_ivf_ann_topk",
+    "q34_monthly_active_accounts",
+    "q40_daily_summary_by_app")
 
   test("no cartesian products; nested-loop joins only against constant-side frames") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
