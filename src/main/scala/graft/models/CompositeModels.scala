@@ -292,7 +292,7 @@ object CompositeModels {
     * `keyCols` grain (app for q34/q42, empty for the ecosystem family).
     * See [[activeAccountsAppFromGrid]] for the algebra.
     */
-  private[models] def rollingFromIntervals(gridIn: DataFrame,
+  private[graft] def rollingFromIntervals(gridIn: DataFrame,
       keyCols: Seq[String], lookback: Int): DataFrame = {
     import gridIn.sparkSession.implicits._
     val keys = keyCols.map(col)
