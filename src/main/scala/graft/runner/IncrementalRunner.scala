@@ -108,8 +108,43 @@ final class IncrementalRunner(
     * instead of evicting (eviction would silently re-execute the build).
     * `IncrementalRunnerSpec` pins single execution with an accumulator.
     */
+  /** Fail-loud schema-drift guard: an edited model whose output no
+    * longer matches its materialized target must not silently append
+    * mixed-schema files (parquet would take them and readers would then
+    * drop or null the drifted columns depending on footer order — the
+    * classic corrupt-table-weeks-later failure). Compared as
+    * name → dataType maps: column order differs legitimately
+    * (partition columns read back last) and nullability is
+    * write-path-dependent; names/types are the contract. Re-shaping a
+    * model requires `repair` from the epoch or a fullRefresh — both
+    * rewrite the table.
+    */
+  private def requireSchemaMatch(m: ModelDef,
+      slice: org.apache.spark.sql.types.StructType): Unit = {
+    if (!exists(m.name)) return
+    val target = readModel(m.name).schema
+    val (a, b) = (slice.map(f => f.name -> f.dataType).toMap,
+      target.map(f => f.name -> f.dataType).toMap)
+    if (a != b) {
+      val drift = (a.keySet ++ b.keySet).toSeq.sorted.flatMap { c =>
+        (a.get(c), b.get(c)) match {
+          case (Some(x), Some(y)) if x != y => Some(s"$c: $y -> $x")
+          case (Some(x), None) => Some(s"$c: ADDED ($x)")
+          case (None, Some(y)) => Some(s"$c: REMOVED (was $y)")
+          case _ => None
+        }
+      }
+      throw new IllegalStateException(
+        s"model ${m.name}: output schema drifted from the materialized " +
+          s"target [${drift.mkString("; ")}] — repair from the epoch or " +
+          "mark the model fullRefresh to rebuild it")
+    }
+  }
+
   def runIncremental(m: ModelDef, resolve: String => DataFrame): Long = {
-    val slice = incrementalSlice(m.build(spark, resolve), m)
+    val built = m.build(spark, resolve)
+    requireSchemaMatch(m, built.schema)
+    val slice = incrementalSlice(built, m)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = slice.count()

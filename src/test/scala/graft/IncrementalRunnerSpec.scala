@@ -166,6 +166,30 @@ class IncrementalRunnerSpec extends AnyFunSuite {
     assert(r.readModel("daily_totals").count() == 0)
   }
 
+  test("schema drift between runs fails loudly instead of appending") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-06"))
+    r.runIncremental(dailyModel(() => sourceDf(10)), _ => sourceDf(10))
+    // same name, drifted output shape (renamed + retyped aggregate)
+    val drifted = ModelDef(
+      "daily_totals", Cadence.Daily, Seq("events_src"),
+      (_, resolve) => resolve("events_src")
+        .groupBy($"date_key")
+        .agg(sum($"amount").cast("double").as("grand_total")))
+    val e = intercept[IllegalStateException] {
+      val r2 = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+      r2.runIncremental(drifted, _ => sourceDf(10))
+    }
+    assert(e.getMessage.contains("daily_totals") &&
+      e.getMessage.contains("grand_total") &&
+      e.getMessage.contains("total"))
+    // target untouched by the refused run; the original model resumes
+    assert(r.watermark("daily_totals") == "2024-01-05")
+    val r3 = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-09"))
+    assert(r3.runIncremental(dailyModel(() => sourceDf(10)),
+      _ => sourceDf(10)) == 3)
+  }
+
   test("cadence manifests run only their models, reading cross-cadence targets") {
     val wh = tmpDir()
     val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-15"))
