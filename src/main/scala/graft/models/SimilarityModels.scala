@@ -27,18 +27,25 @@ object SimilarityModels {
     * (graft.functions.FloatDotProduct) — identical fold order and double
     * arithmetic to the builtin `aggregate(zip_with(...))` formulation it
     * replaced, but whole-stage-codegen'd instead of interpreted.
+    * Resolved through the PUBLIC `call_function` API against the
+    * session's registered `float_dot` (every builder here registers it
+    * idempotently first) — no private Spark API in the hot path.
     */
-  private def dotD(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(graft.functions.FloatDotProduct(
-      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
-  }
+  private def dotD(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+
+  /** Every similarity builder runs through this: make sure the native
+    * function is registered on the caller's session (idempotent — a
+    * GraftSession/GraftExtensions session already has it). */
+  private def withFloatDot(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(spark)
 
   /** s01: exact cosine top-5 per query vector (queries = vec_id < 10),
     * self-match excluded. Deterministic order: rounded similarity desc,
     * then cand_id.
     */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     // precompute each side's norm ONCE per vector — the higher-order-
@@ -120,6 +127,7 @@ object SimilarityModels {
     * identically across engines.
     */
   def ivfAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
     import spark.implicits._
     val base = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding",
@@ -198,6 +206,7 @@ object SimilarityModels {
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */
   private def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     // per plane: dot(emb, w_p) via the native codegen'd expression; the
@@ -228,6 +237,7 @@ object SimilarityModels {
     * 100 TB: more planes → smaller buckets → same query shape).
     */
   def embeddingNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
     import spark.implicits._
     val b = bucketed(spark, sfDir)
       .select($"bucket", $"vec_id", $"embedding", $"norm")

@@ -1,20 +1,21 @@
 package graft
 
-import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{FloatDotProduct, GraftFunctions}
+import graft.functions.GraftFunctions
 
 /** The native codegen'd dot-product expression: value parity with the
   * builtin fold, null handling, SQL registration, codegen execution.
+  * Constructed through the PUBLIC `call_function` path (the session is
+  * GraftSession-bootstrapped, so `float_dot` is registered) — the same
+  * way the similarity models consume it.
   */
 class FloatDotProductSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
   private def fd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    GraftColumnBridge.column(FloatDotProduct(
-      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    call_function("float_dot", a, b)
 
   test("matches the builtin aggregate(zip_with) fold exactly") {
     val df = Seq(
