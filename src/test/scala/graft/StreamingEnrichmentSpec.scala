@@ -23,7 +23,10 @@ class StreamingEnrichmentSpec extends AnyFunSuite {
     val evDir = s"$base/ev"; val tkDir = s"$base/tk"
     val ev = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
       .filter($"event_type" =!= "error").limit(300).cache()
-    ev.write.parquet(evDir)
+    // ONE file: under maxFilesPerTrigger=1 each file is a micro-batch,
+    // and a later file holding earlier timestamps would fall behind the
+    // watermark batch 1 set — the real data must arrive as one batch
+    ev.coalesce(1).write.parquet(evDir)
     val bounds = ev.agg(min($"ts"), max($"ts")).head()
     val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
     // a tick every 6 hours across the event calendar (plus one before
@@ -33,7 +36,7 @@ class StreamingEnrichmentSpec extends AnyFunSuite {
       .map(i => (new Timestamp(minTs.getTime - 21600000L + i * 21600000L),
         100.0 + i))
       .toDF("tick_ts", "price")
-    ticks.write.parquet(tkDir)
+    ticks.coalesce(1).write.parquet(tkDir)
     // sentinels: one far-future row per side (two files each → the
     // watermark advances batch over batch under maxFilesPerTrigger=1)
     for (plusDays <- Seq(40, 80)) {

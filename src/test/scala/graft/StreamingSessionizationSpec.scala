@@ -28,7 +28,10 @@ class StreamingSessionizationSpec extends AnyFunSuite {
     // real wallets' last sessions time out and emit before the stream
     // drains (maxFilesPerTrigger=1 pins the batch-per-file cadence)
     val ev = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
-    ev.write.parquet(s"$in/events.parquet")
+    // ONE file (see StreamingEnrichmentSpec): each file is a
+    // micro-batch under maxFilesPerTrigger=1, and the real data must
+    // all precede the watermark-advancing sentinels
+    ev.coalesce(1).write.parquet(s"$in/events.parquet")
     val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
     def sentinel(id: Long, plusDays: Int) = Seq(
       (id * 10, new java.sql.Timestamp(
