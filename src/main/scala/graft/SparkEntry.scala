@@ -114,6 +114,7 @@ object SparkEntry {
     "c04_chunk_windows" -> (CurationModels.chunkWindows _),
     "c05_pack_sequences" -> (CurationModels.packSequences _),
     "c06_curation_funnel" -> (CurationModels.curationFunnel _),
+    "c07_temperature_mix" -> (CurationModels.temperatureMix _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "c04_chunk_windows" -> CurationModels.chunkWindowsOracle,
     "c05_pack_sequences" -> CurationModels.packSequencesOracle,
     "c06_curation_funnel" -> CurationModels.curationFunnelOracle,
+    "c07_temperature_mix" -> CurationModels.temperatureMixOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -409,6 +409,96 @@ object CurationModels {
        |       (end_offset - n_tokens) // $PackBudget AS boundary_split
        |FROM o""".stripMargin
 
+  /** c07: TEMPERATURE-FLATTENED language mixing (T = 2) — the data-mix
+    * knob a multilingual pretraining build turns after filtering: where
+    * c02 applies fixed per-language keep rates, this derives each
+    * language's target weight from the corpus itself,
+    * `w_l ∝ sqrt(share_l)` (the classic T=2 flattening: dominant
+    * languages downsample, rare ones upsample), and emits a per-doc
+    * REPLICATION INDEX: `n_copies` = how many times the doc appears in
+    * the mixed training stream (floor of the repeat factor, plus one
+    * more with probability = its fractional part, decided by the doc's
+    * md5 bucket — deterministic, engine-independent, no RNG).
+    *
+    * Cross-engine exactness is by construction: sqrt and double
+    * division are IEEE-correctly-rounded (bit-identical in any
+    * engine); the only order-sensitive step — normalizing over
+    * languages — sums 6dp DECIMAL weights (exact, order-free); the
+    * stochastic-rounding compare is an integer cross-multiply
+    * (`bucket · 10^6 < frac_micros · 65536`), no float threshold.
+    *
+    * Scale: one tiny language aggregate broadcast back over the
+    * corpus — a stateless map otherwise; the replication index (not
+    * exploded copies) is what ships, so the operator's output is
+    * corpus-sized regardless of the repeat factors.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    // the language table is |langs| rows — the lit(1) windows are fine
+    val w = Window.partitionBy(lit(1))
+    val langStats = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("n_total", sum($"n_l").over(w))
+      .withColumn("share",
+        $"n_l".cast(DoubleType) / $"n_total".cast(DoubleType))
+      .withColumn("w6", round(sqrt($"share"), 6).cast(DecimalType(10, 6)))
+      .withColumn("w_sum", sum($"w6").over(w))
+      .withColumn("repeat6", round(
+        ($"w6".cast(DoubleType) / $"w_sum".cast(DoubleType)) / $"share", 6))
+      .select($"lang",
+        expr("n_l * 1000000L div n_total").as("share_micros"),
+        $"w6".cast(DoubleType).as("mix_weight"), $"repeat6")
+    docs.join(broadcast(langStats), Seq("lang"))
+      .withColumn("h", md5($"doc_id".cast(StringType)))
+      // 16-bit bucket from the first 4 hex digits (c02's derivation, ×2)
+      .withColumn("bucket",
+        hexVal(substring($"h", 1, 1)) * 4096 +
+          hexVal(substring($"h", 2, 1)) * 256 +
+          hexVal(substring($"h", 3, 1)) * 16 + hexVal(substring($"h", 4, 1)))
+      .withColumn("frac_micros",
+        round(($"repeat6" - floor($"repeat6")) * 1e6).cast(LongType))
+      .withColumn("n_copies",
+        floor($"repeat6") +
+          when($"bucket" * 1000000L < $"frac_micros" * 65536L, 1L)
+            .otherwise(0L))
+      .select($"doc_id", $"lang", $"share_micros", $"mix_weight",
+        $"repeat6".as("repeat_factor"), $"n_copies")
+  }
+
+  val temperatureMixOracle: String =
+    """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+      |tot AS (SELECT lang, n_l, sum(n_l) OVER () AS n_total FROM counts),
+      |wt AS (SELECT lang, n_l, n_total,
+      |              cast(n_l AS DOUBLE) / cast(n_total AS DOUBLE) AS share,
+      |              cast(round(sqrt(cast(n_l AS DOUBLE) / cast(n_total AS DOUBLE)), 6)
+      |                   AS DECIMAL(10,6)) AS w6
+      |       FROM tot),
+      |ws AS (SELECT *, sum(w6) OVER () AS w_sum FROM wt),
+      |ls AS (SELECT lang,
+      |              n_l * 1000000 // n_total AS share_micros,
+      |              cast(w6 AS DOUBLE) AS mix_weight,
+      |              round((cast(w6 AS DOUBLE) / cast(w_sum AS DOUBLE)) / share, 6)
+      |                AS repeat6
+      |       FROM ws),
+      |b AS (SELECT d.doc_id, d.lang, ls.share_micros, ls.mix_weight,
+      |             ls.repeat6,
+      |             (strpos('0123456789abcdef', substr(md5(cast(d.doc_id AS VARCHAR)),1,1)) - 1) * 4096 +
+      |             (strpos('0123456789abcdef', substr(md5(cast(d.doc_id AS VARCHAR)),2,1)) - 1) * 256 +
+      |             (strpos('0123456789abcdef', substr(md5(cast(d.doc_id AS VARCHAR)),3,1)) - 1) * 16 +
+      |             (strpos('0123456789abcdef', substr(md5(cast(d.doc_id AS VARCHAR)),4,1)) - 1) AS bucket,
+      |             cast(round((ls.repeat6 - floor(ls.repeat6)) * 1000000) AS BIGINT) AS frac_micros
+      |      FROM documents d JOIN ls ON d.lang = ls.lang)
+      |SELECT doc_id, lang, cast(share_micros AS BIGINT) AS share_micros,
+      |       mix_weight, repeat6 AS repeat_factor,
+      |       cast(floor(repeat6) AS BIGINT) +
+      |       CASE WHEN bucket * 1000000 < frac_micros * 65536
+      |            THEN 1 ELSE 0 END AS n_copies
+      |FROM b""".stripMargin
+
   /** c06: the curation FUNNEL — the end-to-end keep/drop decision a
     * training-data build materializes before packing, composed from the
     * tier's own stages. Per document:

@@ -146,6 +146,42 @@ class CurationSpec extends AnyFunSuite {
     assert(packed.sliding(2).forall { case Array(a, b) => b._1 == a._1 + a._2 })
   }
 
+  test("c07: temperature mixing flattens — dominant down, rare up") {
+    // 90/10 split: share_en = .9, share_fr = .1. T=2 weights ∝ sqrt:
+    // w_en ≈ .949, w_fr ≈ .316 → repeat_en ≈ .834 (downsample),
+    // repeat_fr ≈ 2.5 (upsample)
+    val dir = docsDir(
+      (1 to 90).map(i => (i.toLong, s"en text $i", "en", "s")) ++
+        (91 to 100).map(i => (i.toLong, s"fr texte $i", "fr", "s")))
+    val mix = CurationModels.temperatureMix(spark, dir).cache()
+    val byLang = mix.groupBy($"lang")
+      .agg(count(lit(1)).as("docs"), sum($"n_copies").as("copies"),
+        max($"repeat_factor").as("r"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // dominant language emits FEWER copies than docs, rare language MORE
+    assert(byLang("en")._3 < byLang("en")._2)
+    assert(byLang("fr")._3 > byLang("fr")._2)
+    // repeat factors bracket 1 from the right sides
+    assert(byLang("en")._4 < 1.0 && byLang("fr")._4 > 1.0)
+    // every doc's copy count is the floor or ceil of its repeat factor
+    val bad = mix.filter(
+      $"n_copies" =!= floor($"repeat_factor") &&
+        $"n_copies" =!= floor($"repeat_factor") + 1).count()
+    assert(bad == 0)
+    // stochastic rounding conserves mass in expectation; with 10-90
+    // docs per stratum the md5 buckets can deviate by a few — bound
+    // loosely (the EXACT per-doc contract is the floor/ceil assertion
+    // above plus the driver's oracle hash)
+    for ((_, (_, docs, copies, r)) <- byLang)
+      assert(math.abs(copies - docs * r) <= docs * 0.5 + 1)
+    // deterministic: a re-run reproduces the exact index
+    val again = CurationModels.temperatureMix(spark, dir)
+    assert(mix.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+    mix.unpersist()
+  }
+
   test("c05: streams pack independently per (lang, shard)") {
     // same doc sizes in two languages: offsets restart per stream
     def doc(n: Int) = (1 to n).map(_ => "x").mkString(" ")
