@@ -70,9 +70,9 @@ object ExternalSeed {
   }
 
   /** S6, incremental: the watermark variant the reference never shipped
-    * (its seed refetches FULL history every run and leaves
-    * `external_endpoint_data_seed.py:83-89`'s own
-    * "TODO: Make this API call incremental" standing). Callers fetch
+    * (its seed refetches FULL history every run; the comment at
+    * `external_endpoint_data_seed.py:83-89` flags making the call
+    * incremental as unfinished work). Callers fetch
     * only a recent window of the three series (the API supports
     * `days=N`), parse it through the same [[buildPriceDim]] semantics,
     * and this returns ONLY the closed-period rows above the existing
