@@ -63,6 +63,10 @@ object MultimodalOps {
       var i = 2
       while (i + 4 <= b.length) {
         if (u8(i) != 0xff) return None
+        // consecutive 0xFF bytes before a marker are legal fill/padding
+        // (JPEG spec B.1.1.2) — skip them so the byte after the run is
+        // read as the marker, not mistaken for a length-carrying segment
+        while (i + 4 <= b.length && u8(i + 1) == 0xff) i += 1
         val marker = u8(i + 1)
         if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
           i += 2 // standalone markers carry no length field

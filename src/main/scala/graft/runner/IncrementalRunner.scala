@@ -121,6 +121,16 @@ final class IncrementalRunner(
     */
   private def requireSchemaMatch(m: ModelDef,
       slice: org.apache.spark.sql.types.StructType): Unit = {
+    // duplicate output column names collapse in the name→type map and
+    // would slip past the drift compare, only to fail (or append
+    // ambiguous parquet) at write time — reject them first, by name
+    val dups = slice.map(_.name).groupBy(identity)
+      .collect { case (n, occ) if occ.size > 1 => n }.toSeq.sorted
+    if (dups.nonEmpty)
+      throw new IllegalStateException(
+        s"model ${m.name}: output has duplicate column name(s) " +
+          s"[${dups.mkString(", ")}] — every materialized column must " +
+          "be uniquely named")
     if (!exists(m.name)) return
     val target = readModel(m.name).schema
     val (a, b) = (slice.map(f => f.name -> f.dataType).toMap,

@@ -87,9 +87,26 @@ object ExternalSeed {
     import spark.implicits._
     val fresh = buildPriceDim(spark, prices, marketCaps, totalVolumes)
     val wm = existing.agg(max($"date_key").as("max_loaded"))
+    // Fail loudly if the caller's refetch window starts AFTER
+    // max_loaded + 1 day: under the append-only convention the skipped
+    // days would never be backfilled, so a too-short fetch window must
+    // error now rather than leave a permanent hole. The check rides the
+    // filter predicate (raise_error is not prunable there); the min is a
+    // whole-frame window over the tiny daily series, same as max_ts in
+    // [[buildPriceDim]].
+    val wAll = Window.partitionBy(lit(1))
     fresh
+      .withColumn("min_fresh", min($"date_key").over(wAll))
       .crossJoin(broadcast(wm)) // one-row watermark frame, no collect
-      .filter($"max_loaded".isNull || $"date_key" > $"max_loaded")
-      .drop("max_loaded")
+      .filter(
+        when($"max_loaded".isNotNull && $"min_fresh" > date_add($"max_loaded", 1),
+          raise_error(concat(
+            lit("price-dim increment gap: fresh window starts at "),
+            $"min_fresh", lit(" but existing dim is loaded through "),
+            $"max_loaded",
+            lit(" — days in between would never be backfilled; widen the fetch window")))
+            .cast("boolean"))
+          .otherwise($"max_loaded".isNull || $"date_key" > $"max_loaded"))
+      .drop("max_loaded", "min_fresh")
   }
 }

@@ -67,8 +67,16 @@ object StreamingSessionization {
       sorted.foreach { e =>
         cur = cur match {
           case Some(s) if e.ts_us - s.end_us <= GapUs =>
-            Some(OpenSession(s.start_us, math.max(s.end_us, e.ts_us),
-              s.n + 1))
+            // A sub-watermark late arrival may PREDATE the open session's
+            // start (negative gap passes the guard by design — it is
+            // within the session's reach); extend the start too so the
+            // emitted (start_us, duration_s) matches what batch q44
+            // computes over the fully-sorted history. Reordering beyond
+            // the 1-minute watermark is dropped upstream by Spark and can
+            // still shift a session start by up to the watermark delay —
+            // the documented stream-vs-batch divergence bound.
+            Some(OpenSession(math.min(s.start_us, e.ts_us),
+              math.max(s.end_us, e.ts_us), s.n + 1))
           case Some(s) =>
             out += close(walletId, s)
             Some(OpenSession(e.ts_us, e.ts_us, 1))

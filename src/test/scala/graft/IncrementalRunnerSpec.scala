@@ -190,6 +190,22 @@ class IncrementalRunnerSpec extends AnyFunSuite {
       _ => sourceDf(10)) == 3)
   }
 
+  test("duplicate output column names are rejected before writing") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-06"))
+    // a dup'd name would collapse in the name→type drift map and only
+    // surface as ambiguous parquet later — the guard names it up front
+    val dup = ModelDef(
+      "dup_cols", Cadence.Daily, Seq("events_src"),
+      (_, resolve) => resolve("events_src")
+        .select($"date_key", $"amount", $"amount"))
+    val e = intercept[IllegalStateException] {
+      r.runIncremental(dup, _ => sourceDf(10))
+    }
+    assert(e.getMessage.contains("duplicate") &&
+      e.getMessage.contains("amount"))
+  }
+
   test("cadence manifests run only their models, reading cross-cadence targets") {
     val wh = tmpDir()
     val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-15"))

@@ -34,6 +34,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalOps.decode(text) == MultimodalOps.fakeDecode(text))
   }
 
+  test("headerDecode skips legal 0xFF fill bytes between JPEG segments") {
+    // JPEG B.1.1.2 allows any number of 0xFF fill bytes before a
+    // marker code — pad the APP0 and SOF0 markers and the walk must
+    // still land on the frame header instead of misreading a length
+    val j = MultimodalOps.jpegBytes(800, 600)
+    val fill = Array(0xff.toByte, 0xff.toByte)
+    val sofAt = j.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    val padded = j.slice(0, 2) ++ fill ++ j.slice(2, sofAt) ++ fill ++
+      j.drop(sofAt)
+    assert(MultimodalOps.headerDecode(padded) == Some((800, 600, 3)))
+  }
+
   test("generated file sizes match the oracle's byte-accounting constants") {
     assert(MultimodalOps.pngBytes(16, 16, 2).length ==
       MultimodalOps.PngBytesLen)

@@ -75,9 +75,13 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   /** True iff the plan references the column anywhere — as a resolved
-    * attribute (`col#id`) or in a scan's ReadSchema (`col:type`). */
+    * attribute (`col#id`) or in a scan's ReadSchema (`col:type`).
+    * Anchored on a word boundary so a column whose name merely ENDS
+    * with `col` (e.g. `txn_value` vs `value`) neither trips nor
+    * vacuously satisfies a canary. */
   private def readsColumn(plan: String, col: String): Boolean =
-    plan.contains(col + "#") || plan.contains(col + ":")
+    s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(col)}[#:]".r
+      .findFirstIn(plan).isDefined
 
   test("scan hygiene: canary queries prune columns and push literal filters") {
     // q03 needs only (date, wallet): the heavy JSON `props` payload and

@@ -70,6 +70,27 @@ class SeedAndSinkSpec extends AnyFunSuite {
     assert(firstRun.count() == 6) // 7 points → 6 closed days
   }
 
+  test("S6 incremental: a gapped refetch window fails loudly") {
+    def series(v: Double, from: Int, until: Int) = (from until until)
+      .map(i => (1700000000000L + i * 86400000L, v * (i + 1)))
+      .toDF("ts", "value")
+    // loaded through the day derived from point 3; a refetch window
+    // starting at point 7 skips days that append-only would never
+    // backfill — the increment must raise, not silently leave the hole
+    val snapshot = ExternalSeed.buildPriceDim(spark,
+      series(1.0, 0, 5), series(10.0, 0, 5), series(100.0, 0, 5))
+    val gapped = ExternalSeed.buildPriceDimIncrement(spark, snapshot,
+      series(1.0, 7, 12), series(10.0, 7, 12), series(100.0, 7, 12))
+    val e = intercept[Exception] { gapped.count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("never be backfilled")))
+    // a window rejoining exactly at watermark + 1 day is contiguous: ok
+    val contiguous = ExternalSeed.buildPriceDimIncrement(spark, snapshot,
+      series(1.0, 4, 12), series(10.0, 4, 12), series(100.0, 4, 12))
+    assert(contiguous.count() == 7) // points 4..10 closed, all new
+  }
+
   test("S7: replicator camelizes and appends only past the sink watermark") {
     val serving = Files.createTempDirectory("graft-serving").toString
     val rep = new Replicator(spark, serving)

@@ -19,6 +19,26 @@ class StreamingSessionizationSpec extends AnyFunSuite {
   // watermark forward so every real session times out and emits
   private val Sentinels = Set(10000001L, 10000002L)
 
+  test("a sub-watermark late arrival extends the open session's start") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingSessionization.{OpenSession, SessionEvent}
+    // open session [1000s, 2000s]; a late event at 999s (allowed by the
+    // watermark) arrives in the NEXT micro-batch. Its gap to end is
+    // negative — inside the session's reach — so it must merge AND pull
+    // start_us back, matching what batch q44 computes over sorted history
+    val state = TestGroupState.create[OpenSession](
+      Optional.of(OpenSession(1000000000L, 2000000000L, 2)),
+      GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val late = SessionEvent(7L, new java.sql.Timestamp(999000L), 999000000L)
+    val out = StreamingSessionization.onGroup(7L, Iterator(late), state)
+    assert(out.isEmpty) // nothing closes — the session only widened
+    assert(state.get == OpenSession(999000000L, 2000000000L, 3))
+  }
+
   test("watermark-closed stream sessions equal the batch q44 sessions") {
     val base = Files.createTempDirectory("graft-ssess").toString
     val in = s"$base/in"
