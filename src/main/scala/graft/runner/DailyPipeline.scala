@@ -128,10 +128,16 @@ final class DailyPipeline(
     spark: SparkSession,
     warehouseDir: String,
     servingDir: String,
-    today: LocalDate) {
+    today: LocalDate,
+    // optional serving backend override: pass a JdbcServingStore to
+    // replicate into a real database instead of the parquet directory
+    servingStore: Option[graft.sinks.ServingStore] = None) {
 
   val runner = new IncrementalRunner(spark, warehouseDir, today)
-  val replicator = new Replicator(spark, servingDir)
+  val replicator = servingStore match {
+    case Some(store) => new Replicator(spark, store)
+    case None => new Replicator(spark, servingDir)
+  }
 
   /** One daily run. `sources` resolves raw tables; the seed inputs are
     * optional pre-fetched payloads (the network fetch stays outside the

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse → serving-store replication: the engine's analog of
@@ -15,19 +15,21 @@ import org.apache.spark.sql.functions._
   *    (`load_scripts/postgres_replication/daily_models/dailySummaryApp.sql`);
   *  - full rebuild mode (replace) vs incremental append.
   *
-  * The sink here is a parquet "serving" directory standing in for the
-  * JDBC target; `df.write.format("jdbc")` swaps in with the same
-  * watermark/rename logic (the write itself is then distributed across
-  * executors — the reference funneled every row through one Python
+  * The sink backend is pluggable ([[ServingStore]]): a parquet
+  * directory for local/test runs, or a real JDBC database
+  * ([[JdbcServingStore]]) — the reference's Postgres target — where
+  * `df.write.format("jdbc")` keeps the write distributed across
+  * executors (the reference funneled every row through one Python
   * driver, its stated scalability ceiling).
   */
-final class Replicator(spark: SparkSession, servingDir: String) {
+final class Replicator(spark: SparkSession, store: ServingStore) {
   import spark.implicits._
 
-  def sinkPath(table: String): String = s"$servingDir/$table"
+  /** Parquet-backed serving directory — the original local mode. */
+  def this(spark: SparkSession, servingDir: String) =
+    this(spark, new ParquetServingStore(spark, servingDir))
 
-  private def sinkExists(table: String): Boolean =
-    new java.io.File(sinkPath(table)).exists()
+  def sinkPath(table: String): String = store.location(table)
 
   /** Sink-side watermark: max date already served, or None. The sink
     * holds serving-side column names, so the watermark column defaults
@@ -35,12 +37,7 @@ final class Replicator(spark: SparkSession, servingDir: String) {
     */
   def sinkWatermark(table: String, watermarkCol: String = "dateKey")
       : Option[String] =
-    if (!sinkExists(table)) None
-    else {
-      val r = spark.read.parquet(sinkPath(table))
-        .agg(max(col(watermarkCol)).cast("string")).head()
-      if (r.isNullAt(0)) None else Some(r.getString(0))
-    }
+    store.watermark(table, watermarkCol)
 
   /** snake_case → camelCase, with explicit per-column overrides — the
     * API-facing rename projection. The reference's serving SQL renames
@@ -75,14 +72,12 @@ final class Replicator(spark: SparkSession, servingDir: String) {
       }
     val out = camelize(slice, renames)
     val n = out.count()
-    if (rebuild || n > 0)
-      out.write
-        .mode(if (rebuild) SaveMode.Overwrite else SaveMode.Append)
-        .parquet(sinkPath(table))
-    else if (!sinkExists(table))
+    if (rebuild) store.rebuild(out, table)
+    else if (n > 0) store.append(out, table)
+    else if (!store.exists(table))
       // the reference's replicator always creates the target table —
       // materialize an empty schema-bearing sink so consumers resolve it
-      out.write.mode(SaveMode.Overwrite).parquet(sinkPath(table))
+      store.create(out, table)
     n
   }
 }
