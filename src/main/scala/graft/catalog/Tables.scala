@@ -56,4 +56,24 @@ object Tables {
   def registerClone(s: SparkSession, cloneName: String,
       sourcePath: String): Unit =
     s.read.parquet(sourcePath).createOrReplaceTempView(cloneName)
+
+  /** S1's SQL-name query surface: publish each materialized warehouse
+    * target (model name → parquet path) as a metadata-only view, so
+    * `spark.sql("SELECT … FROM daily_kin_payout")` works — the Spark
+    * analog of the reference's 3-part `database.schema.model` names that
+    * every model's SQL reads through
+    * (`kin-data-pipeline/execute_snowflake_load.py:34,76`).
+    *
+    * Views are metadata only: queries scan the warehouse parquet with
+    * the same pushdown/pruning as a path read. A view captures the file
+    * listing at registration, so callers re-register after each
+    * pipeline run (DailyPipeline does) to pick up fresh partitions.
+    * Returns the registered names.
+    */
+  def registerAll(s: SparkSession,
+      targets: Seq[(String, String)]): Seq[String] =
+    targets.map { case (name, path) =>
+      s.read.parquet(path).createOrReplaceTempView(name)
+      name
+    }
 }

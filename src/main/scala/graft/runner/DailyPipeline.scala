@@ -177,6 +177,10 @@ final class DailyPipeline(
         runner.readModel(spec.model),
         renames = spec.renames, watermarkCol = spec.watermarkCol)
     }.toMap
+    // --- 4. SQL-name catalog: every materialized model (and seeded dim)
+    // addressable by name via spark.sql — re-registered each run so the
+    // views see the partitions this run appended
+    runner.registerViews(ModelRegistry.kreDag, Seq("dim_app", "dim_price"))
     DailyPipeline.Report(modelRows, servedRows)
   }
 }

@@ -327,6 +327,19 @@ final class IncrementalRunner(
       cutoff: LocalDate): Map[String, Boolean] =
     models.map(m => m.name -> repair(m, cutoff)).toMap
 
+  /** Publish every materialized model (plus any extra warehouse names,
+    * e.g. seeded dims) under its model name as a SQL-addressable view —
+    * the reference's `schema.model` ergonomics (SURVEY §2.1 S1) over
+    * this runner's targets. Skips names not yet materialized; safe to
+    * call after every run (re-registration refreshes the file listing).
+    */
+  def registerViews(models: Seq[ModelDef],
+      extra: Seq[String] = Nil): Seq[String] =
+    graft.catalog.Tables.registerAll(spark,
+      (models.map(_.name) ++ extra).distinct.collect {
+        case n if exists(n) => n -> targetPath(n)
+      })
+
   def runAll(models: Seq[ModelDef],
       sources: String => DataFrame,
       clones: Seq[(String, String)] = Nil): Map[String, Long] = {
