@@ -7,17 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus a decode → feature-extract stage.
   *
-  * The decode step parses REAL image headers in pure JVM —
+  * The decode step parses REAL media structure in pure JVM —
   * [[headerDecode]] reads PNG IHDR and JPEG SOF frame headers
-  * (width/height/channels from the first bytes; no codec needed) — and
-  * falls back to [[fakeDecode]]'s deterministic pseudo-metadata for
-  * payloads that aren't recognizable images (the text-byte fixtures of
-  * m02/m03). Full pixel decode/resample still needs a codec library
-  * this container doesn't ship; the Spark-side plumbing is what a
-  * production decoder drops into: a typed Dataset, `mapPartitions` for
-  * per-partition batch processing (the Scala analog of `mapInPandas` —
-  * one iterator per partition so a decoder can amortize model/codec
-  * init), and a binary+metadata schema.
+  * (width/height/channels from the first bytes) and [[gifDecode]]
+  * walks a GIF's full block structure (frame count + per-frame delays,
+  * no LZW decode needed) — falling back to [[fakeDecode]]'s
+  * deterministic pseudo-metadata only for payloads that aren't
+  * recognizable media (audio/video stand-ins). Full pixel
+  * decode/resample still needs a codec library this container doesn't
+  * ship; the Spark-side plumbing is what a production decoder drops
+  * into: a typed Dataset, `mapPartitions` for per-partition batch
+  * processing (the Scala analog of `mapInPandas` — one iterator per
+  * partition so a decoder can amortize model/codec init), and a
+  * binary+metadata schema.
   *
   * Scale: decode is embarrassingly parallel over partitions; binary
   * payloads never shuffle (features are extracted before any wide op),
@@ -99,9 +101,9 @@ object MultimodalOps {
     headerDecode(media).getOrElse(fakeDecode(media))
 
   /** Lift the documents table into a media table: text bytes as the
-    * opaque payload (non-image payloads exercise the fakeDecode
-    * fallback; the schema and partition behavior are what's under
-    * test for m02/m03).
+    * opaque payload — the non-image fixture that exercises the
+    * fakeDecode fallback path (audio/video stand-ins with no parseable
+    * image header).
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -156,10 +158,94 @@ object MultimodalOps {
     m(0xff, 0xd8) ++ app0 ++ sof0 ++ m(0xff, 0xd9)
   }
 
+  /** A minimal valid multi-frame GIF89a: header + logical screen
+    * descriptor (no global color table), then per frame a graphic
+    * control extension carrying its delay (centiseconds, little-endian
+    * — GIF is the LE sibling of PNG/JPEG's big-endian headers), a
+    * full-screen image descriptor, and a minimal LZW data section;
+    * trailer byte last. Constant size per frame count:
+    * [[GifBytesBase]] + [[GifBytesPerFrame]]·frames — the property the
+    * oracle's byte accounting relies on.
+    */
+  def gifBytes(w: Int, h: Int, delaysCs: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= "GIF89a".getBytes("US-ASCII")
+    out ++= le16(w); out ++= le16(h)
+    out ++= Array[Byte](0x00, 0, 0) // no global color table; bg; aspect
+    for (d <- delaysCs) {
+      out ++= Array(0x21, 0xf9, 0x04, 0x00).map(_.toByte) // GCE
+      out ++= le16(d); out ++= Array[Byte](0, 0)
+      out += 0x2c.toByte // image descriptor: full-screen frame
+      out ++= le16(0); out ++= le16(0); out ++= le16(w); out ++= le16(h)
+      out += 0x00 // no local color table
+      // minimal LZW section: min code size, one 1-byte sub-block, term
+      out ++= Array[Byte](2, 1, 0x44, 0)
+    }
+    out += 0x3b.toByte
+    out.toArray
+  }
+
+  /** Parsed animation metadata: screen dims, frame count, per-frame
+    * delays (centiseconds) in frame order. */
+  final case class AnimMeta(
+      width: Int, height: Int, frames: Int, delaysCs: Seq[Int])
+
+  /** Pure-JVM GIF block walk (the multi-frame sibling of
+    * [[headerDecode]]): signature + logical screen descriptor, skip the
+    * global color table if flagged, then walk extension and
+    * image-descriptor blocks counting frames and collecting each
+    * graphic-control delay, to the trailer. Sub-block chains are
+    * SKIPPED by their length prefixes — pixel data is never LZW-decoded
+    * (frame counts/delays/dims are header metadata, same contract as
+    * the still-image parse). None for anything unrecognizable or
+    * truncated.
+    */
+  def gifDecode(b: Array[Byte]): Option[AnimMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    try {
+      if (b.length < 14) return None
+      val sig = new String(b, 0, 6, "US-ASCII")
+      if (sig != "GIF89a" && sig != "GIF87a") return None
+      val (w, h, packed) = (le16(6), le16(8), u8(10))
+      var i = 13
+      if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+      var frames = 0
+      var pendingDelay = 0 // GCE governs the NEXT image descriptor
+      val delays = scala.collection.mutable.ArrayBuffer[Int]()
+      while (i < b.length) {
+        u8(i) match {
+          case 0x3b => return Some(AnimMeta(w, h, frames, delays.toSeq))
+          case 0x21 => // extension: label, then a sub-block chain
+            if (u8(i + 1) == 0xf9 && u8(i + 2) == 4)
+              pendingDelay = le16(i + 4)
+            i += 2
+            while (u8(i) != 0) i += u8(i) + 1
+            i += 1
+          case 0x2c => // image descriptor (one frame)
+            frames += 1
+            delays += pendingDelay
+            pendingDelay = 0
+            val p = u8(i + 9)
+            i += 10
+            if ((p & 0x80) != 0) i += 3 * (1 << ((p & 7) + 1))
+            i += 1 // LZW minimum code size
+            while (u8(i) != 0) i += u8(i) + 1
+            i += 1
+          case _ => return None
+        }
+      }
+      None // ran off the end without a trailer
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Generated-file sizes — the oracle-side byte-accounting constants
     * (pinned by MultimodalSpec). */
   val PngBytesLen = 65
   val JpegBytesLen = 41
+  val GifBytesBase = 14
+  val GifBytesPerFrame = 22
 
   /** m01's media table: one REAL image binary per document, with
     * dimensions and format derived from doc_id ALONE —
@@ -199,27 +285,47 @@ object MultimodalOps {
     }
   }
 
-  /** The SQL replay of `fakeDecode` over the media table — (doc_id,
-    * lang, byte_len, width, height, channels) — the m03 fixture path.
+  /** m02's media table: one REAL animated GIF per document, frame count
+    * and per-frame delays derived from doc_id ALONE — `frames =
+    * 1 + id%24`, `delay_i = 4 + (id+i)%10` cs, screen `w = 32 + id%48`,
+    * `h = 32 + (id div 5)%48` — so the DuckDB oracle recomputes every
+    * expected value arithmetically while the Spark side actually walks
+    * the frame structure it generated (the m01 pattern, multi-frame).
     */
-  private def decodedMediaSql(spark: SparkSession, sfDir: String): DataFrame = {
+  def animationTable(spark: SparkSession, sfDir: String)
+      : Dataset[MediaRecord] = {
     import spark.implicits._
-    val hexVal: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
     graft.catalog.Tables.documents(spark, sfDir)
-      .select($"doc_id", $"lang", encode($"text", "UTF-8").as("media"))
-      .withColumn("byte_len", octet_length($"media"))
-      .withColumn("h", md5($"media"))
-      // same bytes fakeDecode reads: md5 byte 0 = hex digits 1-2, etc.
-      .withColumn("width",
-        lit(64) + (hexVal(substring($"h", 1, 1)) * 16 +
-          hexVal(substring($"h", 2, 1))) * 8)
-      .withColumn("height",
-        lit(64) + (hexVal(substring($"h", 3, 1)) * 16 +
-          hexVal(substring($"h", 4, 1))) * 8)
-      .withColumn("channels",
-        when((hexVal(substring($"h", 5, 1)) * 16 +
-          hexVal(substring($"h", 6, 1))) % 2 === 0, 3).otherwise(1))
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val frames = 1 + (id % 24).toInt
+        val delays = (0 until frames).map(i => 4 + ((id + i) % 10).toInt)
+        val w = 32 + (id % 48).toInt
+        val h = 32 + ((id / 5) % 48).toInt
+        MediaRecord(id, gifBytes(w, h, delays), "image/gif")
+      }
+  }
+
+  /** Parsed per-document animation features (delays in frame order). */
+  final case class AnimFeatures(
+      doc_id: Long, format: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, delays: Seq[Int])
+
+  /** The animation decode path — same mapPartitions batch contract as
+    * [[decodeFeatures]], walking real frame structure ([[gifDecode]]).
+    * Unparseable payloads decode as zero-frame records rather than
+    * failing the stage (a production pipeline quarantines them).
+    */
+  def decodeAnimations(ds: Dataset[MediaRecord]): Dataset[AnimFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val m = gifDecode(r.media)
+          .getOrElse(AnimMeta(0, 0, 0, Nil))
+        AnimFeatures(r.doc_id, r.format, r.media.length,
+          m.width, m.height, m.frames, m.delaysCs)
+      }
+    }
   }
 
   /** m01: per-format media metadata summary over REAL image binaries —
@@ -243,33 +349,34 @@ object MultimodalOps {
   /** m03: resize planning + thumbnail cost accounting — the
     * feature-extract stage a vision-data pipeline runs after decode:
     * aspect-preserving fit of each image into a 224-square (the
-    * standard vision-model input box), with the output dimensions and
-    * thumbnail byte cost computed in exact integer arithmetic
+    * standard vision-model input box), with output dimensions and
+    * thumbnail byte cost in exact integer arithmetic
     * (`out = (dim * 224) div long_side` — floor division agrees across
-    * engines) so the whole stage stays oracle-checkable. The actual
-    * pixel resample belongs in [[resizePlan]]'s typed path next to
-    * `fakeDecode` (no codecs in this container; the planning math and
-    * the plumbing are what's under test).
+    * engines) so the whole stage stays oracle-checkable.
+    *
+    * Inputs are REAL image binaries: [[imageTable]]'s generated
+    * PNG/JPEGs parsed back through the mapPartitions decode path
+    * ([[decodeFeatures]] → [[headerDecode]]) and planned by the typed
+    * [[resizePlan]] — no pseudo-metadata anywhere. The oracle replays
+    * imageTable's doc_id arithmetic instead of parsing; `landscape ⟺
+    * width ≥ height ⟺ out_w ≥ out_h` under aspect-preserving floor
+    * fit, so both sides agree on the flag without sharing code.
     */
   def resizeSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    decodedMediaSql(spark, sfDir)
-      .withColumn("long_side", greatest($"width", $"height"))
-      .withColumn("out_w", expr("(width * 224) div long_side"))
-      .withColumn("out_h", expr("(height * 224) div long_side"))
-      .groupBy(concat(lit("fake/"), $"lang").as("format"))
+    resizePlan(decodeFeatures(imageTable(spark, sfDir)))
+      .groupBy($"format")
       .agg(count(lit(1)).as("media_count"),
-        sum($"out_w").cast(LongType).as("out_width_sum"),
-        sum($"out_h").cast(LongType).as("out_height_sum"),
-        sum(($"out_w" * $"out_h" * $"channels").cast(LongType))
-          .cast(LongType).as("thumb_bytes"),
-        sum(when($"width" >= $"height", 1L).otherwise(0L))
+        sum($"out_w".cast(LongType)).as("out_width_sum"),
+        sum($"out_h".cast(LongType)).as("out_height_sum"),
+        sum($"thumb_bytes").cast(LongType).as("thumb_bytes"),
+        sum(when($"out_w" >= $"out_h", 1L).otherwise(0L))
           .as("landscape_count"))
   }
 
   /** Typed resize plan over the mapPartitions decode path — the shape a
-    * real resampler drops into (MultimodalSpec asserts it agrees with
-    * the SQL replay). */
+    * real resampler drops into; m03 ([[resizeSummary]]) aggregates it
+    * directly. */
   final case class ResizePlan(
       doc_id: Long, format: String, out_w: Int, out_h: Int,
       thumb_bytes: Long)
@@ -284,93 +391,96 @@ object MultimodalOps {
     }
   }
 
-  /** m02: frame sampling — the video-pipeline operation of decoding
-    * only every k-th frame. The payload is modeled as a sequence of
-    * fixed-width frames (200-char slices of the text payload — this
-    * DuckDB build cannot slice BLOBs, and a char slice md5-hashes its
-    * UTF-8 bytes identically in both engines, so the sampling algebra
-    * stays oracle-checkable; a production build slices the binary and
-    * decodes inside mapPartitions like m01's contract). Stride is
-    * ceil(n_frames/8), so ≤8 frames are sampled per document regardless
-    * of length — the budget-bounded sampling a real frame extractor
-    * uses.
+  /** m02: frame sampling over REAL multi-frame media — decode only
+    * every k-th frame, the core video-pipeline budget operation. Inputs
+    * are [[animationTable]]'s generated GIFs; the frame counts, screen
+    * dims, and per-frame delays come from WALKING THE BYTES
+    * ([[decodeAnimations]] → [[gifDecode]]), never from the generator's
+    * arithmetic. Stride is ceil(n_frames/8), so ≤8 frames are sampled
+    * per document regardless of length; the output accounts both the
+    * full animation (n_frames, total_delay_cs, byte_len) and the
+    * sampled subset (sampled_frames, sampled_delay_cs).
     *
     * Scale: only the SAMPLED indices are generated (a strided
     * `sequence`, not an explode-all-then-filter), so the fan-out is a
-    * hard ≤8 rows/doc; the heavy payload column is dropped right after
-    * slicing, so the shuffle carries only (doc_id, hash) pairs.
+    * hard ≤8 rows/doc; the binary payload is dropped at decode, so
+    * the shuffle carries only (doc_id, small ints) rows.
     */
   def frameSampleSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val FrameChars = 200
     val MaxSampled = 8
-    val d = graft.catalog.Tables.documents(spark, sfDir)
-      .select($"doc_id", $"lang", $"text")
-      .withColumn("n_frames",
-        greatest(lit(1), expr(s"length(text) div $FrameChars")))
+    decodeAnimations(animationTable(spark, sfDir)).toDF()
       .withColumn("stride",
         expr(s"(n_frames + ${MaxSampled - 1}) div $MaxSampled"))
-    d.withColumn("i",
+      // whole-animation accounting from the parsed delay list
+      .withColumn("total_delay_cs",
+        expr("aggregate(delays, 0L, (acc, d) -> acc + d)"))
+      .withColumn("i",
         explode(sequence(lit(0), $"n_frames" - 1, $"stride")))
-      .withColumn("frame_hash",
-        md5(expr(s"substring(text, i * $FrameChars + 1, $FrameChars)")))
-      .groupBy($"doc_id", concat(lit("fake/"), $"lang").as("format"),
-        $"n_frames".cast(LongType).as("n_frames"))
+      .withColumn("d_i",
+        element_at($"delays", ($"i" + 1).cast(IntegerType)))
+      .groupBy($"doc_id", $"format",
+        $"n_frames".cast(LongType).as("n_frames"),
+        $"byte_len".cast(LongType).as("byte_len"),
+        $"total_delay_cs")
       .agg(count(lit(1)).as("sampled_frames"),
-        countDistinct($"frame_hash").as("distinct_frames"),
-        min($"frame_hash").as("rep_hash"))
+        sum($"d_i".cast(LongType)).as("sampled_delay_cs"))
   }
 
+  /** The arithmetic twin of [[animationTable]] + [[gifDecode]]: frame
+    * counts/delays replay the doc_id derivation, byte lengths are the
+    * constant per-frame file-size accounting (14 + 22·frames, pinned in
+    * MultimodalSpec) — DuckDB never parses a GIF. */
   val frameSampleSummaryOracle: String =
-    """WITH p AS (
-      |  SELECT doc_id, lang, text,
-      |         greatest(1, length(text) // 200) AS n_frames,
-      |         (greatest(1, length(text) // 200) + 7) // 8 AS stride
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id, lang, n_frames,
-      |         md5(substr(text, i * 200 + 1, 200)) AS frame_hash
-      |  FROM (SELECT *, unnest(range(0, n_frames, stride)) AS i FROM p))
-      |SELECT doc_id, 'fake/' || lang AS format,
-      |       cast(n_frames AS BIGINT) AS n_frames,
-      |       count(*) AS sampled_frames,
-      |       count(DISTINCT frame_hash) AS distinct_frames,
-      |       min(frame_hash) AS rep_hash
-      |FROM f GROUP BY 1, 2, 3""".stripMargin
+    s"""WITH anim AS (
+       |  SELECT doc_id,
+       |         1 + (doc_id % 24) AS n_frames,
+       |         (1 + (doc_id % 24) + 7) // 8 AS stride
+       |  FROM documents),
+       |tot AS (
+       |  SELECT doc_id,
+       |         cast(sum(4 + ((doc_id + i) % 10)) AS BIGINT) AS total_delay_cs
+       |  FROM (SELECT doc_id, unnest(range(0, n_frames)) AS i FROM anim)
+       |  GROUP BY 1),
+       |samp AS (
+       |  SELECT doc_id, count(*) AS sampled_frames,
+       |         cast(sum(4 + ((doc_id + i) % 10)) AS BIGINT) AS sampled_delay_cs
+       |  FROM (SELECT doc_id, unnest(range(0, n_frames, stride)) AS i FROM anim)
+       |  GROUP BY 1)
+       |SELECT a.doc_id, 'image/gif' AS format,
+       |       cast(a.n_frames AS BIGINT) AS n_frames,
+       |       cast($GifBytesBase + $GifBytesPerFrame * a.n_frames AS BIGINT)
+       |         AS byte_len,
+       |       t.total_delay_cs, s.sampled_frames, s.sampled_delay_cs
+       |FROM anim a
+       |JOIN tot t ON a.doc_id = t.doc_id
+       |JOIN samp s ON a.doc_id = s.doc_id""".stripMargin
 
-  /** Shared decoded-media CTE prefix for the m01/m03 oracles. */
-  private val decodedCtes: String =
-    """media AS (
-      |  SELECT doc_id, lang, encode(text) AS media,
-      |         octet_length(encode(text)) AS byte_len,
-      |         md5(text) AS h
+  /** The arithmetic twin of [[imageTable]] + [[headerDecode]] +
+    * [[resizePlan]] for m03 (same convention as
+    * [[mediaMetaSummaryOracle]]). */
+  val resizeSummaryOracle: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |         16 + (doc_id % 64) AS width,
+      |         16 + ((doc_id // 7) % 64) AS height,
+      |         CASE WHEN doc_id % 3 = 2 THEN 'image/jpeg'
+      |              ELSE 'image/png' END AS format,
+      |         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels
       |  FROM documents),
-      |decoded AS (
-      |  SELECT doc_id, lang, byte_len,
-      |         64 + ((strpos('0123456789abcdef', substr(h,1,1)) - 1) * 16 +
-      |               (strpos('0123456789abcdef', substr(h,2,1)) - 1)) * 8 AS width,
-      |         64 + ((strpos('0123456789abcdef', substr(h,3,1)) - 1) * 16 +
-      |               (strpos('0123456789abcdef', substr(h,4,1)) - 1)) * 8 AS height,
-      |         CASE WHEN ((strpos('0123456789abcdef', substr(h,5,1)) - 1) * 16 +
-      |                    (strpos('0123456789abcdef', substr(h,6,1)) - 1)) % 2 = 0
-      |              THEN 3 ELSE 1 END AS channels
-      |  FROM media)""".stripMargin
-
-  lazy val resizeSummaryOracle: String =
-    s"""WITH $decodedCtes,
-       |resized AS (
-       |  SELECT lang, channels, width, height,
-       |         (width * 224) // greatest(width, height) AS out_w,
-       |         (height * 224) // greatest(width, height) AS out_h
-       |  FROM decoded)
-       |SELECT 'fake/' || lang AS format,
-       |       count(*) AS media_count,
-       |       cast(sum(out_w) AS BIGINT) AS out_width_sum,
-       |       cast(sum(out_h) AS BIGINT) AS out_height_sum,
-       |       cast(sum(out_w * out_h * channels) AS BIGINT) AS thumb_bytes,
-       |       cast(sum(CASE WHEN width >= height THEN 1 ELSE 0 END) AS BIGINT)
-       |         AS landscape_count
-       |FROM resized GROUP BY 1""".stripMargin
+      |resized AS (
+      |  SELECT format, channels, width, height,
+      |         (width * 224) // greatest(width, height) AS out_w,
+      |         (height * 224) // greatest(width, height) AS out_h
+      |  FROM img)
+      |SELECT format,
+      |       count(*) AS media_count,
+      |       cast(sum(out_w) AS BIGINT) AS out_width_sum,
+      |       cast(sum(out_h) AS BIGINT) AS out_height_sum,
+      |       cast(sum(out_w * out_h * channels) AS BIGINT) AS thumb_bytes,
+      |       cast(sum(CASE WHEN width >= height THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS landscape_count
+      |FROM resized GROUP BY 1""".stripMargin
 
   /** The arithmetic twin of [[imageTable]] + [[headerDecode]]: dims
     * replay the doc_id derivation, byte lengths are the constant

@@ -55,6 +55,52 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.JpegBytesLen)
     assert(MultimodalOps.jpegBytes(4096, 4096).length ==
       MultimodalOps.JpegBytesLen)
+    for (n <- Seq(1, 7, 24))
+      assert(MultimodalOps.gifBytes(64, 48, Seq.fill(n)(5)).length ==
+        MultimodalOps.GifBytesBase + MultimodalOps.GifBytesPerFrame * n)
+  }
+
+  test("gifDecode walks real multi-frame GIF structure (round-trip)") {
+    // generated animations round-trip: dims, frame count, per-frame
+    // delays all parsed back out of the bytes
+    val delays = Seq(4, 13, 7, 10)
+    val meta = MultimodalOps.gifDecode(
+      MultimodalOps.gifBytes(100, 80, delays))
+    assert(meta ==
+      Some(MultimodalOps.AnimMeta(100, 80, delays.size, delays)))
+    // a REAL gif from the wild: the canonical 1×1 transparent GIF89a
+    // (global color table + graphic control extension, zero delay)
+    val onePixel = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    assert(MultimodalOps.gifDecode(onePixel) ==
+      Some(MultimodalOps.AnimMeta(1, 1, 1, Seq(0))))
+    // non-GIFs (and stills of other formats) miss cleanly
+    assert(MultimodalOps.gifDecode(
+      MultimodalOps.pngBytes(8, 8, 2)).isEmpty)
+    assert(MultimodalOps.gifDecode("not a gif".getBytes("UTF-8")).isEmpty)
+    // truncated payload (no trailer) misses instead of throwing
+    val cut = MultimodalOps.gifBytes(10, 10, Seq(5))
+    assert(MultimodalOps.gifDecode(cut.dropRight(3)).isEmpty)
+  }
+
+  test("m02 samples parsed frames under the ≤8 budget (round-trip)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.frameSampleSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val n = 1 + (id % 24)
+      val stride = (n + 7) / 8
+      assert(r.getAs[Long]("n_frames") == n, s"doc $id n_frames")
+      assert(r.getAs[Long]("sampled_frames") == (n + stride - 1) / stride,
+        s"doc $id sampled")
+      assert(r.getAs[Long]("sampled_frames") <= 8, s"doc $id budget")
+      assert(r.getAs[Long]("byte_len") ==
+        MultimodalOps.GifBytesBase + MultimodalOps.GifBytesPerFrame * n,
+        s"doc $id bytes")
+      assert(r.getAs[Long]("total_delay_cs") ==
+        (0L until n).map(i => 4 + ((id + i) % 10)).sum, s"doc $id delay")
+    }
   }
 
   test("m01 parses headers back out of generated binaries (round-trip)") {
@@ -79,25 +125,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.size == 2) // png + jpeg
   }
 
-  test("typed resize plan matches the SQL replay (m03)") {
+  test("m03 plans resizes from parsed headers (round-trip vs arithmetic)") {
     val sfDir = "/root/testdata/sf0.001"
-    val viaDs = MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(
-      MultimodalOps.mediaTable(spark, sfDir)))
+    // expected straight from imageTable's doc_id arithmetic, no parsing
+    val expected = graft.catalog.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "16 + (doc_id % 64) AS width",
+        "16 + ((doc_id div 7) % 64) AS height",
+        "CASE WHEN doc_id % 3 = 2 THEN 'image/jpeg' ELSE 'image/png' END AS format",
+        "CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels")
+      .selectExpr("format", "channels", "width", "height",
+        "(width * 224) div greatest(width, height) AS out_w",
+        "(height * 224) div greatest(width, height) AS out_h")
       .groupBy($"format")
       .agg(count(lit(1)).as("media_count"),
         sum($"out_w".cast("long")).as("out_width_sum"),
         sum($"out_h".cast("long")).as("out_height_sum"),
-        sum($"thumb_bytes").as("thumb_bytes"))
-    val viaSql = MultimodalOps.resizeSummary(spark, sfDir)
-      .drop("landscape_count")
-    val a = viaDs.orderBy($"format").collect().map(_.toSeq).toSeq
-    val b = viaSql.orderBy($"format").collect().map(_.toSeq).toSeq
+        sum(($"out_w" * $"out_h" * $"channels").cast("long"))
+          .cast("long").as("thumb_bytes"),
+        sum(when($"width" >= $"height", 1L).otherwise(0L))
+          .as("landscape_count"))
+    val actual = MultimodalOps.resizeSummary(spark, sfDir)
+    val a = actual.orderBy($"format").collect().map(_.toSeq).toSeq
+    val b = expected.orderBy($"format").collect().map(_.toSeq).toSeq
     assert(a == b)
-    assert(a.nonEmpty)
+    assert(a.size == 2) // png + jpeg
     // the fit is aspect-preserving into a 224 box: long side maps to 224
     val plans = MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(
-      MultimodalOps.mediaTable(spark, sfDir))).collect()
+      MultimodalOps.imageTable(spark, sfDir))).collect()
     assert(plans.forall(p => math.max(p.out_w, p.out_h) == 224))
+    // the fallback path (non-image payloads) still plans without error
+    val fallback = MultimodalOps.resizePlan(MultimodalOps.decodeFeatures(
+      MultimodalOps.mediaTable(spark, sfDir))).collect()
+    assert(fallback.forall(p => math.max(p.out_w, p.out_h) == 224))
   }
 
   test("decoder stub is deterministic and dimension-bounded") {
