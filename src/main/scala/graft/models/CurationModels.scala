@@ -70,8 +70,13 @@ object CurationModels {
       .distinct()
   }
 
+  /** Session-memoized (doc_id, source, gram-digest) table: the eval,
+    * corpus, and hit legs of c01's build all read this one
+    * materialization instead of re-deriving the gram explode per plan
+    * branch (the shingle-digest convention of `DedupModels`). */
   private def gramDf(spark: SparkSession, sfDir: String): DataFrame =
-    gramsOf(Tables.documents(spark, sfDir))
+    Shared.materialized("gram_digests", spark, sfDir)(
+      gramsOf(Tables.documents(spark, sfDir)))
 
   /** The distinct eval-slice gram set — the fixed reference an
     * incremental curation run checks new documents against

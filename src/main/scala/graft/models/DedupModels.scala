@@ -74,17 +74,30 @@ object DedupModels {
        |                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingle
        |        FROM ok)""".stripMargin
 
+  /** Session-memoized per-shingle digest table (doc_id, h): ONE md5
+    * pass over the distinct 3-gram shingles, shared by d02 (signature
+    * aggregation) and d03 (bands + exact-Jaccard verify legs). At
+    * scale this is the materialized fingerprint table every dedup
+    * consumer reads instead of re-hashing the corpus — the same
+    * runner-materialized-intermediate role as d03's pair list.
+    */
+  private def shingleDigests(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Shared.materialized("shingle_digests", spark, sfDir) {
+      import spark.implicits._
+      shingleDf(spark, sfDir).select($"doc_id", md5($"shingle").as("h"))
+    }
+
   /** d02: 4-permutation MinHash signature per document.
     * The j-th permutation is the ordering induced by hex slice j of ONE
     * md5 per shingle (bytes of a cryptographic digest are independent),
     * so the whole signature costs a single hash pass — 4× cheaper than
-    * salting, same LSH statistics.
+    * salting, same LSH statistics. Reads the memoized
+    * [[shingleDigests]] table.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashed = shingleDf(spark, sfDir)
-      .select($"doc_id", md5($"shingle").as("h"))
-    hashed.groupBy($"doc_id")
+    shingleDigests(spark, sfDir).groupBy($"doc_id")
       .agg(
         min(substring($"h", 1, 8)).as("mh0"),
         min(substring($"h", 9, 8)).as("mh1"),
@@ -124,9 +137,12 @@ object DedupModels {
   private def lshNearDupPairsBuild(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    val dsh = Shared.cacheOnce(shingleDf(spark, sfDir))
-    val hashed = dsh.select($"doc_id", md5($"shingle").as("h"))
-    val sig = hashed.groupBy($"doc_id")
+    // every leg (signatures, sizes, both intersect sides) reads the
+    // memoized digest table — shingle identity is its md5 on BOTH
+    // engines (the oracle hashes before joining too), so the verify
+    // join ships 32-char digests instead of raw shingle strings
+    val dsh = shingleDigests(spark, sfDir)
+    val sig = dsh.groupBy($"doc_id")
       .agg(
         min(substring($"h", 1, 8)).as("mh0"),
         min(substring($"h", 9, 8)).as("mh1"),
@@ -154,9 +170,8 @@ object DedupModels {
     // AQE still converts to broadcast at runtime when a side actually
     // fits under the threshold.
     val inter = cand
-      .join(dsh.select($"doc_id".as("doc_a"), $"shingle"), Seq("doc_a"))
-      .join(dsh.select($"doc_id".as("doc_b"), $"shingle"),
-        Seq("doc_b", "shingle"))
+      .join(dsh.select($"doc_id".as("doc_a"), $"h"), Seq("doc_a"))
+      .join(dsh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter_count"))
     inter
@@ -185,11 +200,11 @@ object DedupModels {
        |         FROM bands a JOIN bands b
        |           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |          AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter_count
        |          FROM cand c
-       |          JOIN dsh x ON x.doc_id = c.doc_a
-       |          JOIN dsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |          JOIN hashed x ON x.doc_id = c.doc_a
+       |          JOIN hashed y ON y.doc_id = c.doc_b AND y.h = x.h
        |          GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, i.inter_count,
        |       (sa.n + sb.n - i.inter_count) AS union_count,
