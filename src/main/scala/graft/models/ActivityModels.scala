@@ -38,6 +38,8 @@ object ActivityModels {
     val prices = daily
       .filter(dayofmonth($"date_key") % 3 === 0)
       .select($"date_key", $"day_amount".as("price"))
+    // unpartitioned BY DESIGN: input is the per-day aggregate (|days|
+    // rows, output-sized) — PlanAuditSpec enforces this repo-wide
     val w = Window.orderBy($"date_key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = daily.select($"date_key")
@@ -321,6 +323,8 @@ object ActivityModels {
     val daily = factTxn(spark, sfDir)
       .groupBy($"date_key")
       .agg(sum($"amount").cast(DecimalType(38, 2)).as("total_amount"))
+    // unpartitioned BY DESIGN: lags the per-day aggregate (|days| rows,
+    // output-sized) — PlanAuditSpec enforces this repo-wide
     val w = Window.orderBy($"date_key")
     val delta = ($"total_amount" - lag($"total_amount", 1).over(w))
       .cast(DecimalType(38, 2))

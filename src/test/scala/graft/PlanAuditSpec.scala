@@ -69,6 +69,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("unpartitioned windows only run over aggregate-bounded inputs") {
+    // a Window with no partitionSpec moves ALL rows to one partition —
+    // acceptable only when the input is output-sized by construction
+    // (a calendar/day-grain aggregate), never over a fact-sized scan.
+    // q43's calendar fill and q18's prev-day lag are the two intended
+    // sites; both window an Aggregate of the fact, so the sort is
+    // bounded by |days|. Any future unpartitioned window whose subtree
+    // reaches a relation without passing an aggregate fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LogicalPlan, Window => LWindow}
+    def aggBounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: Aggregate => true }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+              !aggBounded(w.child) =>
+            s"$name: unpartitioned Window over non-aggregated input"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   import org.apache.spark.sql.execution.ExplainMode
   private def formatted(name: String): String =
     SparkEntry.queries(name)(spark, sfDir)
