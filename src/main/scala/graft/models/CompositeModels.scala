@@ -244,15 +244,28 @@ object CompositeModels {
     * running sum partitioned per (app, role)). Row-identical results —
     * every consumer's driver hash is unchanged (q34/q38/q40/q42/q35).
     */
-  /** Measured crossover between the two rolling formulations (paired
-    * sf0.1 A/B, 32 cores): the interval path wins once the explode
-    * fan-out is wide (lookback 29 app-grain: 2.03 s → 1.41 s), while
-    * for narrow windows (≤7) the ×(lookback+1) hash-agg explode stays
-    * cheaper than three per-wallet window sorts (q38/q42 regressed
-    * ~2× under intervals). The ecosystem grain keeps the explode at
-    * every width for the same reason — its deduped (date, wallet) set
-    * is small and the windows partition on bare wallet_id. */
-  private val IntervalPathMinLookback = 14
+  /** Session conf holding the crossover between the two rolling
+    * formulations. The default is the MEASURED value on this rig
+    * (paired sf0.1 worktree A/B, 32 cores, round 5): the interval path
+    * wins once the explode fan-out is wide (lookback 29 app-grain:
+    * 2.03 s → 1.41 s), while for narrow windows (≤7) the
+    * ×(lookback+1) hash-agg explode stays cheaper than three
+    * per-wallet window sorts (q38/q42 regressed ~2× under intervals).
+    * The ecosystem grain keeps the explode at every width for the same
+    * reason — its deduped (date, wallet) set is small and the windows
+    * partition on bare wallet_id. A different cluster/data shape can
+    * re-measure and set the conf instead of editing code
+    * (`spark.conf.set("spark.graft.rolling.intervalMinLookback", n)`;
+    * RollingIntervalPropsSpec pins both paths row-identical, so the
+    * knob is purely a cost choice).
+    */
+  val IntervalMinLookbackConf = "spark.graft.rolling.intervalMinLookback"
+  val IntervalMinLookbackDefault = 14
+
+  private def intervalPathMinLookback(df: DataFrame): Int =
+    df.sparkSession.conf
+      .get(IntervalMinLookbackConf, IntervalMinLookbackDefault.toString)
+      .toInt
 
   def activeAccountsAppFromGrid(gridIn: DataFrame, lookback: Int): DataFrame = {
     import gridIn.sparkSession.implicits._
@@ -265,7 +278,7 @@ object CompositeModels {
           sum(when($"is_earn", 1L).otherwise(0L)).as("active_earners"))
         .select($"date_key", $"app_id",
           $"active_users", $"active_spenders", $"active_earners")
-    } else if (lookback >= IntervalPathMinLookback)
+    } else if (lookback >= intervalPathMinLookback(gridIn))
       rollingFromIntervals(gridIn, Seq("app_id"), lookback)
     else {
       // narrow windows: constant-factor explode over the deduped grid

@@ -58,7 +58,7 @@ object EcosystemModels {
     // The explode stays the right tail at THIS grain for every window
     // width: the (date, wallet) set is small after dedupe and the
     // interval path's per-wallet window sorts measured slower (see
-    // CompositeModels.IntervalPathMinLookback).
+    // CompositeModels.IntervalMinLookbackConf).
     val grid = gridIn
       .groupBy($"date_key", $"wallet_id")
       .agg(max($"is_spend").as("is_spend"), max($"is_earn").as("is_earn"))

@@ -66,6 +66,22 @@ class RollingIntervalPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("the crossover conf switches the formulation with no semantic drift") {
+    val grid = randomGrid(99L).cache()
+    def viaConf(minLookback: Int): Seq[String] = {
+      spark.conf.set(CompositeModels.IntervalMinLookbackConf,
+        minLookback.toString)
+      try CompositeModels.activeAccountsAppFromGrid(grid, 13)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset(CompositeModels.IntervalMinLookbackConf)
+    }
+    // lookback 13 takes the explode path at the default (14), the
+    // interval path when the conf drops to 1 — identical rows either way
+    assert(viaConf(Int.MaxValue) == viaConf(1))
+    assert(CompositeModels.IntervalMinLookbackDefault == 14)
+    grid.unpersist()
+  }
+
   test("edge grids: single day, all-one-wallet, window wider than calendar") {
     val single = Seq((day(0), 1L, 1L, true, false))
       .toDF("date_key", "app_id", "wallet_id", "is_spend", "is_earn")
