@@ -78,27 +78,34 @@ object TxnModels {
   def dailyTxnSummary(spark: SparkSession, sfDir: String): DataFrame =
     dailyTxnSummaryFrom(factTxn(spark, sfDir))
 
-  /** Frame-parameterized variant for the model registry. */
-  def dailyTxnSummaryFrom(fact: DataFrame): DataFrame = {
-    import fact.sparkSession.implicits._
-    fact
-      .groupBy($"date_key", $"txn_type")
-      .agg(
-        count(lit(1)).as("txn_count"),
-        sum($"amount").cast(DecimalType(38, 2)).as("total_amount"),
-        sum($"amount").as("amt_sum_raw"),
-        ratio6(percentile($"amount".cast(DoubleType), lit(0.5)))
-          .as("median_amount"),
-        sum(lit(new java.math.BigDecimal("0.00001")).cast(DecimalType(38, 10)))
-          .as("total_fees"))
-      // exact micros average (see q08): floor((sum*1e6)/n) — portable
-      .withColumn("avg_amount",
-        (expr("cast(amt_sum_raw * 1000000 as bigint) div txn_count")
-          .cast(DecimalType(20, 0)) *
-          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
-          .cast(DecimalType(24, 6)))
+  /** The per-(day,type) summary aggregate algebra — shared VERBATIM by
+    * the batch model and its streaming twin
+    * (`graft.streaming.StreamingModelRunner`), so the two formulations
+    * cannot drift: any change here changes both. */
+  private[graft] def summaryAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("txn_count"),
+    sum(col("amount")).cast(DecimalType(38, 2)).as("total_amount"),
+    sum(col("amount")).as("amt_sum_raw"),
+    ratio6(percentile(col("amount").cast(DoubleType), lit(0.5)))
+      .as("median_amount"),
+    sum(lit(new java.math.BigDecimal("0.00001")).cast(DecimalType(38, 10)))
+      .as("total_fees"))
+
+  /** Post-aggregate projection of [[summaryAggs]]: exact micros average
+    * (see q08): floor((sum*1e6)/n) — portable; raw sum dropped. */
+  private[graft] def summaryFinish(agged: DataFrame): DataFrame =
+    agged.withColumn("avg_amount",
+      (expr("cast(amt_sum_raw * 1000000 as bigint) div txn_count")
+        .cast(DecimalType(20, 0)) *
+        lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+        .cast(DecimalType(24, 6)))
       .drop("amt_sum_raw")
-  }
+
+  /** Frame-parameterized variant for the model registry. */
+  def dailyTxnSummaryFrom(fact: DataFrame): DataFrame =
+    summaryFinish(
+      fact.groupBy(col("date_key"), col("txn_type"))
+        .agg(summaryAggs.head, summaryAggs.tail: _*))
 
   /** q36: top-3 transaction amounts (in exact cents) per app via the
     * custom typed Aggregator (SURVEY.md §2.10 UDAF tier) — a grouped

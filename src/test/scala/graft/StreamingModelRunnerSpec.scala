@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Tables
+import graft.runner.{IncrementalRunner, ModelRegistry}
+import graft.streaming.StreamingModelRunner
+
+/** The streaming twin of the registered `daily_txn_summary` model:
+  * a two-phase catch-up over event files must equal the batch
+  * incremental runner's materialized table after each phase — same
+  * rows, same decimals — with the second catch-up appending ONLY the
+  * newly closed days (the checkpointed watermark playing the runner's
+  * high-watermark role).
+  */
+class StreamingModelRunnerSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val evCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** A far-future heartbeat row: error-typed (never aggregated), it only
+    * drags the event-time watermark past `d + plusDays`. */
+  private def sentinel(d: Date, plusDays: Int, id: Long): DataFrame =
+    Seq((id, Timestamp.valueOf(
+      d.toLocalDate.plusDays(plusDays.toLong).atStartOfDay),
+      0L, "error", 0.0, "{}"))
+      .toDF(evCols: _*)
+
+  test("streamed catch-up over +N days equals the batch runner's table") {
+    val base = Files.createTempDirectory("graft-smr").toString
+    val in = s"$base/in"; val ck = s"$base/ck"; val out = s"$base/out"
+    val wh = s"$base/wh"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(evCols.map(col): _*)
+    val days = ev.select(to_date($"ts").as("d")).distinct()
+      .orderBy($"d").as[Date].collect()
+    assert(days.length >= 4, "fixture needs a multi-day calendar")
+    val splitDay = days(days.length / 2)
+    val lastDay = days.last
+
+    val models = ModelRegistry.kreDag
+      .filter(m => Set("fact_txn", "daily_txn_summary")(m.name))
+    val sources: String => DataFrame = {
+      case "events" => spark.read.parquet(in)
+      case other => fail(s"unexpected source $other")
+    }
+    def normalized(df: DataFrame): Seq[String] = df.select(
+      $"date_key".cast("string"), $"txn_type", $"txn_count",
+      $"total_amount".cast("string"), $"median_amount".cast("string"),
+      $"total_fees".cast("string"), $"avg_amount".cast("string"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    // --- phase 1: half the calendar + a watermark sentinel two days out,
+    // so every day ≤ splitDay closes for BOTH engines
+    ev.filter(to_date($"ts") <= lit(splitDay))
+      .coalesce(1).write.mode("append").parquet(in)
+    sentinel(splitDay, 2, -1L).coalesce(1).write.mode("append").parquet(in)
+    StreamingModelRunner.catchUp(spark, in, ck, out).awaitTermination()
+    new IncrementalRunner(spark, wh, splitDay.toLocalDate.plusDays(1))
+      .runAll(models, sources)
+    val streamed1 = normalized(spark.read.parquet(out))
+    val batch1 = normalized(
+      spark.read.parquet(s"$wh/daily_txn_summary"))
+    assert(streamed1 == batch1)
+    assert(streamed1.nonEmpty)
+
+    // --- phase 2: the remaining days land (+N-day catch-up)
+    ev.filter(to_date($"ts") > lit(splitDay))
+      .coalesce(1).write.mode("append").parquet(in)
+    sentinel(lastDay, 2, -2L).coalesce(1).write.mode("append").parquet(in)
+    StreamingModelRunner.catchUp(spark, in, ck, out).awaitTermination()
+    new IncrementalRunner(spark, wh, lastDay.toLocalDate.plusDays(1))
+      .runAll(models, sources)
+    val streamed2 = normalized(spark.read.parquet(out))
+    val batch2 = normalized(
+      spark.read.parquet(s"$wh/daily_txn_summary"))
+    assert(streamed2 == batch2)
+    // append-only: the catch-up added the new days and rewrote nothing
+    assert(streamed2.size > streamed1.size)
+    assert(streamed1.toSet.subsetOf(streamed2.toSet))
+  }
+}
