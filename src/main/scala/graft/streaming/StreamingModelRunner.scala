@@ -42,6 +42,7 @@ object StreamingModelRunner {
       inputDir: String): DataFrame = {
     val fact = spark.readStream
       .schema(StreamingSummary.eventSchema)
+      .option("maxFilesPerTrigger", "1") // deterministic batch-per-file
       .parquet(inputDir)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
@@ -70,7 +71,6 @@ object StreamingModelRunner {
       .format("parquet")
       .option("path", targetDir)
       .option("checkpointLocation", checkpointDir)
-      .option("maxFilesPerTrigger", "1")
       .trigger(Trigger.AvailableNow())
       .start()
 }
