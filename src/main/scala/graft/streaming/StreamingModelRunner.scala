@@ -6,13 +6,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.models.TxnModels
 
-/** The streaming twin of a REGISTERED incremental model — SURVEY §2.9's
-  * optional extension made part of the product: `daily_txn_summary`
-  * (the registry's metabase summary, `runner/ModelRegistry.scala`)
-  * re-expressed as readStream → event-time window → append sink, with
-  * the batch model's aggregate algebra imported VERBATIM
-  * (`TxnModels.summaryAggs`/`summaryFinish`) so the two tables cannot
-  * drift.
+/** Streaming twins of REGISTERED incremental models — SURVEY §2.9's
+  * optional extension made part of the product. Each twin re-expresses
+  * one registry model (`runner/ModelRegistry.scala`) as
+  * readStream → event-time window → append sink, importing the batch
+  * model's aggregate algebra where the streaming engine allows it so
+  * the two tables cannot drift.
   *
   * Protocol mapping (the streaming-native form of the runner's
   * semantics):
@@ -27,35 +26,71 @@ import graft.models.TxnModels
   *    apart than the watermark delay are the repair path's job, batch
   *    and stream alike).
   *
-  * Scale: state is (open windows × types) aggregate buffers plus the
-  * dedupe horizon's event ids; the per-batch shuffle is the same
+  * Scale: state is (open windows × group keys) aggregate buffers plus
+  * the dedupe horizon's event ids; the per-batch shuffle is the same
   * windowed hash agg the batch model plans.
   */
 object StreamingModelRunner {
 
-  /** The streaming `daily_txn_summary` plan (unstarted). Watermark is
-    * assigned BEFORE the status filter, so control rows (the pipeline's
-    * heartbeat/sentinel events, typed 'error') advance event time
-    * without ever reaching the aggregate.
+  /** The streaming twin of `TxnModels.factTxnFrom`'s prologue: dedupe on
+    * event_id, drop error rows. Watermark is assigned BEFORE the status
+    * filter, so control rows (the pipeline's heartbeat/sentinel events,
+    * typed 'error') advance event time without ever reaching an
+    * aggregate.
     */
-  def dailyTxnSummaryStream(spark: SparkSession,
-      inputDir: String): DataFrame = {
-    val fact = spark.readStream
+  private def factStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
       .schema(StreamingSummary.eventSchema)
       .option("maxFilesPerTrigger", "1") // deterministic batch-per-file
       .parquet(inputDir)
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .filter(col("event_type") =!= "error")
-      .select(col("ts"), col("event_type").as("txn_type"),
-        col("value").cast(TxnModels.Amount).as("amount"))
+
+  /** The streaming `daily_txn_summary` plan (unstarted). The aggregate
+    * algebra is `TxnModels.summaryAggs`/`summaryFinish` VERBATIM —
+    * exact `percentile`, integer-micros fee algebra and all — only the
+    * grouping key changes from date_key to the event-time window.
+    */
+  def dailyTxnSummaryStream(spark: SparkSession,
+      inputDir: String): DataFrame =
     TxnModels.summaryFinish(
-      fact
+      factStream(spark, inputDir)
+        .select(col("ts"), col("event_type").as("txn_type"),
+          col("value").cast(TxnModels.Amount).as("amount"))
         .groupBy(window(col("ts"), "1 day").as("dw"), col("txn_type"))
         .agg(TxnModels.summaryAggs.head, TxnModels.summaryAggs.tail: _*)
         .withColumn("date_key", col("dw.start").cast(DateType))
         .drop("dw"))
-  }
+
+  /** The streaming `daily_distinct_wallets` plan (unstarted).
+    *
+    * `count(DISTINCT wallet_id)` is unsupported over a stream (the
+    * distinct set per group is unbounded mid-window), so the twin uses
+    * the chained windowed-aggregation rewrite: a per-(day, wallet)
+    * count — the dedup-to-grain step — then a day-level rollup where
+    * `count(*)` IS the distinct-wallet count and `sum(wallet_txns)`
+    * restores the plain row count. Both aggregates are watermark-bounded
+    * (Spark's time-window-over-time-window chain), so state stays
+    * O(open days × wallets active in the horizon) — the same footprint
+    * the batch model's `countDistinct` hash-agg touches per day.
+    */
+  def dailyDistinctWalletsStream(spark: SparkSession,
+      inputDir: String): DataFrame =
+    factStream(spark, inputDir)
+      .select(col("ts"), col("user_id").as("wallet_id"))
+      .groupBy(window(col("ts"), "1 day").as("dw"), col("wallet_id"))
+      .agg(count(lit(1)).as("wallet_txns"))
+      .groupBy(window(col("dw"), "1 day").as("dw2"))
+      .agg(count(lit(1)).as("active_wallets"),
+        sum(col("wallet_txns")).as("txn_count"))
+      .select(col("dw2.start").cast(DateType).as("date_key"),
+        col("active_wallets"), col("txn_count"))
+
+  /** Streaming twins keyed by their registry model name. */
+  val twins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "daily_txn_summary" -> (dailyTxnSummaryStream _),
+    "daily_distinct_wallets" -> (dailyDistinctWalletsStream _))
 
   /** One catch-up run (Trigger.AvailableNow): process every file now in
     * `inputDir`, append the newly closed days to `targetDir`, stop. Two
@@ -64,9 +99,9 @@ object StreamingModelRunner {
     * since the first — the runner's incremental protocol, driven by the
     * checkpointed watermark instead of a table probe.
     */
-  def catchUp(spark: SparkSession, inputDir: String, checkpointDir: String,
-      targetDir: String): StreamingQuery =
-    dailyTxnSummaryStream(spark, inputDir).writeStream
+  def catchUp(spark: SparkSession, model: String, inputDir: String,
+      checkpointDir: String, targetDir: String): StreamingQuery =
+    twins(model)(spark, inputDir).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", targetDir)

@@ -9,12 +9,11 @@ import graft.catalog.Tables
 import graft.runner.{IncrementalRunner, ModelRegistry}
 import graft.streaming.StreamingModelRunner
 
-/** The streaming twin of the registered `daily_txn_summary` model:
-  * a two-phase catch-up over event files must equal the batch
-  * incremental runner's materialized table after each phase — same
-  * rows, same decimals — with the second catch-up appending ONLY the
-  * newly closed days (the checkpointed watermark playing the runner's
-  * high-watermark role).
+/** Streaming twins of registered models: a two-phase catch-up over
+  * event files must equal the batch incremental runner's materialized
+  * table after each phase — same rows, same decimals — with the second
+  * catch-up appending ONLY the newly closed days (the checkpointed
+  * watermark playing the runner's high-watermark role).
   */
 class StreamingModelRunnerSpec extends AnyFunSuite {
   val spark = TestSpark.spark
@@ -31,8 +30,14 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
       0L, "error", 0.0, "{}"))
       .toDF(evCols: _*)
 
-  test("streamed catch-up over +N days equals the batch runner's table") {
-    val base = Files.createTempDirectory("graft-smr").toString
+  /** Runs the shared two-phase protocol for one twin and asserts
+    * stream ≡ batch after each phase plus append-only growth between
+    * them. `normalize` projects the model's output columns to stable
+    * strings (decimals cast via string so scale mismatches surface).
+    */
+  private def twoPhase(model: String)(normalize: DataFrame => Seq[String])
+      : Unit = {
+    val base = Files.createTempDirectory(s"graft-smr-$model").toString
     val in = s"$base/in"; val ck = s"$base/ck"; val out = s"$base/out"
     val wh = s"$base/wh"
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
@@ -44,28 +49,24 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
     val lastDay = days.last
 
     val models = ModelRegistry.kreDag
-      .filter(m => Set("fact_txn", "daily_txn_summary")(m.name))
+      .filter(m => Set("fact_txn", model)(m.name))
+    assert(models.exists(_.name == model), s"$model must be registered")
     val sources: String => DataFrame = {
       case "events" => spark.read.parquet(in)
       case other => fail(s"unexpected source $other")
     }
-    def normalized(df: DataFrame): Seq[String] = df.select(
-      $"date_key".cast("string"), $"txn_type", $"txn_count",
-      $"total_amount".cast("string"), $"median_amount".cast("string"),
-      $"total_fees".cast("string"), $"avg_amount".cast("string"))
-      .collect().map(_.mkString("|")).sorted.toSeq
 
     // --- phase 1: half the calendar + a watermark sentinel two days out,
     // so every day ≤ splitDay closes for BOTH engines
     ev.filter(to_date($"ts") <= lit(splitDay))
       .coalesce(1).write.mode("append").parquet(in)
     sentinel(splitDay, 2, -1L).coalesce(1).write.mode("append").parquet(in)
-    StreamingModelRunner.catchUp(spark, in, ck, out).awaitTermination()
+    StreamingModelRunner.catchUp(spark, model, in, ck, out)
+      .awaitTermination()
     new IncrementalRunner(spark, wh, splitDay.toLocalDate.plusDays(1))
       .runAll(models, sources)
-    val streamed1 = normalized(spark.read.parquet(out))
-    val batch1 = normalized(
-      spark.read.parquet(s"$wh/daily_txn_summary"))
+    val streamed1 = normalize(spark.read.parquet(out))
+    val batch1 = normalize(spark.read.parquet(s"$wh/$model"))
     assert(streamed1 == batch1)
     assert(streamed1.nonEmpty)
 
@@ -73,15 +74,34 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
     ev.filter(to_date($"ts") > lit(splitDay))
       .coalesce(1).write.mode("append").parquet(in)
     sentinel(lastDay, 2, -2L).coalesce(1).write.mode("append").parquet(in)
-    StreamingModelRunner.catchUp(spark, in, ck, out).awaitTermination()
+    StreamingModelRunner.catchUp(spark, model, in, ck, out)
+      .awaitTermination()
     new IncrementalRunner(spark, wh, lastDay.toLocalDate.plusDays(1))
       .runAll(models, sources)
-    val streamed2 = normalized(spark.read.parquet(out))
-    val batch2 = normalized(
-      spark.read.parquet(s"$wh/daily_txn_summary"))
+    val streamed2 = normalize(spark.read.parquet(out))
+    val batch2 = normalize(spark.read.parquet(s"$wh/$model"))
     assert(streamed2 == batch2)
     // append-only: the catch-up added the new days and rewrote nothing
     assert(streamed2.size > streamed1.size)
     assert(streamed1.toSet.subsetOf(streamed2.toSet))
+  }
+
+  test("streamed catch-up over +N days equals the batch runner's table") {
+    twoPhase("daily_txn_summary") { df =>
+      df.select(
+        $"date_key".cast("string"), $"txn_type", $"txn_count",
+        $"total_amount".cast("string"), $"median_amount".cast("string"),
+        $"total_fees".cast("string"), $"avg_amount".cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+  }
+
+  test("streamed distinct-wallet counts equal the batch countDistinct " +
+      "(chained windowed aggregation)") {
+    twoPhase("daily_distinct_wallets") { df =>
+      df.select($"date_key".cast("string"), $"active_wallets",
+        $"txn_count")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
   }
 }
