@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.models.TxnModels
+import graft.sinks.{Replicator, ServingStore}
 
 /** Streaming twins of REGISTERED incremental models — SURVEY §2.9's
   * optional extension made part of the product. Each twin re-expresses
@@ -108,4 +109,35 @@ object StreamingModelRunner {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streamed serving replication: the twin's append stream lands in a
+    * [[ServingStore]] (parquet or real JDBC), each micro-batch routed
+    * through the BATCH [[Replicator]] — the sink-side-watermark filter,
+    * camelCase rename projection, and create-on-empty are literally the
+    * same code as the daily pipeline's serve step, so the two paths
+    * cannot drift.
+    *
+    * Delivery: append mode emits each closed day exactly once in the
+    * happy path; a failed/replayed micro-batch (foreachBatch is
+    * at-least-once) re-enters `replicate`, whose sink-side watermark
+    * drops already-served days — idempotence at day granularity, the
+    * reference replicator's own contract. A crash INSIDE a partial
+    * day's append leaves that day short until repair, exactly like the
+    * reference's warehouse-side rerun (its `max(date)` probe also skips
+    * a partially-loaded day).
+    */
+  def serveCatchUp(spark: SparkSession, model: String, inputDir: String,
+      checkpointDir: String, store: ServingStore, table: String,
+      renames: Map[String, String] = Map.empty): StreamingQuery = {
+    val rep = new Replicator(spark, store)
+    twins(model)(spark, inputDir).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rep.replicate(table, batch, renames = renames)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
