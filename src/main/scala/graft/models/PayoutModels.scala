@@ -1,6 +1,6 @@
 package graft.models
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -91,22 +91,32 @@ object PayoutModels {
   def periodTxnRollup(unit: String)(spark: SparkSession, sfDir: String): DataFrame =
     periodTxnRollupFrom(unit, factTxn(spark, sfDir))
 
+  /** The rollup's aggregate algebra, shared VERBATIM with the weekly
+    * streaming twin (`streaming/StreamingModelRunner`) so batch and
+    * stream cannot drift. */
+  val rollupAggs: Seq[Column] = Seq(
+    count(lit(1)).as("txn_count"),
+    sum(col("amount")).cast(DecimalType(38, 2)).as("total_amount"),
+    sum(col("amount")).as("amt_sum_raw"))
+
+  /** Post-aggregate finish for [[rollupAggs]]: the exact-micros average
+    * (see q08's formulation note), recomputed from sums — never
+    * averaged-of-averages. */
+  def rollupFinish(df: DataFrame): DataFrame = df
+    .withColumn("avg_amount",
+      (expr("cast(amt_sum_raw * 1000000 as bigint) div txn_count")
+        .cast(DecimalType(20, 0)) *
+        lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+        .cast(DecimalType(24, 6)))
+    .drop("amt_sum_raw")
+
   /** Frame-parameterized variant for the model registry. */
   def periodTxnRollupFrom(unit: String, fact: DataFrame): DataFrame = {
     import fact.sparkSession.implicits._
-    fact
+    rollupFinish(fact
       .groupBy(date_trunc(unit, $"date_key").cast(DateType).as("period_key"),
         $"txn_type")
-      .agg(count(lit(1)).as("txn_count"),
-        sum($"amount").cast(DecimalType(38, 2)).as("total_amount"),
-        sum($"amount").as("amt_sum_raw"))
-      // exact micros average — see q08's formulation note
-      .withColumn("avg_amount",
-        (expr("cast(amt_sum_raw * 1000000 as bigint) div txn_count")
-          .cast(DecimalType(20, 0)) *
-          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
-          .cast(DecimalType(24, 6)))
-      .drop("amt_sum_raw")
+      .agg(rollupAggs.head, rollupAggs.tail: _*))
   }
 
   def periodTxnRollupOracle(unit: String): String =

@@ -80,4 +80,16 @@ final class Replicator(spark: SparkSession, store: ServingStore) {
       store.create(out, table)
     n
   }
+
+  /** Sink-side destructive repair: delete every served row with
+    * `watermarkCol >= fromDate`, receding the sink watermark so the
+    * next [[replicate]] refills the tail from the source — the serving
+    * twin of the warehouse runner's delete-from-date repair, and the
+    * documented recovery path for a day left partial by a mid-append
+    * crash (at-least-once redelivery skips a day whose `max(date)`
+    * already landed). Returns true iff rows were removed.
+    */
+  def repair(table: String, fromDate: java.time.LocalDate,
+      watermarkCol: String = "dateKey"): Boolean =
+    store.deleteFrom(table, watermarkCol, fromDate)
 }

@@ -35,6 +35,18 @@ trait ServingStore {
   /** Full rebuild: replace every row and re-apply serving DDL (the
     * JDBC store adds the API's surrogate primary key here). */
   def rebuild(df: DataFrame, table: String): Unit
+  /** Destructive repair — the sink-side analog of the warehouse
+    * runner's delete-from-date: remove every row with `col >= cutoff`
+    * so the next incremental replicate (whose sink-side watermark now
+    * reads back `cutoff - 1` at most) refills the tail. This is what
+    * heals a partially-served day after a mid-append crash — the one
+    * gap in the at-least-once / idempotent-by-date contract the
+    * reference's replicator shares. Returns true iff rows were removed
+    * (false on a missing table or no-op cutoff, mirroring the
+    * warehouse repair's contract).
+    */
+  def deleteFrom(table: String, col: String,
+      cutoff: java.time.LocalDate): Boolean
 }
 
 /** Parquet directory standing in for the serving store — the test/local
@@ -66,6 +78,29 @@ final class ParquetServingStore(spark: SparkSession, servingDir: String)
 
   override def rebuild(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(location(table))
+
+  /** Serving tables are API-sized aggregates, so the parquet repair is
+    * a filtered rewrite: survivors are localCheckpoint-ed off the files
+    * about to be overwritten (same lineage-truncation trick as the
+    * warehouse repair's refill), then replace the directory.
+    */
+  override def deleteFrom(table: String, col: String,
+      cutoff: java.time.LocalDate): Boolean =
+    if (!exists(table)) false
+    else {
+      val cur = spark.read.parquet(location(table))
+      val total = cur.count()
+      val keep = cur
+        .filter(org.apache.spark.sql.functions.col(col) <
+          lit(java.sql.Date.valueOf(cutoff)))
+        .localCheckpoint()
+      val kept = keep.count()
+      if (kept == total) false
+      else {
+        keep.write.mode(SaveMode.Overwrite).parquet(location(table))
+        true
+      }
+    }
 }
 
 /** A real JDBC serving store — the reference's Postgres target
@@ -180,6 +215,18 @@ final class JdbcServingStore(
           s"no serving-store DDL mapping for Spark type $unsupported")
       })
   }
+
+  override def deleteFrom(table: String, col: String,
+      cutoff: java.time.LocalDate): Boolean =
+    if (!exists(table)) false
+    else withConn { c =>
+      val ps = c.prepareStatement(
+        s"DELETE FROM $table WHERE ${dialect.quoteIdentifier(col)} >= ?")
+      try {
+        ps.setDate(1, java.sql.Date.valueOf(cutoff))
+        ps.executeUpdate() > 0
+      } finally ps.close()
+    }
 
   override def rebuild(df: DataFrame, table: String): Unit = {
     withConn { c =>

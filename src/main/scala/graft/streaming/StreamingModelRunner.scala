@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import graft.models.TxnModels
+import graft.models.{PayoutModels, TxnModels}
 import graft.sinks.{Replicator, ServingStore}
 
 /** Streaming twins of REGISTERED incremental models — SURVEY §2.9's
@@ -88,10 +88,35 @@ object StreamingModelRunner {
       .select(col("dw2.start").cast(DateType).as("date_key"),
         col("active_wallets"), col("txn_count"))
 
+  /** The streaming `weekly_txn_rollup` plan (unstarted) — the WEEKLY
+    * cadence under the same protocol. The batch model groups by
+    * `date_trunc('week', date_key)` (Monday-start weeks); the twin's
+    * event-time window is the identical calendar: 7-day tumbling with
+    * `startTime = 4 days`, because the epoch (1970-01-01) is a Thursday
+    * and Thursday + 4 days lands window starts on Mondays. Append mode
+    * then emits a week only once the watermark passes its end — the
+    * runner's complete-week gate, with a week that spans two catch-ups
+    * held open in checkpoint state until its Monday boundary closes.
+    * The aggregate algebra is `PayoutModels.rollupAggs`/`rollupFinish`
+    * VERBATIM (exact-micros average included).
+    */
+  def weeklyTxnRollupStream(spark: SparkSession,
+      inputDir: String): DataFrame =
+    PayoutModels.rollupFinish(
+      factStream(spark, inputDir)
+        .select(col("ts"), col("event_type").as("txn_type"),
+          col("value").cast(TxnModels.Amount).as("amount"))
+        .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("dw"),
+          col("txn_type"))
+        .agg(PayoutModels.rollupAggs.head, PayoutModels.rollupAggs.tail: _*))
+      .withColumn("date_key", col("dw.start").cast(DateType))
+      .drop("dw")
+
   /** Streaming twins keyed by their registry model name. */
   val twins: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_txn_summary" -> (dailyTxnSummaryStream _),
-    "daily_distinct_wallets" -> (dailyDistinctWalletsStream _))
+    "daily_distinct_wallets" -> (dailyDistinctWalletsStream _),
+    "weekly_txn_rollup" -> (weeklyTxnRollupStream _))
 
   /** One catch-up run (Trigger.AvailableNow): process every file now in
     * `inputDir`, append the newly closed days to `targetDir`, stop. Two
@@ -122,9 +147,10 @@ object StreamingModelRunner {
     * at-least-once) re-enters `replicate`, whose sink-side watermark
     * drops already-served days — idempotence at day granularity, the
     * reference replicator's own contract. A crash INSIDE a partial
-    * day's append leaves that day short until repair, exactly like the
-    * reference's warehouse-side rerun (its `max(date)` probe also skips
-    * a partially-loaded day).
+    * day's append leaves that day short, exactly like the reference's
+    * warehouse-side rerun (its `max(date)` probe also skips a
+    * partially-loaded day) — `Replicator.repair(table, day)` deletes
+    * the doomed tail and the next batch replicate refills it.
     */
   def serveCatchUp(spark: SparkSession, model: String, inputDir: String,
       checkpointDir: String, store: ServingStore, table: String,

@@ -74,6 +74,31 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(readSink("reb", "daily_summary").count() == 5)
   }
 
+  test("sink-side repair deletes the tail; the next replicate refills it") {
+    // the same repair contract through BOTH backends
+    val parquetDir = Files.createTempDirectory("graft-serve-repair").toString
+    val stores = Seq[(String, graft.sinks.ServingStore, () => DataFrame)](
+      ("jdbc", store("repair"), () => readSink("repair", "daily_summary")),
+      ("parquet", new graft.sinks.ParquetServingStore(spark, parquetDir),
+        () => spark.read.parquet(s"$parquetDir/daily_summary")))
+    for ((kind, st, read) <- stores) {
+      val rep = new Replicator(spark, st)
+      def served: Seq[String] =
+        read().collect().map(_.mkString("|")).sorted.toSeq
+      assert(rep.replicate("daily_summary", src(5)) == 5, kind)
+      val full = served
+      // repair from day 4: days 4-5 deleted, watermark recedes to day 3
+      assert(rep.repair("daily_summary", LocalDate.parse("2024-01-04")), kind)
+      assert(rep.sinkWatermark("daily_summary").contains("2024-01-03"), kind)
+      // the next incremental replicate refills exactly the deleted tail
+      assert(rep.replicate("daily_summary", src(5)) == 2, kind)
+      assert(served == full, kind)
+      // no-op cutoffs and missing tables report false (warehouse contract)
+      assert(!rep.repair("daily_summary", LocalDate.parse("2024-02-01")), kind)
+      assert(!rep.repair("never_served", LocalDate.parse("2024-01-01")), kind)
+    }
+  }
+
   test("DailyPipeline replicates the serving tables into Derby end-to-end") {
     val sfDir = "/root/testdata/sf0.001"
     def sources: String => DataFrame = {

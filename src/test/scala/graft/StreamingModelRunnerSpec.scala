@@ -105,6 +105,15 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("weekly cadence streams under the same protocol (Monday-aligned " +
+      "windows ≡ date_trunc('week') + complete-week gate)") {
+    twoPhase("weekly_txn_rollup") { df =>
+      df.select($"date_key".cast("string"), $"txn_type", $"txn_count",
+        $"total_amount".cast("string"), $"avg_amount".cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+  }
+
   test("streamed replication lands closed days in a JDBC serving store " +
       "idempotently") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
