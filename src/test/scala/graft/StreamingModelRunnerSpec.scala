@@ -162,5 +162,16 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
     StreamingModelRunner.serveCatchUp(spark, "daily_txn_summary", in,
       s"$base/ck2", store, "dailyTxnSummary").awaitTermination()
     assert(sink.collect().map(_.mkString("|")).sorted.toSeq == served2)
+
+    // repair recovery, streaming edition: delete the served tail (as
+    // after a mid-append crash left a day partial), then ANOTHER
+    // fresh-checkpoint replay — the receded sink watermark admits
+    // exactly the repaired days back and the table converges
+    val rep = new graft.sinks.Replicator(spark, store)
+    assert(rep.repair("dailyTxnSummary", splitDay.toLocalDate))
+    assert(sink.count() < served2.size)
+    StreamingModelRunner.serveCatchUp(spark, "daily_txn_summary", in,
+      s"$base/ck3", store, "dailyTxnSummary").awaitTermination()
+    assert(sink.collect().map(_.mkString("|")).sorted.toSeq == served2)
   }
 }
