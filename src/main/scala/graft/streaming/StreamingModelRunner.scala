@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.models.{PayoutModels, TxnModels}
 import graft.sinks.{Replicator, ServingStore}
@@ -112,11 +114,85 @@ object StreamingModelRunner {
       .withColumn("date_key", col("dw.start").cast(DateType))
       .drop("dw")
 
+  /** One event routed to its month bucket: the month key and the
+    * month-close instant are computed in Catalyst (session time zone),
+    * so the typed fold below is pure arithmetic. `cents` is the exact
+    * unscaled DECIMAL(18,2) amount. */
+  final case class MonthEvent(month: String, txn_type: String,
+      cents: Long, next_ms: Long, ts: Timestamp)
+  /** Running (row count, amount cents) for one open (month, type). */
+  final case class MonthBuf(n: Long, cents: Long, next_ms: Long)
+  final case class MonthRollup(date_key: java.sql.Date, txn_type: String,
+      txn_count: Long, cents: Long)
+
+  /** Fold one (month, type)'s micro-batch into its running aggregate;
+    * emit exactly when the event-time timeout proves the month closed.
+    */
+  def onMonth(key: (String, String), events: Iterator[MonthEvent],
+      state: GroupState[MonthBuf]): Iterator[MonthRollup] = {
+    if (state.hasTimedOut) {
+      val b = state.get
+      state.remove()
+      Iterator(MonthRollup(java.sql.Date.valueOf(key._1), key._2,
+        b.n, b.cents))
+    } else {
+      var b = state.getOption.getOrElse(MonthBuf(0L, 0L, 0L))
+      events.foreach(e => b = MonthBuf(b.n + 1, b.cents + e.cents,
+        e.next_ms))
+      state.update(b)
+      // the complete-month gate becomes decidable at the first instant
+      // of the NEXT month; -1 ms because the timeout fires when the
+      // watermark advances strictly past the set timestamp
+      state.setTimeoutTimestamp(b.next_ms - 1)
+      Iterator.empty
+    }
+  }
+
+  /** The streaming `monthly_txn_rollup` plan (unstarted) — the MONTHLY
+    * cadence under the same protocol. Calendar months are not
+    * fixed-duration, so `window()` cannot express them; this is the
+    * custom-state path (§2.10's `flatMapGroupsWithState` contract):
+    * state is one (row count, amount cents) buffer per open
+    * (month, type) — a few rows per executor, watermark-evicted — and
+    * `EventTimeTimeout` at the first instant of the next month IS the
+    * runner's complete-month gate. Amount algebra runs in exact
+    * unscaled cents (a Long holds ±9.2e16 dollars of DECIMAL(18,2) —
+    * no overflow at any plausible monthly volume) and the emitted rows
+    * funnel through `PayoutModels.rollupFinish` VERBATIM, so even the
+    * custom-state cadence cannot drift from the batch decimals.
+    */
+  def monthlyTxnRollupStream(spark: SparkSession,
+      inputDir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = factStream(spark, inputDir)
+      .select(
+        date_format(date_trunc("month", col("ts")), "yyyy-MM-dd")
+          .as("month"),
+        col("event_type").as("txn_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+          .as("cents"),
+        expr("unix_millis(cast(add_months(to_date(date_trunc('month', ts)), 1) as timestamp))")
+          .as("next_ms"),
+        col("ts"))
+      .as[MonthEvent]
+      .groupByKey(e => (e.month, e.txn_type))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onMonth)
+      .toDF()
+    PayoutModels.rollupFinish(monthly
+      .withColumn("amt_sum_raw",
+        expr("cast(cents as decimal(28,2)) * cast(0.01 as decimal(3,2))")
+          .cast(DecimalType(28, 2)))
+      .withColumn("total_amount", col("amt_sum_raw").cast(DecimalType(38, 2)))
+      .drop("cents"))
+  }
+
   /** Streaming twins keyed by their registry model name. */
   val twins: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_txn_summary" -> (dailyTxnSummaryStream _),
     "daily_distinct_wallets" -> (dailyDistinctWalletsStream _),
-    "weekly_txn_rollup" -> (weeklyTxnRollupStream _))
+    "weekly_txn_rollup" -> (weeklyTxnRollupStream _),
+    "monthly_txn_rollup" -> (monthlyTxnRollupStream _))
 
   /** One catch-up run (Trigger.AvailableNow): process every file now in
     * `inputDir`, append the newly closed days to `targetDir`, stop. Two

@@ -34,13 +34,16 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
     * stream ≡ batch after each phase plus append-only growth between
     * them. `normalize` projects the model's output columns to stable
     * strings (decimals cast via string so scale mismatches surface).
+    * `events` defaults to the sf0.001 fixture; cadences needing a
+    * longer calendar (monthly) pass a synthetic frame.
     */
-  private def twoPhase(model: String)(normalize: DataFrame => Seq[String])
-      : Unit = {
+  private def twoPhase(model: String, events: Option[DataFrame] = None)(
+      normalize: DataFrame => Seq[String]): Unit = {
     val base = Files.createTempDirectory(s"graft-smr-$model").toString
     val in = s"$base/in"; val ck = s"$base/ck"; val out = s"$base/out"
     val wh = s"$base/wh"
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ev = events.getOrElse(
+      Tables.events(spark, "/root/testdata/sf0.001"))
       .select(evCols.map(col): _*)
     val days = ev.select(to_date($"ts").as("d")).distinct()
       .orderBy($"d").as[Date].collect()
@@ -108,6 +111,33 @@ class StreamingModelRunnerSpec extends AnyFunSuite {
   test("weekly cadence streams under the same protocol (Monday-aligned " +
       "windows ≡ date_trunc('week') + complete-week gate)") {
     twoPhase("weekly_txn_rollup") { df =>
+      df.select($"date_key".cast("string"), $"txn_type", $"txn_count",
+        $"total_amount".cast("string"), $"avg_amount".cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+  }
+
+  test("monthly cadence streams via calendar-aware custom state " +
+      "(flatMapGroupsWithState + month-end event-time timeout)") {
+    // the fixture spans ~1 month; a monthly gate needs a longer calendar
+    val synth = (1 to 1200).map { i =>
+      val ts = Timestamp.valueOf(java.time.LocalDate.parse("2024-01-05")
+        .plusDays((i % 85).toLong).atStartOfDay
+        .plusSeconds((i * 13 % 86400).toLong))
+      val tpe = (i % 4) match {
+        case 0 => "purchase"; case 1 => "earn"
+        case 2 => "create"; case _ => "spend"
+      }
+      (i.toLong, ts, (i % 50).toLong, tpe, (i % 997) / 7.0, "{}")
+    } ++ Seq(
+      // an exact duplicate of event 7 and an error row: the twin's
+      // dedupe + status-filter prologue must drop both, like batch
+      (7L, Timestamp.valueOf("2024-01-12 00:01:31"), 7L, "spend",
+        1.0, "{}"),
+      (-9L, Timestamp.valueOf("2024-02-02 12:00:00"), 0L, "error",
+        1e9, "{}"))
+    twoPhase("monthly_txn_rollup",
+      Some(synth.toDF(evCols: _*))) { df =>
       df.select($"date_key".cast("string"), $"txn_type", $"txn_count",
         $"total_amount".cast("string"), $"avg_amount".cast("string"))
         .collect().map(_.mkString("|")).sorted.toSeq
