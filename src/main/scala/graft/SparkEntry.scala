@@ -108,6 +108,7 @@ object SparkEntry {
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
+    "s04_sq8_ann_topk" -> (SimilarityModels.sq8AnnTopK _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "d06_edit_distance_pairs" -> Seq("similarity"),
     "s01_cosine_topk" -> Seq("cosine_sim"),
     "s03_ivf_ann_topk" -> Seq("cosine_sim"),
+    "s04_sq8_ann_topk" -> Seq("cosine_sim_sq8"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -251,6 +253,7 @@ object SparkEntry {
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
+    "s04_sq8_ann_topk" -> SimilarityModels.sq8AnnTopKOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,

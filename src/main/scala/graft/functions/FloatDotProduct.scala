@@ -78,13 +78,37 @@ case class FloatDotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("float_dot")
-    registry.registerFunction(
-      ident,
-      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "float_dot takes exactly 2 arguments")
-        FloatDotProduct(children.head, children(1))
-      })
+    def reg(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      registry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder)
+
+    reg("float_dot", classOf[FloatDotProduct], { children =>
+      require(children.size == 2, "float_dot takes exactly 2 arguments")
+      FloatDotProduct(children.head, children(1))
+    })
+    // the KLL mergeable-quantiles surface (functions/KllQuantile.scala)
+    reg("kll_sketch_agg", classOf[KllSketchAgg], {
+      case Seq(v) => KllSketchAgg(v)
+      case Seq(v, k) => KllSketchAgg(v, KllQuantile.extractK(k))
+      case other => throw new IllegalArgumentException(
+        s"kll_sketch_agg takes 1 or 2 arguments, got ${other.size}")
+    })
+    reg("kll_merge_agg", classOf[KllMergeAgg], {
+      case Seq(s) => KllMergeAgg(s)
+      case Seq(s, k) => KllMergeAgg(s, KllQuantile.extractK(k))
+      case other => throw new IllegalArgumentException(
+        s"kll_merge_agg takes 1 or 2 arguments, got ${other.size}")
+    })
+    reg("kll_value_at", classOf[KllValueAt], { children =>
+      require(children.size == 2, "kll_value_at takes exactly 2 arguments")
+      KllValueAt(children.head, children(1))
+    })
+    reg("kll_sketch_n", classOf[KllSketchN], { children =>
+      require(children.size == 1, "kll_sketch_n takes exactly 1 argument")
+      KllSketchN(children.head)
+    })
   }
 }

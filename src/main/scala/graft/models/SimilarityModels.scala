@@ -202,6 +202,107 @@ object SimilarityModels {
        |QUALIFY sim_rank <= 3""".stripMargin
   }
 
+  /** s04: scalar-quantized (SQ8) ANN — the MEMORY-bounded vector path
+    * beside s02's LSH (compare-space pruning) and s03's IVF (scan
+    * pruning). Each float dim is quantized to an 8-bit code against a
+    * per-dimension (min, max) codebook: 64 bytes per vector instead of
+    * 256 — the 4× compression that decides whether a 100 TB embedding
+    * corpus fits executor memory at all. Search is asymmetric (ADC):
+    * queries stay full-precision; candidates score against their
+    * DEQUANTIZED vectors (code center `min + (c + 0.5)·(max−min)/255`),
+    * so the only error is the quantization itself.
+    *
+    * The codebook is a 64-row aggregate collected once and folded into
+    * the plan as array literals — in production it is a tiny offline
+    * artifact (like s03's codebook) broadcast with the job, and the
+    * per-candidate recon+dot collapses into a 256-entry-per-dim lookup
+    * table added over the code bytes; the query SHAPE here (one corpus
+    * scan over codes, constant-size side) is exactly that plan.
+    *
+    * Everything runs in IEEE double with the same operation order as
+    * the DuckDB oracle (min/max of floats are exact, so the codebook is
+    * bit-identical across engines), and similarities round to 6dp
+    * before ranking — the s01 determinism contract.
+    */
+  def sq8AnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val stats = emb.select(posexplode($"embedding").as(Seq("d", "v")))
+      .groupBy($"d").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"d").as[(Int, Float, Float)].collect()
+    val mn = typedLit(stats.map(_._2.toDouble))
+    val mx = typedLit(stats.map(_._3.toDouble))
+    // quantize → dequantize in one pass: r_emb is the float vector the
+    // code bytes reconstruct to (the interpreted lambda runs once per
+    // vector at index-build time, not in the scoring loop)
+    val recon = emb.select($"vec_id", $"label",
+      transform($"embedding", (v, i) => {
+        val lo = element_at(mn, i + 1)
+        val hi = element_at(mx, i + 1)
+        val code = when(hi === lo, lit(0L)).otherwise(
+          least(greatest(
+            floor((v.cast(DoubleType) - lo) * 255 / (hi - lo)),
+            lit(0L)), lit(255L)))
+        (lo + (code + lit(0.5d)) * (hi - lo) / 255).cast(FloatType)
+      }).as("r_emb"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        sqrt(dotD($"embedding", $"embedding")).as("q_norm"))
+    val cands = recon.select($"vec_id".as("cand_id"),
+      $"label".as("cand_label"), $"r_emb",
+      sqrt(dotD($"r_emb", $"r_emb")).as("r_norm"))
+    val sim = round(
+      dotD($"q_emb", $"r_emb") / ($"q_norm" * $"r_norm"),
+      6).cast(DecimalType(24, 6))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine_sim_sq8".desc, $"cand_id")
+    cands.join(broadcast(queries), $"query_id" =!= $"cand_id")
+      .withColumn("cosine_sim_sq8", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"cand_id", $"cand_label", $"cosine_sim_sq8",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val sq8AnnTopKOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> cast($a[i+1] AS DOUBLE) * cast($b[i+1] AS DOUBLE)))"
+    s"""WITH st AS (
+       |  SELECT i, cast(min(v) AS DOUBLE) AS mn, cast(max(v) AS DOUBLE) AS mx
+       |  FROM (SELECT unnest(embedding) AS v, unnest(range(64)) AS i
+       |        FROM embeddings)
+       |  GROUP BY i),
+       |cb AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+       |       FROM st),
+       |recon AS (
+       |  SELECT e.vec_id, e.label,
+       |         list_transform(range(64), i -> cast(
+       |           cb.mn[i+1] +
+       |           ((CASE WHEN cb.mx[i+1] = cb.mn[i+1] THEN 0
+       |             ELSE least(greatest(floor(
+       |               (cast(e.embedding[i+1] AS DOUBLE) - cb.mn[i+1]) * 255
+       |               / (cb.mx[i+1] - cb.mn[i+1])), 0), 255) END) + 0.5)
+       |           * (cb.mx[i+1] - cb.mn[i+1]) / 255 AS REAL)) AS r_emb
+       |  FROM embeddings e CROSS JOIN cb),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+       |             sqrt(${dot("embedding", "embedding")}) AS q_norm
+       |      FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cand_id, label AS cand_label, r_emb,
+       |             sqrt(${dot("r_emb", "r_emb")}) AS r_norm
+       |      FROM recon),
+       |scored AS (
+       |  SELECT q.query_id, c.cand_id, c.cand_label,
+       |         cast(round(${dot("q.q_emb", "c.r_emb")} / (q.q_norm * c.r_norm), 6)
+       |              AS DECIMAL(24,6)) AS cosine_sim_sq8
+       |  FROM q JOIN c ON q.query_id <> c.cand_id)
+       |SELECT query_id, cand_id, cand_label, cosine_sim_sq8,
+       |       cast(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cosine_sim_sq8 DESC, cand_id) AS BIGINT) AS sim_rank
+       |FROM scored
+       |QUALIFY sim_rank <= 5""".stripMargin
+  }
+
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */

@@ -303,6 +303,23 @@ object ModelRegistry {
       (_, resolve) => SketchModels.rollingFromSketches(
         resolve("daily_active_sketches"), 29)))
 
+  /** OPT-IN mergeable-quantiles tier (`models/QuantileModels.scala`) —
+    * the KLL sibling of [[sketchDag]]: per-(day, app) amount sketches
+    * appended daily, rolling p50/p90/p99 re-read from the kilobyte
+    * sketch rows. Same layering contract as the HLL tier (approximate →
+    * not in [[kreDag]]; append it explicitly). KLL compaction is
+    * RANDOMIZED, so re-built estimates agree only within the sketch's
+    * rank-error bound — `QuantileSketchSpec` pins that bound; byte-level
+    * reproducibility is explicitly NOT part of this tier's contract.
+    */
+  val quantileDag: Seq[ModelDef] = Seq(
+    ModelDef("daily_amount_sketches", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => QuantileModels.dailyAmountSketches(resolve("fact_txn"))),
+    ModelDef("monthly_amount_quantiles", Cadence.Daily,
+      Seq("daily_amount_sketches"),
+      (_, resolve) => QuantileModels.rollingFromSketches(
+        resolve("daily_amount_sketches"), 29)))
+
   /** The reference's 13 zero-copy clone publications
     * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
     * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a

@@ -38,6 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q33_daily_net_inflation",
     "s01_cosine_topk",
     "s03_ivf_ann_topk",
+    "s04_sq8_ann_topk", // 10 broadcast query vectors, the s01 shape
+    // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
     "q34_monthly_active_accounts",
     "q40_daily_summary_by_app")
 
