@@ -16,9 +16,10 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Engine-required config applied to a builder:
-    *  - `nanosAsLong`: `events.parquet` carries TIMESTAMP(NANOS), which
-    *    Spark 4 only reads under this flag (`Tables.events` normalizes
-    *    the long back to a microsecond timestamp);
+    *  - `nanosAsLong`: upstream `events.parquet` drops may carry
+    *    TIMESTAMP(NANOS), which Spark 4 only reads under this flag
+    *    (`Tables.events` normalizes the long back to a microsecond
+    *    timestamp; NTZ and LTZ micros encodings are handled there too);
     *  - UTC session time zone: every date_trunc/date_key derivation is
     *    calendar-stable and matches the DuckDB oracle;
     *  - shuffle partitions sized to the core count, not the 200

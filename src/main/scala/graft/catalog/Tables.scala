@@ -18,25 +18,40 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * Verify/Bench session builders). Normalize to a microsecond timestamp
-    * here so every model sees a plain TimestampType column.
+  /** Normalize `events.ts` to a plain TimestampType (LTZ) microsecond
+    * column regardless of the upstream file's physical encoding — the
+    * reference consumes whatever its raw ingestion tables contain
+    * (`kin-data-pipeline/load_scripts/kin_be_historic/fact_kin_transaction.sql:9`
+    * reads a table it doesn't control), so the loader must be robust to
+    * encoding drift. Three encodings are handled (EventLoaderSpec pins
+    * all three to identical values):
+    *
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 only reads as LongType
+    *    under `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    `GraftSession`) — floor-divided to micros;
+    *  - parquet timestamp[us] `isAdjustedToUTC=false` → TIMESTAMP_NTZ —
+    *    cast to TimestampType, exact because the session zone is pinned
+    *    UTC (`GraftSession.configure`);
+    *  - parquet timestamp[us] UTC-adjusted → already TimestampType.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      // integer `div`, NOT `/`: long/long plans as DOUBLE division, and
-      // doubles can't hold 1.7e18 nanos — epoch timestamps came back ±1µs
-      // (caught by q44's microsecond-exact session algebra). `div` alone
-      // truncates toward zero while DuckDB's epoch_us FLOORS, so correct
-      // the remainder for negative (pre-1970) nanos; the correction is 0
-      // for every non-negative ts, keeping current fixtures bit-identical.
-      raw.withColumn("ts", timestamp_micros(
-        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: long/long plans as DOUBLE division, and
+        // doubles can't hold 1.7e18 nanos — epoch timestamps came back ±1µs
+        // (caught by q44's microsecond-exact session algebra). `div` alone
+        // truncates toward zero while DuckDB's epoch_us FLOORS, so correct
+        // the remainder for negative (pre-1970) nanos; the correction is 0
+        // for every non-negative ts, keeping current fixtures bit-identical.
+        raw.withColumn("ts", timestamp_micros(
+          expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
