@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-wide encoding invariant: every published query must ANALYZE
+  * identically whatever physical encoding `events.ts` arrives in —
+  * the round-6 testdata regeneration flipped nanos-long to micros-NTZ
+  * and broke q44 at analysis time, so this pins the whole surface, not
+  * just the one query. Analysis-only (no execution): the NTZ break was
+  * an analysis error (`unix_micros` rejects TIMESTAMP_NTZ), so building
+  * the analyzed plan over each staged encoding is the exact regression
+  * gate at plan-build cost.
+  */
+class NtzRobustnessSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Stage a full table dir: symlink every table, rewrite events with
+    * `reEncode` applied to its (already-normalized) frame. */
+  private def stage(name: String)(
+      reEncode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    val base = Files.createTempDirectory(s"graft-enc-$name")
+    Files.list(Paths.get(sfDir)).forEach { p: Path =>
+      if (p.getFileName.toString != "events.parquet")
+        Files.createSymbolicLink(base.resolve(p.getFileName), p)
+    }
+    reEncode(graft.catalog.Tables.events(spark, sfDir))
+      .write.parquet(s"$base/events.parquet")
+    base.toString
+  }
+
+  test("all published queries analyze over every events.ts encoding") {
+    val dirs = Map(
+      // nanos surfaced as LongType (TIMESTAMP(NANOS) under nanosAsLong)
+      "nanos" -> stage("nanos")(df =>
+        df.withColumn("ts", unix_micros($"ts") * 1000)),
+      "ltz" -> stage("ltz")(identity),
+      "ntz" -> stage("ntz")(df =>
+        df.withColumn("ts", $"ts".cast(TimestampNTZType))))
+    val failures = for {
+      (enc, dir) <- dirs.toSeq
+      (qname, fn) <- SparkEntry.rawQueries.toSeq.sortBy(_._1)
+      err <- (try { fn(spark, dir).queryExecution.analyzed; None }
+              catch { case e: Throwable =>
+                Some(s"$qname over $enc: ${e.getMessage.linesIterator.next()}") })
+    } yield err
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
