@@ -132,13 +132,22 @@ final class ParquetServingStore(spark: SparkSession, servingDir: String)
   * @param identityPk dialect-specific generated-PK column DDL used by
   *   [[rebuild]]; the default is Derby/ANSI identity syntax (a Postgres
   *   target would pass `"id" SERIAL PRIMARY KEY`-equivalent DDL).
+  * @param typeOverrides per-table, per-column database type overrides —
+  *   the Spark analog of the reference replicator's dtype-override dict
+  *   (`snowflake_postgres_replicator.py:16-59`, e.g. `'top10':
+  *   sqlalchemy JSON` at `:40-41` so the serving API reads a real JSON
+  *   column instead of TEXT). Applied wherever THIS store issues the
+  *   CREATE ([[create]] and [[rebuild]] both build explicit DDL), so
+  *   any database type string is legal — including ones Spark's own
+  *   `createTableColumnTypes` option can't parse, like Postgres `JSONB`.
   */
 final class JdbcServingStore(
     spark: SparkSession,
     url: String,
     options: Map[String, String] = Map.empty,
     identityPk: String =
-      "\"id\" INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY")
+      "\"id\" INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+    typeOverrides: Map[String, Map[String, String]] = Map.empty)
     extends ServingStore {
 
   private val dialect = JdbcDialects.get(url)
@@ -187,34 +196,60 @@ final class JdbcServingStore(
       .option("dbtable", table)
       .options(options)
 
-  override def append(df: DataFrame, table: String): Unit =
+  /** Appends own their DDL too: a first-load append creates the table
+    * through [[columnDdl]] (instead of Spark's inferred CREATE), so
+    * `typeOverrides` and the VARCHAR-not-CLOB policy bind on every path
+    * that can materialize the table.
+    */
+  override def append(df: DataFrame, table: String): Unit = {
+    if (!exists(table)) withConn { c =>
+      execUpdate(c, s"CREATE TABLE $table (${columnDdl(df, table)})")
+    }
     writer(df, table).mode(SaveMode.Append).save()
+  }
 
-  override def create(df: DataFrame, table: String): Unit =
-    writer(df, table).mode(SaveMode.Overwrite).save()
+  /** First materialization goes through the SAME explicit DDL as
+    * [[rebuild]] (minus the identity PK), not Spark's inferred CREATE —
+    * so `typeOverrides` bind on every creation path, exactly as the
+    * reference applies its dtype dict on every `to_sql` load.
+    */
+  override def create(df: DataFrame, table: String): Unit = {
+    withConn { c =>
+      if (exists(table)) execUpdate(c, s"DROP TABLE $table")
+      execUpdate(c, s"CREATE TABLE $table (${columnDdl(df, table)})")
+    }
+    append(df, table)
+  }
 
-  /** Spark type → column DDL for the rebuild's explicit CREATE. The
-    * session dialect supplies engine-specific definitions; strings are
+  private def columnDdl(df: DataFrame, table: String): String =
+    df.schema.fields
+      .map(f => s"${dialect.quoteIdentifier(f.name)} ${ddlType(table, f)}")
+      .mkString(", ")
+
+  /** Spark type → column DDL for the explicit CREATEs. A per-column
+    * override wins outright (any database type string); otherwise the
+    * session dialect supplies engine-specific definitions, with strings
     * forced to VARCHAR (dialects like Derby default to CLOB, which the
     * serving API can neither index nor compare).
     */
-  private def ddlType(dt: DataType): String = dt match {
-    case StringType => "VARCHAR(4000)"
-    case other => dialect.getJDBCType(other)
-      .map(_.databaseTypeDefinition)
-      .getOrElse(other match {
-        case IntegerType => "INTEGER"
-        case LongType => "BIGINT"
-        case DoubleType => "DOUBLE"
-        case FloatType => "REAL"
-        case BooleanType => "BOOLEAN"
-        case DateType => "DATE"
-        case TimestampType => "TIMESTAMP"
-        case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-        case unsupported => throw new IllegalArgumentException(
-          s"no serving-store DDL mapping for Spark type $unsupported")
-      })
-  }
+  private def ddlType(table: String, f: StructField): String =
+    typeOverrides.getOrElse(table, Map.empty).getOrElse(f.name, f.dataType match {
+      case StringType => "VARCHAR(4000)"
+      case other => dialect.getJDBCType(other)
+        .map(_.databaseTypeDefinition)
+        .getOrElse(other match {
+          case IntegerType => "INTEGER"
+          case LongType => "BIGINT"
+          case DoubleType => "DOUBLE"
+          case FloatType => "REAL"
+          case BooleanType => "BOOLEAN"
+          case DateType => "DATE"
+          case TimestampType => "TIMESTAMP"
+          case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+          case unsupported => throw new IllegalArgumentException(
+            s"no serving-store DDL mapping for Spark type $unsupported")
+        })
+    })
 
   override def deleteFrom(table: String, col: String,
       cutoff: java.time.LocalDate): Boolean =
@@ -231,10 +266,8 @@ final class JdbcServingStore(
   override def rebuild(df: DataFrame, table: String): Unit = {
     withConn { c =>
       if (exists(table)) execUpdate(c, s"DROP TABLE $table")
-      val cols = df.schema.fields
-        .map(f => s"${dialect.quoteIdentifier(f.name)} ${ddlType(f.dataType)}")
-        .mkString(", ")
-      execUpdate(c, s"CREATE TABLE $table ($identityPk, $cols)")
+      execUpdate(c,
+        s"CREATE TABLE $table ($identityPk, ${columnDdl(df, table)})")
     }
     // distributed reload; the INSERT lists only df's columns, so the
     // identity PK auto-fills — the reference's post-rebuild table shape

@@ -99,6 +99,52 @@ class JdbcSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("per-column type overrides land in the database DDL on every path") {
+    // the reference replicator's dtype-override dict
+    // (snowflake_postgres_replicator.py:16-59, e.g. 'top10': JSON):
+    // declared database types must land on first-append, create-empty
+    // AND rebuild paths. Derby has no JSON type, so the spec proves the
+    // mechanism with types whose metadata is assertable.
+    val db = "types"
+    val st = new JdbcServingStore(spark,
+      s"jdbc:derby:memory:$db;create=true", jdbcOpts,
+      typeOverrides = Map("daily_summary" -> Map(
+        "totalAmount" -> "DECIMAL(12,2)", "note" -> "VARCHAR(123)")))
+    def colTypes(table: String): Map[String, (String, Int, Int)] = {
+      val c = java.sql.DriverManager.getConnection(
+        s"jdbc:derby:memory:$db;create=true")
+      try {
+        val rs = c.getMetaData.getColumns(null, null, table.toUpperCase, null)
+        val out = scala.collection.mutable.Map.empty[String, (String, Int, Int)]
+        while (rs.next()) out(rs.getString("COLUMN_NAME")) =
+          (rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE"),
+            rs.getInt("DECIMAL_DIGITS"))
+        rs.close(); out.toMap
+      } finally c.close()
+    }
+    val rep = new Replicator(spark, st)
+    val withNote = src(3).withColumn("note", concat(lit("d"), $"app_id"))
+    // path 1: incremental first load (append creates the table)
+    assert(rep.replicate("daily_summary", withNote) == 3)
+    var t = colTypes("daily_summary")
+    assert(t("totalAmount") == ("DECIMAL", 12, 2), t)
+    assert(t("note") == ("VARCHAR", 123, 0), t)
+    // un-overridden columns keep the default mapping
+    assert(t("appId")._1 == "BIGINT", t)
+    // path 2: rebuild (explicit CREATE with identity PK)
+    assert(rep.replicate("daily_summary", withNote, rebuild = true) == 3)
+    t = colTypes("daily_summary")
+    assert(t("totalAmount") == ("DECIMAL", 12, 2), t)
+    assert(t("note") == ("VARCHAR", 123, 0), t)
+    assert(t.contains("id"), t)
+    // path 3: create-empty (no rows yet, schema-bearing target)
+    assert(rep.replicate("empty_t", withNote.limit(0)) == 0)
+    assert(st.exists("empty_t"))
+    // values round-trip through the overridden types
+    assert(readSink(db, "daily_summary")
+      .agg(sum($"totalAmount")).head().getDecimal(0).doubleValue() == 60.0)
+  }
+
   test("DailyPipeline replicates the serving tables into Derby end-to-end") {
     val sfDir = "/root/testdata/sf0.001"
     def sources: String => DataFrame = {
