@@ -13,6 +13,78 @@ import org.apache.spark.sql.types._
   */
 object ExternalSeed {
 
+  /** The network seam: url → response body. The reference's seeder
+    * performs its own `requests.get` / CoinGecko-client calls with
+    * retries (`external_endpoint_data_seed.py:80-89,173`); the sandbox
+    * has no egress, so the engine factors the transport behind this
+    * one-method interface — a production deployment passes an HTTP
+    * client closure, tests and local runs pass fixture lookups.
+    */
+  type Fetcher = String => String
+
+  /** Fetch with the reference's retry-until-parseable discipline: a
+    * transport error OR a malformed/truncated JSON body (both are one
+    * failure mode to `requests.get(...).json()`) consumes an attempt;
+    * the first well-formed body wins. Validation is a driver-side
+    * Jackson `readTree` over the single payload string — the payloads
+    * are API responses (KBs), never data-plane volumes.
+    */
+  def fetchJson(fetch: Fetcher, url: String, attempts: Int = 3): String = {
+    require(attempts > 0, "attempts must be positive")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try {
+        val body = fetch(url)
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        return body
+      } catch { case e: Exception => last = e }
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"seed fetch failed after $attempts attempts: $url", last)
+  }
+
+  /** S5 end-to-end: fetch the app directory and build the dim —
+    * the reference's `seed_dim_app` with the transport injected. */
+  def seedDimApp(spark: SparkSession, fetch: Fetcher, url: String,
+      attempts: Int = 3): DataFrame =
+    seedDimAppFromJson(spark, fetchJson(fetch, url, attempts))
+
+  /** The market-chart response shape: three (ts_millis, value) series
+    * in one payload (`external_endpoint_data_seed.py:95-101` reads
+    * `prices` / `market_caps` / `total_volumes` off the CoinGecko
+    * response). */
+  private val marketChartSchema: StructType = StructType(Seq(
+    StructField("prices", ArrayType(ArrayType(DoubleType))),
+    StructField("market_caps", ArrayType(ArrayType(DoubleType))),
+    StructField("total_volumes", ArrayType(ArrayType(DoubleType)))))
+
+  /** Parse one market-chart JSON payload into the three (ts, value)
+    * frames [[buildPriceDim]] consumes. Timestamps arrive as millis
+    * inside double-typed pairs (the API's JSON shape); they are exact
+    * to well past 2100 in a double, cast back to long here.
+    */
+  def parseMarketChart(spark: SparkSession,
+      json: String): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = Seq(json).toDF("payload")
+      .select(from_json($"payload", marketChartSchema).as("r"))
+    def series(field: String): DataFrame = parsed
+      .select(explode(col(s"r.$field")).as("pair"))
+      .select($"pair"(0).cast("long").as("ts"),
+        $"pair"(1).as("value"))
+    (series("prices"), series("market_caps"), series("total_volumes"))
+  }
+
+  /** S6 end-to-end: fetch the market chart and build the price dim —
+    * the reference's CoinGecko seed with the transport injected. */
+  def seedPriceDim(spark: SparkSession, fetch: Fetcher, url: String,
+      attempts: Int = 3): DataFrame = {
+    val (p, m, v) = parseMarketChart(spark, fetchJson(fetch, url, attempts))
+    buildPriceDim(spark, p, m, v)
+  }
+
   /** S5: app-directory JSON payload → dim table. Reproduces the
     * `PARSE_JSON` + lateral `FLATTEN` + `trim(value:name,'"')` pipeline
     * (`external_endpoint_data_seed.py:46-71,144-149`): Spark-side this is

@@ -29,6 +29,51 @@ class SeedAndSinkSpec extends AnyFunSuite {
     assert(dim.schema("created_date").dataType.typeName == "date")
   }
 
+  test("pluggable fetcher: retry-on-malformed-JSON, then end-to-end seeds") {
+    // the reference seeder owns its requests.get/CoinGecko calls
+    // (external_endpoint_data_seed.py:80-89,173); the engine injects the
+    // transport. A fake fetcher fails twice (transport error, truncated
+    // JSON) before returning a good payload — attempt 3 must win.
+    val appJson = """[{"id": 7, "name": "App", "status": "Active",
+      | "public_wallet": "w", "created_date": "2021-01-05",
+      | "updated_date": "2021-06-01"}]""".stripMargin
+    var calls = 0
+    val flaky: ExternalSeed.Fetcher = { url =>
+      calls += 1
+      calls match {
+        case 1 => throw new java.io.IOException(s"boom: $url")
+        case 2 => """[{"id": 7, "name": "App""" // truncated body
+        case _ => appJson
+      }
+    }
+    val dim = ExternalSeed.seedDimApp(spark, flaky, "https://apps/api")
+    assert(calls == 3)
+    assert(dim.collect().map(_.getInt(0)).toSeq == Seq(7))
+    // exhausted attempts surface the LAST failure as the cause
+    val dead = intercept[IllegalStateException] {
+      ExternalSeed.fetchJson(_ => "{nope", "https://apps/api", attempts = 2)
+    }
+    assert(dead.getMessage.contains("after 2 attempts"))
+    assert(dead.getCause != null)
+
+    // market-chart path: one payload carrying the three series must
+    // produce the same dim as the pre-parsed three-frame entry point
+    def pairs(scale: Double) = (0 to 2)
+      .map(i => s"[${1700000000000L + i * 86400000L}, ${scale * (i + 1)}]")
+      .mkString("[", ",", "]")
+    val chartJson = s"""{"prices": ${pairs(1.0)},
+      | "market_caps": ${pairs(10.0)},
+      | "total_volumes": ${pairs(100.0)}}""".stripMargin
+    val viaFetch = ExternalSeed.seedPriceDim(spark, _ => chartJson, "https://chart")
+    def series(v: Double) = (0 to 2)
+      .map(i => (1700000000000L + i * 86400000L, v * (i + 1)))
+      .toDF("ts", "value")
+    val direct = ExternalSeed.buildPriceDim(spark,
+      series(1.0), series(10.0), series(100.0))
+    assert(viaFetch.orderBy($"date_key").collect().toSeq ==
+      direct.orderBy($"date_key").collect().toSeq)
+  }
+
   test("S6: price series merge shifts -1 day and drops the open period") {
     def series(v: Double) = Seq(
       (1700000000000L, v), (1700086400000L, v * 2), (1700172800000L, v * 3))
