@@ -124,4 +124,45 @@ class ModelDagSpec extends AnyFunSuite {
     assert(inc.count() > 0)
     assert(tableHash(inc) == tableHash(rf.readModel("monthly_active_estimates")))
   }
+
+  test("opt-in quantile tier: incremental ≡ full on the exact layer, bounded on estimates") {
+    // the KLL sibling of the sketch-tier test. KLL compaction is
+    // randomized (ModelRegistry.quantileDag's documented contract), so
+    // the incremental-vs-full invariant splits: layer 1's grain and
+    // txn_count are EXACT (hash-equal — a watermark bug that re-appends
+    // or skips a day breaks this), while the rolled-up quantile
+    // estimates agree only within the sketch's rank-error envelope.
+    val dag = ModelRegistry.kreDag.filter(_.name == "fact_txn") ++
+      ModelRegistry.quantileDag
+    val whInc = Files.createTempDirectory("graft-quant-inc").toString
+    val whFull = Files.createTempDirectory("graft-quant-full").toString
+    val r1 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-01-20"))
+    r1.runAll(dag, sources)
+    val r2 = new IncrementalRunner(spark, whInc, LocalDate.parse("2024-02-05"))
+    val appended = r2.runAll(dag, sources)
+    assert(appended("daily_amount_sketches") > 0)
+    val rf = new IncrementalRunner(spark, whFull, LocalDate.parse("2024-02-05"))
+    rf.runAll(dag, sources)
+    // exact layer: (date_key, app_id, txn_count) hash-equal
+    def exactLayer(df: DataFrame) =
+      df.select($"date_key", $"app_id", $"txn_count")
+    assert(tableHash(exactLayer(r2.readModel("daily_amount_sketches"))) ==
+      tableHash(exactLayer(rf.readModel("daily_amount_sketches"))))
+    // estimate layer: same keys, p50 within 2× the k=200 rank-error
+    // band translated through the local value spread (loose but real:
+    // catches a dropped/doubled day, ignores compaction randomness)
+    val joined = r2.readModel("monthly_amount_quantiles")
+      .select($"date_key", $"app_id", $"p50_amount_est".as("p50_inc"))
+      .join(rf.readModel("monthly_amount_quantiles")
+        .select($"date_key", $"app_id", $"p50_amount_est".as("p50_full"),
+          $"p90_amount_est", $"p99_amount_est"),
+        Seq("date_key", "app_id"), "full_outer")
+    assert(joined.filter($"p50_inc".isNull || $"p50_full".isNull).count() == 0,
+      "incremental and full quantile tables disagree on key coverage")
+    val offBand = joined.filter(
+      abs($"p50_inc" - $"p50_full") >
+        greatest(abs($"p90_amount_est") * lit(0.1), lit(1.0)))
+    assert(offBand.isEmpty,
+      "incremental p50 diverged from full beyond the rank-error envelope")
+  }
 }
