@@ -160,7 +160,7 @@ final class IncrementalRunner(
       val n = slice.count()
       if (n > 0) {
         clearEmptyMarker(m.name)
-        slice.write.mode(SaveMode.Append)
+        rebalanced(slice).write.mode(SaveMode.Append)
           .partitionBy("date_key").parquet(targetPath(m.name))
       } else if (!exists(m.name))
         // the reference's CTAS always creates the table; materialize an
@@ -195,11 +195,26 @@ final class IncrementalRunner(
         date_trunc(m.cadence.truncUnit, lit(today.toString)).cast("date"))
     val out = df.cache()
     val n = out.count()
-    out.write.mode(SaveMode.Overwrite)
+    rebalanced(out).write.mode(SaveMode.Overwrite)
       .partitionBy("date_key").parquet(targetPath(m.name))
     out.unpersist()
     n
   }
+
+  /** File-layout guard for the `partitionBy("date_key")` writes: without
+    * clustering, every task holding rows for k days emits k files, so a
+    * years-deep full refresh writes up to tasks×days tiny parquet files
+    * — a real 100 TB listing/scan tax. The AQE REBALANCE hint clusters
+    * rows by date_key and then SPLITS oversized and COALESCES undersized
+    * shuffle partitions at runtime (advisory partition size), so each
+    * day lands in ~⌈day volume / advisory size⌉ files: one file per day
+    * for dimension-sized models, many balanced files for a 100 TB fact
+    * day — exactly the write profile a cluster wants, with no
+    * hand-tuned repartition(N) to go stale. IncrementalRunnerSpec pins
+    * the per-day file count on the small-data path.
+    */
+  private def rebalanced(df: DataFrame): DataFrame =
+    df.hint("rebalance", "date_key")
 
   /** Repair: delete target rows with `date_key >= cutoff` (cadence-
     * truncated, as `incremental_cleanup.py:30-35` does), so the next

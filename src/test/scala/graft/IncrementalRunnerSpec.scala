@@ -71,6 +71,31 @@ class IncrementalRunnerSpec extends AnyFunSuite {
     assert(a == b && a.size == 8)
   }
 
+  test("writes cluster by date_key: one file per partition dir on small data") {
+    // the REBALANCE(date_key) write guard: without clustering, every
+    // task holding rows for k days writes k files (tasks×days tiny
+    // files on a years-deep refresh). With it, AQE coalesces this
+    // small build into few tasks and each day's rows land together —
+    // exactly one data file per partition dir at spec scale.
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-11"))
+    val m = ModelDef("per_wallet", Cadence.Daily, Seq("events_src"),
+      // per-(day, wallet) grain: pre-rebalance this is hash-partitioned
+      // by the groupBy, spreading each day across many tasks
+      (_, resolve) => resolve("events_src")
+        .groupBy($"date_key", $"wallet").agg(sum($"amount").as("total")))
+    assert(r.runIncremental(m, _ => sourceDf(10)) == 20)
+    val root = new java.io.File(s"$wh/per_wallet")
+    val partDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("date_key="))
+    assert(partDirs.length == 10)
+    for (d <- partDirs) {
+      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1,
+        s"${d.getName}: expected 1 clustered file, got ${dataFiles.length}")
+    }
+  }
+
   test("repair deletes from cutoff and the next run re-fills") {
     val wh = tmpDir()
     val m = dailyModel(() => sourceDf(10))
