@@ -101,6 +101,11 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // by the stream key so incremental runs can overwrite ONLY the
     // streams they touch
     CurationModels.packSequences(spark, targetPath("curated_corpus"))
+      // cluster by the partition key before the partitioned write (same
+      // REBALANCE rationale as IncrementalRunner.rebalanced): without
+      // it every task writes a file into every (lang, shard) dir it
+      // touches — tasks×streams tiny files at corpus scale
+      .hint("rebalance", "lang", "shard")
       .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
       .parquet(targetPath("curated_packing"))
     report()
@@ -196,6 +201,7 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         .join(touched, Seq("lang", "shard"), "left_semi")
         .drop("shard")
       CurationModels.packSequencesFrom(touchedDocs)
+        .hint("rebalance", "lang", "shard") // one clustered file set per touched stream
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang", "shard")
