@@ -34,6 +34,37 @@ class NtzRobustnessSpec extends AnyFunSuite {
     base.toString
   }
 
+  test("TPC-H timestamp columns tolerate both LTZ and NTZ flavors") {
+    // lineitem.l_shipdate / orders.o_orderdate are NTZ in the current
+    // testdata; the driver has flipped physical encodings before
+    // (events, round 6), so pin that every query still analyzes when
+    // these arrive as LTZ micros instead (and vice versa). Semantics
+    // are unchanged under the pinned UTC session zone — analysis is
+    // the regression gate.
+    def restage(name: String, flip: Map[String, String]): String = {
+      val base = Files.createTempDirectory(s"graft-tpch-$name")
+      Files.list(Paths.get(sfDir)).forEach { p: Path =>
+        if (!flip.contains(p.getFileName.toString))
+          Files.createSymbolicLink(base.resolve(p.getFileName), p)
+      }
+      flip.foreach { case (file, tsCol) =>
+        spark.read.parquet(s"$sfDir/$file")
+          .withColumn(tsCol, col(tsCol).cast("timestamp"))
+          .write.parquet(s"$base/$file")
+      }
+      base.toString
+    }
+    val ltzDir = restage("ltz", Map(
+      "lineitem.parquet" -> "l_shipdate", "orders.parquet" -> "o_orderdate"))
+    val failures = for {
+      (qname, fn) <- SparkEntry.rawQueries.toSeq.sortBy(_._1)
+      err <- (try { fn(spark, ltzDir).queryExecution.analyzed; None }
+              catch { case e: Throwable =>
+                Some(s"$qname over ltz tpch: ${e.getMessage.linesIterator.next()}") })
+    } yield err
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("all published queries analyze over every events.ts encoding") {
     val dirs = Map(
       // nanos surfaced as LongType (TIMESTAMP(NANOS) under nanosAsLong)
