@@ -60,8 +60,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Canonical-type guard for the corpus tables — the same
+    * encoding-drift insurance as [[events]], applied to integer widths
+    * and the embedding element type: a regenerated
+    * `documents`/`embeddings` parquet whose writer narrows `doc_id` to
+    * int32 or widens `embedding` to array<double> must be invisible to
+    * the dedup/ANN/curation models (whose oracles pin BIGINT keys and
+    * float math). The casts are conditional — with the current physical
+    * schemas every branch is a no-op, so no plan node is added and scan
+    * pushdown is untouched (CorpusLoaderSpec pins both properties).
+    */
+  private def withCanonicalTypes(df: DataFrame,
+      want: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    want.foldLeft(df) { case (acc, (c, t)) =>
+      if (acc.columns.contains(c) && acc.schema(c).dataType != t)
+        acc.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
+      else acc
+    }
+
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    withCanonicalTypes(load(s, d, "documents"),
+      Map("doc_id" -> LongType, "n_chars" -> LongType))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    withCanonicalTypes(load(s, d, "embeddings"),
+      Map("vec_id" -> LongType, "label" -> IntegerType,
+        "embedding" -> ArrayType(FloatType)))
+  }
 
   /** S4 zero-copy clone: publish an existing model under another name as
     * a metadata-only view — no data copied, reads hit the source files
