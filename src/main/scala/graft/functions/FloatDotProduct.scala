@@ -110,5 +110,26 @@ object GraftFunctions {
       require(children.size == 1, "kll_sketch_n takes exactly 1 argument")
       KllSketchN(children.head)
     })
+    // the heavy-hitters surface (functions/FreqSketch.scala)
+    reg("freq_sketch_agg", classOf[FreqSketchAgg], {
+      case Seq(v) => FreqSketchAgg(v)
+      case Seq(v, m) => FreqSketchAgg(v, FreqSketch.extractSize(m))
+      case other => throw new IllegalArgumentException(
+        s"freq_sketch_agg takes 1 or 2 arguments, got ${other.size}")
+    })
+    reg("freq_merge_agg", classOf[FreqMergeAgg], {
+      case Seq(s) => FreqMergeAgg(s)
+      case Seq(s, m) => FreqMergeAgg(s, FreqSketch.extractSize(m))
+      case other => throw new IllegalArgumentException(
+        s"freq_merge_agg takes 1 or 2 arguments, got ${other.size}")
+    })
+    reg("freq_top_k", classOf[FreqTopK], { children =>
+      require(children.size == 2, "freq_top_k takes exactly 2 arguments")
+      FreqTopK(children.head, children(1))
+    })
+    reg("freq_stream_n", classOf[FreqStreamN], { children =>
+      require(children.size == 1, "freq_stream_n takes exactly 1 argument")
+      FreqStreamN(children.head)
+    })
   }
 }

@@ -320,6 +320,23 @@ object ModelRegistry {
       (_, resolve) => QuantileModels.rollingFromSketches(
         resolve("daily_amount_sketches"), 29)))
 
+  /** OPT-IN heavy-hitters tier (`models/FreqModels.scala`) — the
+    * frequent-items member of the sketch family (HLL distinct counts,
+    * KLL quantiles, LongsSketch heavy hitters), same layering contract:
+    * approximate → not in [[kreDag]]; append it explicitly. The
+    * retained counter set is arrival-order dependent, so
+    * `FreqSketchSpec` pins the published error bound (no false
+    * negatives above maxError; estimates within maxError of exact),
+    * never byte-level reproducibility.
+    */
+  val freqDag: Seq[ModelDef] = Seq(
+    ModelDef("daily_wallet_freq_sketches", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) => FreqModels.dailyWalletFreqSketches(resolve("fact_txn"))),
+    ModelDef("monthly_top_wallets", Cadence.Daily,
+      Seq("daily_wallet_freq_sketches"),
+      (_, resolve) => FreqModels.rollingFromSketches(
+        resolve("daily_wallet_freq_sketches"), 29)))
+
   /** The reference's 13 zero-copy clone publications
     * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
     * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a
