@@ -131,5 +131,21 @@ object GraftFunctions {
       require(children.size == 1, "freq_stream_n takes exactly 1 argument")
       FreqStreamN(children.head)
     })
+    reg("freq_str_sketch_agg", classOf[FreqStrSketchAgg], {
+      case Seq(v) => FreqStrSketchAgg(v)
+      case Seq(v, m) => FreqStrSketchAgg(v, FreqSketch.extractSize(m))
+      case other => throw new IllegalArgumentException(
+        s"freq_str_sketch_agg takes 1 or 2 arguments, got ${other.size}")
+    })
+    reg("freq_str_merge_agg", classOf[FreqStrMergeAgg], {
+      case Seq(s) => FreqStrMergeAgg(s)
+      case Seq(s, m) => FreqStrMergeAgg(s, FreqSketch.extractSize(m))
+      case other => throw new IllegalArgumentException(
+        s"freq_str_merge_agg takes 1 or 2 arguments, got ${other.size}")
+    })
+    reg("freq_str_top_k", classOf[FreqStrTopK], { children =>
+      require(children.size == 2, "freq_str_top_k takes exactly 2 arguments")
+      FreqStrTopK(children.head, children(1))
+    })
   }
 }

@@ -194,3 +194,151 @@ case class FreqStreamN(child: Expression)
   override protected def withNewChildInternal(c: Expression): FreqStreamN =
     copy(child = c)
 }
+
+/** String-item twin of the long surface, for token/vocabulary heavy
+  * hitters (t06's domain at corpus scale): `ItemsSketch[String]` with
+  * the library's `ArrayOfStringsSerDe` at serialization boundaries.
+  * Same guarantees as [[FreqSketchAgg]]. */
+object FreqStrSketch {
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+  import org.apache.datasketches.frequencies.ItemsSketch
+
+  private val serde = new ArrayOfStringsSerDe()
+
+  private[functions] def toBytes(s: ItemsSketch[String]): Array[Byte] =
+    s.toByteArray(serde)
+
+  private[functions] def heapify(bytes: Array[Byte]): ItemsSketch[String] =
+    try ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+    catch { case e: SketchesArgumentException =>
+      throw new IllegalArgumentException(
+        "freq_str_*: argument is not a serialized ItemsSketch[String]", e)
+    }
+
+  val topKType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("estimate", LongType, nullable = false),
+    StructField("lower_bound", LongType, nullable = false))))
+}
+
+/** `freq_str_sketch_agg(item[, maxMapSize])`: heavy-hitters sketch of a
+  * string column. */
+case class FreqStrSketchAgg(
+    child: Expression,
+    maxMapSize: Int = FreqSketch.DefaultMaxMapSize,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      org.apache.datasketches.frequencies.ItemsSketch[String]]
+    with UnaryLike[Expression] {
+  import org.apache.datasketches.frequencies.ItemsSketch
+
+  override def prettyName: String = "freq_str_sketch_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllQuantile.expect(prettyName, Seq(child), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String],
+      input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.toString)
+    buf
+  }
+
+  override def merge(buf: ItemsSketch[String],
+      other: ItemsSketch[String]): ItemsSketch[String] = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: ItemsSketch[String]): Any = FreqStrSketch.toBytes(buf)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    FreqStrSketch.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    FreqStrSketch.heapify(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqStrSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqStrSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqStrSketchAgg =
+    copy(child = c)
+}
+
+/** `freq_str_merge_agg(sketch)`: union serialized string-item sketch
+  * rows. */
+case class FreqStrMergeAgg(
+    child: Expression,
+    maxMapSize: Int = FreqSketch.DefaultMaxMapSize,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      org.apache.datasketches.frequencies.ItemsSketch[String]]
+    with UnaryLike[Expression] {
+  import org.apache.datasketches.frequencies.ItemsSketch
+
+  override def prettyName: String = "freq_str_merge_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllQuantile.expect(prettyName, Seq(child), Seq(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(buf: ItemsSketch[String],
+      input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(FreqStrSketch.heapify(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: ItemsSketch[String],
+      other: ItemsSketch[String]): ItemsSketch[String] = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: ItemsSketch[String]): Any = FreqStrSketch.toBytes(buf)
+  override def serialize(buf: ItemsSketch[String]): Array[Byte] =
+    FreqStrSketch.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    FreqStrSketch.heapify(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqStrMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqStrMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqStrMergeAgg =
+    copy(child = c)
+}
+
+/** `freq_str_top_k(sketch, k)`: top-k (item, estimate, lower_bound)
+  * string structs, NO_FALSE_NEGATIVES, descending estimate then item. */
+case class FreqStrTopK(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "freq_str_top_k"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllQuantile.expect(prettyName, Seq(left, right),
+      Seq(BinaryType, IntegerType))
+  override def dataType: DataType = FreqStrSketch.topKType
+  override def nullable: Boolean = false
+
+  override protected def nullSafeEval(sk: Any, k: Any): Any = {
+    val rows = FreqStrSketch.heapify(sk.asInstanceOf[Array[Byte]])
+      .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+    new GenericArrayData(rows
+      .sortBy(r => (-r.getEstimate, r.getItem))
+      .take(k.asInstanceOf[Int])
+      .map(r => InternalRow(UTF8String.fromString(r.getItem),
+        r.getEstimate, r.getLowerBound))
+      .toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FreqStrTopK = copy(left = l, right = r)
+}

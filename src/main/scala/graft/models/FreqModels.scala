@@ -75,4 +75,34 @@ object FreqModels {
   def rollingTopWallets(factIn: DataFrame, lookback: Int,
       k: Int = 10): DataFrame =
     rollingFromSketches(dailyWalletFreqSketches(factIn), lookback, k)
+
+  /** Token heavy hitters at corpus scale — the sketch path under t06's
+    * exact per-language top tokens. Layer 1: per-(lang, shard) string
+    * sketches over the SAME tokenization as the exact model
+    * (`TextModels.toks`), one kilobyte row per shard; at 100 TB the
+    * shards are the ingestion partitions, so building them is the
+    * map side of t06's first groupBy with the vocabulary-sized shuffle
+    * replaced by a fixed-size sketch per shard. */
+  def tokenFreqSketches(docs: DataFrame,
+      shardSize: Long = 100L): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"lang", expr(s"doc_id div $shardSize").as("shard"),
+        explode(TextModels.toks($"text")).as("token"))
+      .groupBy($"lang", $"shard")
+      .agg(call_function("freq_str_sketch_agg", $"token").as("sk_tokens"))
+  }
+
+  /** Layer 2: merge each language's shard sketches, read top-k tokens
+    * as (item, estimate, lower_bound) structs — |langs| kilobyte-row
+    * groups, never the vocabulary. */
+  def topTokensFromSketches(shardSketches: DataFrame,
+      k: Int = 10): DataFrame = {
+    import shardSketches.sparkSession.implicits._
+    shardSketches
+      .groupBy($"lang")
+      .agg(call_function("freq_str_merge_agg", $"sk_tokens").as("sk"))
+      .select($"lang",
+        call_function("freq_str_top_k", $"sk", lit(k)).as("top_tokens"))
+  }
 }

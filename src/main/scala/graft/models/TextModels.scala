@@ -17,7 +17,10 @@ object TextModels {
 
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
-  private def toks(c: Column): Column = split(normText(c), " ")
+  // private[models]: the sketch tier (FreqModels.tokenFreqSketches)
+  // reuses the EXACT tokenization so its estimates are comparable with
+  // t06's exact counts
+  private[models] def toks(c: Column): Column = split(normText(c), " ")
   private val normSqlDuck =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 

@@ -62,6 +62,29 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(merged == fact.count())
   }
 
+  test("string sketch: top tokens bracket t06's exact counts per language") {
+    val docs = graft.catalog.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sketched = FreqModels.topTokensFromSketches(
+      FreqModels.tokenFreqSketches(docs), k = 5)
+    // t06's exact counts over the same tokenization
+    val exact = graft.models.TextModels
+      .heavyHitters(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    val rows = sketched.collect()
+    assert(rows.nonEmpty)
+    for (row <- rows; hh <- row.getSeq[org.apache.spark.sql.Row](1)) {
+      val (lang, token, est, lb) =
+        (row.getString(0), hh.getString(0), hh.getLong(1), hh.getLong(2))
+      // exact map covers only top-HeavyK per lang; check bracketing
+      // wherever the exact count is known
+      exact.get((lang, token)).foreach { t =>
+        assert(t <= est, s"($lang,$token): estimate $est below exact $t")
+        assert(lb <= t, s"($lang,$token): lower bound $lb above exact $t")
+      }
+    }
+  }
+
   test("freq DAG runs under the incremental runner; layer-1 counts exact") {
     val dir = java.nio.file.Files.createTempDirectory("freq-dag").toString
     val runner = new graft.runner.IncrementalRunner(spark, dir,
