@@ -187,12 +187,37 @@ object StreamingModelRunner {
       .drop("cents"))
   }
 
+  /** The streaming `daily_wallet_freq_sketches` plan (unstarted) — the
+    * sketch family's twin (`ModelRegistry.freqDag` layer 1,
+    * `FreqModels.dailyWalletFreqSketches`): per-day wallet-activity
+    * heavy-hitters sketches built continuously, emitted when the
+    * watermark closes each day, column-compatible with the batch
+    * materialization so `FreqModels.rollingFromSketches` reads either.
+    *
+    * The frequent-items `TypedImperativeAggregate` works UNMODIFIED in
+    * streaming state: each open day's buffer is one ≤8 KB serialized
+    * sketch regardless of wallet cardinality — the fixed-size summary
+    * is exactly what makes the streaming state affordable (a distinct-
+    * count twin needs the chained-aggregation rewrite above; the
+    * sketch absorbs the cardinality instead).
+    */
+  def dailyWalletFreqSketchesStream(spark: SparkSession,
+      inputDir: String): DataFrame =
+    factStream(spark, inputDir)
+      .groupBy(window(col("ts"), "1 day").as("dw"))
+      .agg(
+        call_function("freq_sketch_agg", col("user_id")).as("sk_wallets"),
+        count(col("user_id")).as("txn_count"))
+      .select(col("dw.start").cast(DateType).as("date_key"),
+        col("sk_wallets"), col("txn_count"))
+
   /** Streaming twins keyed by their registry model name. */
   val twins: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_txn_summary" -> (dailyTxnSummaryStream _),
     "daily_distinct_wallets" -> (dailyDistinctWalletsStream _),
     "weekly_txn_rollup" -> (weeklyTxnRollupStream _),
-    "monthly_txn_rollup" -> (monthlyTxnRollupStream _))
+    "monthly_txn_rollup" -> (monthlyTxnRollupStream _),
+    "daily_wallet_freq_sketches" -> (dailyWalletFreqSketchesStream _))
 
   /** One catch-up run (Trigger.AvailableNow): process every file now in
     * `inputDir`, append the newly closed days to `targetDir`, stop. Two
