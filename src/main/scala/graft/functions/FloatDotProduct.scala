@@ -147,5 +147,22 @@ object GraftFunctions {
       require(children.size == 2, "freq_str_top_k takes exactly 2 arguments")
       FreqStrTopK(children.head, children(1))
     })
+    // the theta set-operation surface (functions/ThetaSketch.scala)
+    reg("theta_sketch_agg", classOf[ThetaSketchAgg], { children =>
+      require(children.size == 1, "theta_sketch_agg takes exactly 1 argument")
+      ThetaSketchAgg(children.head)
+    })
+    reg("theta_union_agg", classOf[ThetaUnionAgg], { children =>
+      require(children.size == 1, "theta_union_agg takes exactly 1 argument")
+      ThetaUnionAgg(children.head)
+    })
+    reg("theta_intersect", classOf[ThetaIntersect], { children =>
+      require(children.size == 2, "theta_intersect takes exactly 2 arguments")
+      ThetaIntersect(children.head, children(1))
+    })
+    reg("theta_estimate", classOf[ThetaEstimate], { children =>
+      require(children.size == 1, "theta_estimate takes exactly 1 argument")
+      ThetaEstimate(children.head)
+    })
   }
 }

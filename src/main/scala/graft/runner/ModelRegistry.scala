@@ -337,6 +337,24 @@ object ModelRegistry {
       (_, resolve) => FreqModels.rollingFromSketches(
         resolve("daily_wallet_freq_sketches"), 29)))
 
+  /** OPT-IN retention tier (`models/RetentionModels.scala`) — theta
+    * sketches, the set-operation member of the family: per-day wallet
+    * sketches whose weekly unions INTERSECT (the operation HLL lacks),
+    * turning week-over-week retention from a fact-sized distinct-set
+    * self-join per period pair into set algebra over kilobyte rows.
+    * Same layering contract as the other sketch DAGs (approximate →
+    * not in [[kreDag]]; estimates pinned within published error by
+    * `ThetaSketchSpec`, never bytes).
+    */
+  val retentionDag: Seq[ModelDef] = Seq(
+    ModelDef("daily_wallet_theta_sketches", Cadence.Daily, Seq("fact_txn"),
+      (_, resolve) =>
+        RetentionModels.dailyWalletThetaSketches(resolve("fact_txn"))),
+    ModelDef("weekly_retention", Cadence.Daily,
+      Seq("daily_wallet_theta_sketches"),
+      (_, resolve) => RetentionModels.weekOverWeekRetention(
+        resolve("daily_wallet_theta_sketches"))))
+
   /** The reference's 13 zero-copy clone publications
     * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
     * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a
