@@ -19,10 +19,15 @@ class StreamingAuditSpec extends AnyFunSuite {
     "daily_txn_summary" -> Cadence.Daily,
     "daily_distinct_wallets" -> Cadence.Daily,
     "weekly_txn_rollup" -> Cadence.Weekly,
-    "monthly_txn_rollup" -> Cadence.Monthly)
+    "monthly_txn_rollup" -> Cadence.Monthly,
+    "daily_wallet_freq_sketches" -> Cadence.Daily)
 
   test("every streaming twin shadows a registered model, cadence-true") {
-    val registered = ModelRegistry.kreDag.map(m => m.name -> m).toMap
+    // a twin may shadow a model in ANY registered DAG — the core mart
+    // or an opt-in sketch tier
+    val registered = (ModelRegistry.kreDag ++ ModelRegistry.sketchDag ++
+      ModelRegistry.quantileDag ++ ModelRegistry.freqDag ++
+      ModelRegistry.retentionDag).map(m => m.name -> m).toMap
     for ((name, _) <- StreamingModelRunner.twins) {
       val model = registered.getOrElse(name,
         fail(s"twin $name has no registered batch model"))
