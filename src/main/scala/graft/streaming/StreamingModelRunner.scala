@@ -211,13 +211,32 @@ object StreamingModelRunner {
       .select(col("dw.start").cast(DateType).as("date_key"),
         col("sk_wallets"), col("txn_count"))
 
+  /** The streaming `daily_wallet_theta_sketches` plan (unstarted) —
+    * the retention tier's twin (`ModelRegistry.retentionDag` layer 1):
+    * identical shape to the frequent-items twin above, with the theta
+    * aggregate in the window state (one ≤32 KB serialized union buffer
+    * per open day); downstream retention intersections
+    * (`RetentionModels.weekOverWeekRetention`) read either
+    * materialization.
+    */
+  def dailyWalletThetaSketchesStream(spark: SparkSession,
+      inputDir: String): DataFrame =
+    factStream(spark, inputDir)
+      .groupBy(window(col("ts"), "1 day").as("dw"))
+      .agg(
+        call_function("theta_sketch_agg", col("user_id")).as("sk_wallets"),
+        count(col("user_id")).as("txn_count"))
+      .select(col("dw.start").cast(DateType).as("date_key"),
+        col("sk_wallets"), col("txn_count"))
+
   /** Streaming twins keyed by their registry model name. */
   val twins: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_txn_summary" -> (dailyTxnSummaryStream _),
     "daily_distinct_wallets" -> (dailyDistinctWalletsStream _),
     "weekly_txn_rollup" -> (weeklyTxnRollupStream _),
     "monthly_txn_rollup" -> (monthlyTxnRollupStream _),
-    "daily_wallet_freq_sketches" -> (dailyWalletFreqSketchesStream _))
+    "daily_wallet_freq_sketches" -> (dailyWalletFreqSketchesStream _),
+    "daily_wallet_theta_sketches" -> (dailyWalletThetaSketchesStream _))
 
   /** One catch-up run (Trigger.AvailableNow): process every file now in
     * `inputDir`, append the newly closed days to `targetDir`, stop. Two

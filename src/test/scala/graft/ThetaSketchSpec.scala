@@ -91,6 +91,32 @@ class ThetaSketchSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("streaming twin emits batch-equal closed days (exact counts)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stheta").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val ev = graft.catalog.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.coalesce(1).write.parquet(in)
+    graft.streaming.StreamingModelRunner.catchUp(
+      spark, "daily_wallet_theta_sketches", in, ck, out).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select($"date_key".cast("string").as("d"), $"txn_count",
+        call_function("theta_estimate", $"sk_wallets").as("est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty)
+    val batch = graft.models.RetentionModels.dailyWalletThetaSketches(
+      TxnModels.factTxnFrom(spark.read.parquet(in)))
+      .select($"date_key".cast("string").as("d"), $"txn_count",
+        call_function("theta_estimate", $"sk_wallets").as("est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for ((d, (cnt, est)) <- streamed) {
+      assert(batch(d)._1 == cnt, s"$d: stream count $cnt != batch")
+      // same distinct set per day → estimates agree within the RSE band
+      assert(math.abs(batch(d)._2 - est) <= tol(batch(d)._2),
+        s"$d: stream estimate $est vs batch ${batch(d)._2}")
+    }
+  }
+
   test("theta union is closed over serialized rows (merge ≡ one pass)") {
     val fact = TxnModels.factTxn(spark, sfDir)
     val onePass = fact
