@@ -11,6 +11,9 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.001}"
 OUT="$(mktemp -d /tmp/graft-precommit.XXXXXX)"
 
+echo "== leakcheck (timestamped, commit-stamped) =="
+python3 tools/leakcheck.py
+
 echo "== compile =="
 sbt -batch compile
 
