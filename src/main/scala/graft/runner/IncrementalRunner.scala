@@ -33,7 +33,17 @@ final case class ModelDef(
     // them every run (the reference's full-refresh branch,
     // `execute_snowflake_load.py:90-91`) instead of appending above a
     // watermark
-    fullRefresh: Boolean = false)
+    fullRefresh: Boolean = false,
+    // columns to physically order rows by WITHIN each written file (after
+    // the date_key clustering) — the Snowflake CLUSTER BY analog. Point/
+    // range predicates on these columns then prune whole parquet row
+    // groups via footer min/max stats instead of decoding them: the
+    // wallet-scoped reads (P7) over a 100 TB fact touch only the row
+    // groups whose [min,max] covers the wallet. Declare for models whose
+    // serving reads filter inside a partition; costs one in-memory sort
+    // per write task, no extra shuffle (IncrementalRunnerSpec pins the
+    // written order)
+    clusterBy: Seq[String] = Nil)
 
 /** Spark-native incremental model runner — the engine's replacement for the
   * reference's orchestrator (`execute_snowflake_load.py` +
@@ -160,7 +170,7 @@ final class IncrementalRunner(
       val n = slice.count()
       if (n > 0) {
         clearEmptyMarker(m.name)
-        rebalanced(slice).write.mode(SaveMode.Append)
+        rebalanced(slice, m.clusterBy).write.mode(SaveMode.Append)
           .partitionBy("date_key").parquet(targetPath(m.name))
       } else if (!exists(m.name))
         // the reference's CTAS always creates the table; materialize an
@@ -195,7 +205,7 @@ final class IncrementalRunner(
         date_trunc(m.cadence.truncUnit, lit(today.toString)).cast("date"))
     val out = df.cache()
     val n = out.count()
-    rebalanced(out).write.mode(SaveMode.Overwrite)
+    rebalanced(out, m.clusterBy).write.mode(SaveMode.Overwrite)
       .partitionBy("date_key").parquet(targetPath(m.name))
     out.unpersist()
     n
@@ -212,9 +222,20 @@ final class IncrementalRunner(
     * day — exactly the write profile a cluster wants, with no
     * hand-tuned repartition(N) to go stale. IncrementalRunnerSpec pins
     * the per-day file count on the small-data path.
+    *
+    * `clusterBy` columns additionally sort rows WITHIN each shuffle
+    * partition (date_key leads the ordering so the parquet writer's own
+    * dynamic-partition sort requirement is already satisfied — no second
+    * sort is inserted): each written file is then ordered by the cluster
+    * columns and its row-group footer min/max stats become a zone map
+    * for them.
     */
-  private def rebalanced(df: DataFrame): DataFrame =
-    df.hint("rebalance", "date_key")
+  private def rebalanced(df: DataFrame, clusterBy: Seq[String]): DataFrame = {
+    val hinted = df.hint("rebalance", "date_key")
+    if (clusterBy.isEmpty) hinted
+    else hinted.sortWithinPartitions(
+      ("date_key" +: clusterBy).map(org.apache.spark.sql.functions.col): _*)
+  }
 
   /** Repair: delete target rows with `date_key >= cutoff` (cadence-
     * truncated, as `incremental_cleanup.py:30-35` does), so the next
@@ -275,6 +296,106 @@ final class IncrementalRunner(
     } else doomed.foreach(rmrf)
     true
   }
+
+  /** Partition-file compaction — the maintenance pass the warehouse did
+    * for the reference (Snowflake micro-partitions self-compact; parquet
+    * directories don't). Chunked backfills, repair-refills and skewed
+    * rebalance splits leave a `date_key=` partition holding many small
+    * files; at 100 TB a years-deep table then pays a real tax in file
+    * listings, footer reads and one-tiny-task-per-file scans. For each
+    * partition whose data-file count exceeds ⌈bytes / targetFileBytes⌉,
+    * rewrite JUST that partition's files into the target count and swap
+    * them in place — logically idempotent (row-identical, pinned by
+    * IncrementalRunnerSpec) and O(oversplit partitions), never a table
+    * rewrite. Partitions already at or under the target are not touched
+    * (their files stay bit-identical).
+    *
+    * Single-writer contract, like every mutation here: the swap
+    * (delete old files, move rewritten ones in) is not atomic for
+    * concurrent readers. It IS crash-recoverable: the rewrite lands in
+    * a dot-prefixed (reader-invisible) tmp dir first, and the next
+    * sweep finishes or discards an interrupted swap by looking at
+    * which side still holds the partition's data files
+    * (IncrementalRunnerSpec pins both recovery branches).
+    *
+    * Returns partitionDir -> resulting file count for each compacted
+    * partition.
+    */
+  def compact(name: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    val root = new java.io.File(targetPath(name))
+    if (!root.exists()) return Map.empty
+    // recover crash residue first. A `.compact-*` dir (dot-prefixed →
+    // invisible to readers) left by a killed sweep means one of two
+    // states, distinguished by whether its partition still has data
+    // files: (a) crash before the old files were deleted → the tmp is a
+    // dead duplicate, drop it; (b) crash after the delete → the tmp
+    // holds the partition's ONLY copy, finish the interrupted move.
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact-"))
+      .foreach { tmp =>
+        val part = new java.io.File(root, tmp.getName.stripPrefix(".compact-"))
+        val partHasData = part.isDirectory && part.listFiles()
+          .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (!partHasData && tmp.listFiles()
+            .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+          moveDataFiles(tmp, part)
+        tmp.listFiles().foreach(f => f.delete(): Unit)
+        tmp.delete(): Unit
+      }
+    val partDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date_key="))
+    partDirs.flatMap { d =>
+      val dataFiles = d.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val want = math.max(1, math.ceil(
+        dataFiles.map(_.length).sum.toDouble / targetFileBytes).toInt)
+      if (dataFiles.length <= want) None
+      else {
+        // read ONLY this partition's files — the partition value lives in
+        // the directory name, not the files, so the rewritten files keep
+        // the exact column set of the originals. coalesce, not
+        // repartition: a file merge needs no shuffle.
+        val df = spark.read.parquet(d.getAbsolutePath)
+        val tmp = new java.io.File(root, s".compact-${d.getName}")
+        df.coalesce(want).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.getAbsolutePath)
+        dataFiles.foreach { f =>
+          val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+          if (crc.exists()) crc.delete(): Unit
+          f.delete(): Unit
+        }
+        val moved = moveDataFiles(tmp, d)
+        tmp.listFiles().foreach(f => f.delete(): Unit)
+        tmp.delete(): Unit
+        Some(d.getName -> moved)
+      }
+    }.toMap
+  }
+
+  /** Move every parquet data file (and its checksum sibling) from `src`
+    * into `dest`; returns the count. Writer-generated names carry task
+    * UUIDs, so moves never clash with surviving files. */
+  private def moveDataFiles(src: java.io.File, dest: java.io.File): Int = {
+    if (!dest.exists()) dest.mkdirs(): Unit
+    val files = src.listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      require(f.renameTo(new java.io.File(dest, f.getName)),
+        s"compact: could not move $f into $dest")
+      val crc = new java.io.File(src, s".${f.getName}.crc")
+      if (crc.exists())
+        crc.renameTo(new java.io.File(dest, crc.getName)): Unit
+    }
+    files.length
+  }
+
+  /** Registry-wide compaction sweep — run after the scheduled pipelines
+    * the way `cleanupFromDate` runs the cleanup manifest. */
+  def compactAll(models: Seq[ModelDef],
+      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, Int] =
+    models.flatMap(m => compact(m.name, targetFileBytes)
+      .map { case (p, n) => s"${m.name}/$p" -> n }).toMap
 
   /** Kahn topological order over declared deps (only deps that are
     * themselves models count; raw sources resolve outside the DAG).

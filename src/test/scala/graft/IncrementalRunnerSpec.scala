@@ -96,6 +96,104 @@ class IncrementalRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("compact merges oversplit partitions; at-target partitions stay bit-identical") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-11"))
+    val path = r.targetPath("backfilled")
+    val rows = sourceDf(6)
+    // a chunked backfill shape: two unclustered appends spread each of
+    // days 1..6 across several tasks -> many small files per partition
+    rows.repartition(5).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("date_key").parquet(path)
+    rows.repartition(5).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("date_key").parquet(path)
+    // plus one already-compact day the sweep must not touch
+    sourceDf(7).filter($"date_key" === "2024-01-07").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("date_key").parquet(path)
+    def files(day: String): Map[String, Long] = {
+      val d = new java.io.File(path, s"date_key=2024-01-$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = r.readModel("backfilled").collect().toSeq
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val untouchedBefore = files("07")
+    assert(files("01").size > 1, "precondition: day 1 is oversplit")
+    val compacted = r.compact("backfilled")
+    // every oversplit day was rewritten to the byte-target count (1 at
+    // spec scale); the already-compact day was skipped entirely
+    assert(compacted.keySet ==
+      (1 to 6).map(d => f"date_key=2024-01-$d%02d").toSet)
+    assert(compacted.values.forall(_ == 1))
+    for (day <- Seq("01", "03", "06")) assert(files(day).size == 1)
+    assert(files("07") == untouchedBefore)
+    // row-identical as a multiset (dup rows across the two appends count)
+    val after = r.readModel("backfilled").collect().toSeq
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    assert(after == before)
+    // idempotent: a second sweep finds nothing to do
+    assert(r.compact("backfilled").isEmpty)
+  }
+
+  test("compact recovers an interrupted swap from either crash side") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-11"))
+    val path = r.targetPath("crashy")
+    sourceDf(2).repartition(3)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("date_key").parquet(path)
+    val before = r.readModel("crashy").collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val root = new java.io.File(path)
+    val day1 = new java.io.File(root, "date_key=2024-01-01")
+    val day2 = new java.io.File(root, "date_key=2024-01-02")
+    def dataFiles(d: java.io.File) =
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // crash state (a): tmp written, old files NOT yet deleted -> the tmp
+    // is a dead duplicate the next sweep must drop, keeping the originals
+    val tmp1 = new java.io.File(root, s".compact-${day1.getName}")
+    spark.read.parquet(day1.getAbsolutePath).coalesce(1)
+      .write.parquet(tmp1.getAbsolutePath)
+    // crash state (b): old files deleted, move not done -> the tmp holds
+    // the only copy and the next sweep must finish the move
+    val tmp2 = new java.io.File(root, s".compact-${day2.getName}")
+    spark.read.parquet(day2.getAbsolutePath).coalesce(1)
+      .write.parquet(tmp2.getAbsolutePath)
+    dataFiles(day2).foreach(f => assert(f.delete()))
+    r.compact("crashy")
+    assert(!tmp1.exists() && !tmp2.exists())
+    // state (a): the duplicate tmp was DROPPED (row multiset unchanged —
+    // the check below would see doubled day-1 rows had it been moved in),
+    // then the sweep compacted the surviving originals as usual;
+    // state (b): the move was finished, restoring day 2's only copy
+    assert(dataFiles(day1).length == 1)
+    assert(dataFiles(day2).length == 1, "move finished in state (b)")
+    val after = r.readModel("crashy").collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(after == before)
+  }
+
+  test("clusterBy orders rows within each written file (zone-map contract)") {
+    val wh = tmpDir()
+    val r = new IncrementalRunner(spark, wh, LocalDate.parse("2024-01-11"))
+    val m = ModelDef("clustered", Cadence.Daily, Seq("events_src"),
+      (_, resolve) => resolve("events_src")
+        .groupBy($"date_key", $"wallet").agg(sum($"amount").as("total")),
+      clusterBy = Seq("wallet"))
+    assert(r.runIncremental(m, _ => sourceDf(10)) == 20)
+    val root = new java.io.File(r.targetPath("clustered"))
+    val files = root.listFiles().filter(_.getName.startsWith("date_key="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      // a single small file reads back in storage order; the zone-map
+      // property is exactly "storage order == cluster-column order"
+      val wallets = spark.read.parquet(f.getAbsolutePath)
+        .select($"wallet").collect().map(_.getLong(0)).toSeq
+      assert(wallets == wallets.sorted,
+        s"${f.getName}: rows not wallet-ordered: $wallets")
+    }
+  }
+
   test("repair deletes from cutoff and the next run re-fills") {
     val wh = tmpDir()
     val m = dailyModel(() => sourceDf(10))
