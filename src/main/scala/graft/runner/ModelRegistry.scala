@@ -42,8 +42,13 @@ object ModelRegistry {
   val AppDim = "nation"
 
   val kreDag: Seq[ModelDef] = Seq(
+    // the wallet-grain tables declare CLUSTER BY wallet_id: rows inside
+    // each date_key partition are file-ordered by wallet, so the
+    // key-scoped reads (P7 — one wallet's history out of a 100 TB fact)
+    // prune row groups on footer min/max instead of decoding every page
     ModelDef("fact_txn", Cadence.Daily, Seq("events"),
-      (_, resolve) => TxnModels.factTxnFrom(resolve("events"))),
+      (_, resolve) => TxnModels.factTxnFrom(resolve("events")),
+      clusterBy = Seq("wallet_id")),
     // THE shared intermediate of the actives family: the deduped
     // flagged (date, app, wallet) grid. Rows are within-day aggregates
     // keyed by date_key, so the daily watermark append is exact; every
@@ -51,9 +56,11 @@ object ModelRegistry {
     // instead of re-deduping the fact.
     ModelDef("app_activity_grid", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) =>
-        CompositeModels.appActivityGridFrom(resolve("fact_txn"))),
+        CompositeModels.appActivityGridFrom(resolve("fact_txn")),
+      clusterBy = Seq("wallet_id")),
     ModelDef("closing_balance", Cadence.Daily, Seq("events"),
-      (_, resolve) => ActivityModels.closingBalanceFrom(resolve("events"))),
+      (_, resolve) => ActivityModels.closingBalanceFrom(resolve("events")),
+      clusterBy = Seq("wallet_id")),
     ModelDef("volatility_factor", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) => KreModels.volatilityFactorFrom(resolve("fact_txn"))),
     ModelDef("active_user_balance", Cadence.Daily,
@@ -148,7 +155,8 @@ object ModelRegistry {
     // per-(day, wallet) activity join — daily_active_user_balance_by_app's
     // spend/total legs
     ModelDef("wallet_day_activity", Cadence.Daily, Seq("fact_txn"),
-      (_, resolve) => PayoutModels.walletDayJoinFrom(resolve("fact_txn"))),
+      (_, resolve) => PayoutModels.walletDayJoinFrom(resolve("fact_txn")),
+      clusterBy = Seq("wallet_id")),
     ModelDef("top_apps_daily", Cadence.Daily, Seq("fact_txn"),
       (_, resolve) => PayoutModels.topAppsDailyFrom(resolve("fact_txn"))),
     ModelDef("capped_app_balance", Cadence.Daily, Seq("fact_txn"),
