@@ -26,7 +26,16 @@ object GraftSession {
     *    default — at local[32] a 200-way shuffle is pure scheduling
     *    overhead (a cluster deployment sizes this to data volume);
     *  - AQE + skew-join splitting on (explicit, though Spark 4
-    *    defaults): hot wallets/apps are skewed keys.
+    *    defaults): hot wallets/apps are skewed keys;
+    *  - runtime bloom-filter injection on (explicit): when a join's dim
+    *    side carries a selective predicate (the q05/q25/q37 dim-lookup
+    *    and q13/q30 semi-join shapes), Catalyst seeds a bloom filter
+    *    from it and applies it on the fact side BEFORE the fact
+    *    shuffle — at 100 TB that turns "shuffle the whole fact, then
+    *    drop 99% in the join" into "drop 99% at the scan". The size
+    *    thresholds (creation side ≤ 10 MB plan default, application
+    *    side ≥ 10 GB) mean it never fires at local spec scale;
+    *    RuntimeFilterSpec lowers them to pin the injected plan shape.
     */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores.toString)
@@ -35,6 +44,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 
   /** Install the engine's planner rule (constant-width date-BETWEEN
     * joins → explode-to-equi; `RangeJoinRewriteSpec`) and native SQL
