@@ -109,6 +109,7 @@ object SparkEntry {
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
     "s04_sq8_ann_topk" -> (SimilarityModels.sq8AnnTopK _),
+    "s05_pq_ann_topk" -> (SimilarityModels.pqAnnTopK _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "s01_cosine_topk" -> Seq("cosine_sim"),
     "s03_ivf_ann_topk" -> Seq("cosine_sim"),
     "s04_sq8_ann_topk" -> Seq("cosine_sim_sq8"),
+    "s05_pq_ann_topk" -> Seq("pq_sim"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -254,6 +256,7 @@ object SparkEntry {
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
     "s04_sq8_ann_topk" -> SimilarityModels.sq8AnnTopKOracle,
+    "s05_pq_ann_topk" -> SimilarityModels.pqAnnTopKOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,

@@ -303,6 +303,138 @@ object SimilarityModels {
        |QUALIFY sim_rank <= 5""".stripMargin
   }
 
+  /** s05: product-quantized (PQ) ANN with ADC lookup-table scoring —
+    * the deepest memory tier of the family: s02 prunes the COMPARE
+    * space (LSH buckets), s03 prunes the SCAN (IVF cells), s04 shrinks
+    * each vector 4× (SQ8); PQ shrinks it 64×. The 64-dim vector splits
+    * into M=8 subspaces of 8 dims; each subvector is replaced by the id
+    * of its nearest (L2) per-subspace centroid — 8 codes of 4 bits =
+    * 4 bytes per vector against 256 float bytes. The codebook is the
+    * subvectors of the C=16 lowest-vec_id embeddings (s03's
+    * deterministic stand-in for offline k-means, so the oracle replays
+    * training exactly; a production codebook arrives as the same tiny
+    * dim table).
+    *
+    * Search is the canonical ADC (asymmetric distance computation)
+    * shape: per query, ONE M×C lookup table of partial dots
+    * (query-subvector · centroid) is built against the constant
+    * codebook and broadcast; scanning the code table then scores each
+    * candidate with M table lookups and NO float math on the corpus
+    * side — `Σ_m LUT[m, code_m]`, grouped map-side. That constant-side
+    * broadcast + single code-table pass is exactly the 100 TB plan
+    * (FAISS IndexPQ's scan, distributed); composing it with s03's cell
+    * assignment (probe cells, then ADC inside) is IVF-PQ with no new
+    * machinery.
+    *
+    * Determinism: subspace distances round to 6dp (ties by centroid
+    * id); LUT partials round to 9dp and sum as DECIMAL(28,9) — decimal
+    * addition is exact and order-free, so the 8-way sums match DuckDB
+    * bit-for-bit without relying on double-summation order inside a
+    * shuffle; the approximate cosine (ADC dot over q-norm ×
+    * reconstructed-norm) rounds to 6dp before ranking (the s01
+    * contract).
+    */
+  def pqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // DuckDB list_sum's left-to-right fold order, element-squared diffs
+    def l2(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast(DoubleType) - y.cast(DoubleType)) *
+            (x.cast(DoubleType) - y.cast(DoubleType))),
+        lit(0.0d), (acc, v) => acc + v)
+    val subs = emb
+      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"),
+        $"embedding")
+      .select($"vec_id", $"m",
+        slice($"embedding", $"m" * 8 + 1, lit(8)).as("sub"))
+    val cents = subs.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"m", $"sub".as("cent"))
+    // index build: one corpus pass against the 128-row constant codebook
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", round(l2($"sub", $"cent"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cid")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"m", $"cid".as("code"))
+    // the per-query ADC lookup table: M×C partial dots + centroid
+    // self-dots, exact-decimal so the later 8-way sum is order-free
+    val lut = subs.filter($"vec_id" < 10)
+      .join(broadcast(cents), Seq("m"))
+      .select($"vec_id".as("query_id"), $"m", $"cid".as("code"),
+        round(dotD($"sub", $"cent"), 9)
+          .cast(DecimalType(28, 9)).as("partial"),
+        round(dotD($"cent", $"cent"), 9)
+          .cast(DecimalType(28, 9)).as("cent_sq"))
+    val qn = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"),
+        sqrt(dotD($"embedding", $"embedding")).as("q_norm"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"partial").as("adc_dot"), sum($"cent_sq").as("c_sq"))
+      .withColumnRenamed("vec_id", "cand_id")
+    val sim = round(
+      $"adc_dot".cast(DoubleType) /
+        ($"q_norm" * sqrt($"c_sq".cast(DoubleType))), 6)
+      .cast(DecimalType(24, 6))
+    scored.join(broadcast(qn), Seq("query_id"))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("pq_sim", sim)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"pq_sim".desc, $"cand_id")))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"cand_id", $"pq_sim",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val pqAnnTopKOracle: String = {
+    def dot8(a: String, b: String): String =
+      s"list_sum(list_transform(range(8), i -> cast($a[i+1] AS DOUBLE) * cast($b[i+1] AS DOUBLE)))"
+    def l2sq(a: String, b: String): String =
+      s"list_sum(list_transform(range(8), i -> (cast($a[i+1] AS DOUBLE) - cast($b[i+1] AS DOUBLE)) * (cast($a[i+1] AS DOUBLE) - cast($b[i+1] AS DOUBLE))))"
+    def dot64(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> cast($a[i+1] AS DOUBLE) * cast($b[i+1] AS DOUBLE)))"
+    s"""WITH ms AS (SELECT unnest(range(8)) AS m),
+       |subs AS (SELECT e.vec_id, ms.m,
+       |                list_slice(e.embedding, ms.m*8+1, ms.m*8+8) AS sub
+       |         FROM embeddings e CROSS JOIN ms),
+       |cents AS (SELECT vec_id AS cid, m, sub AS cent
+       |          FROM subs WHERE vec_id < 16),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY round(${l2sq("s.sub", "c.cent")}, 6), c.cid) AS rk
+       |    FROM subs s JOIN cents c ON s.m = c.m)
+       |  WHERE rk = 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.cid AS code,
+       |               cast(round(${dot8("s.sub", "c.cent")}, 9) AS DECIMAL(28,9)) AS partial,
+       |               cast(round(${dot8("c.cent", "c.cent")}, 9) AS DECIMAL(28,9)) AS cent_sq
+       |        FROM subs s JOIN cents c ON s.m = c.m
+       |        WHERE s.vec_id < 10),
+       |qn AS (SELECT vec_id AS query_id,
+       |              sqrt(${dot64("embedding", "embedding")}) AS q_norm
+       |       FROM embeddings WHERE vec_id < 10),
+       |scored AS (SELECT l.query_id, k.vec_id AS cand_id,
+       |                  sum(l.partial) AS adc_dot, sum(l.cent_sq) AS c_sq
+       |           FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       |           GROUP BY 1, 2),
+       |final AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         cast(round(cast(s.adc_dot AS DOUBLE) /
+       |              (q.q_norm * sqrt(cast(s.c_sq AS DOUBLE))), 6)
+       |              AS DECIMAL(24,6)) AS pq_sim
+       |  FROM scored s JOIN qn q USING (query_id)
+       |  WHERE s.query_id <> s.cand_id)
+       |SELECT query_id, cand_id, pq_sim,
+       |       cast(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY pq_sim DESC, cand_id) AS BIGINT) AS sim_rank
+       |FROM final
+       |QUALIFY sim_rank <= 5""".stripMargin
+  }
+
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */
