@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: dot product of two float arrays, summed in
   * double with a strict left-to-right fold.
@@ -88,6 +88,13 @@ object GraftFunctions {
     reg("float_dot", classOf[FloatDotProduct], { children =>
       require(children.size == 2, "float_dot takes exactly 2 arguments")
       FloatDotProduct(children.head, children(1))
+    })
+    reg("zorder_key", classOf[ZOrderKey], { children =>
+      require(children.size == 2, "zorder_key takes exactly 2 arguments")
+      // integral inputs widen here (the expression itself is long-only)
+      ZOrderKey(
+        org.apache.spark.sql.catalyst.expressions.Cast(children.head, LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(children(1), LongType))
     })
     // the KLL mergeable-quantiles surface (functions/KllQuantile.scala)
     reg("kll_sketch_agg", classOf[KllSketchAgg], {

@@ -34,15 +34,17 @@ final case class ModelDef(
     // `execute_snowflake_load.py:90-91`) instead of appending above a
     // watermark
     fullRefresh: Boolean = false,
-    // columns to physically order rows by WITHIN each written file (after
-    // the date_key clustering) — the Snowflake CLUSTER BY analog. Point/
+    // columns (or SQL expressions — e.g. the native
+    // `zorder_key(wallet_id, app_id)` for two-key locality) to
+    // physically order rows by WITHIN each written file (after the
+    // date_key clustering) — the Snowflake CLUSTER BY analog. Point/
     // range predicates on these columns then prune whole parquet row
     // groups via footer min/max stats instead of decoding them: the
     // wallet-scoped reads (P7) over a 100 TB fact touch only the row
     // groups whose [min,max] covers the wallet. Declare for models whose
     // serving reads filter inside a partition; costs one in-memory sort
     // per write task, no extra shuffle (IncrementalRunnerSpec pins the
-    // written order)
+    // written order; ZOrderSpec the two-key variant)
     clusterBy: Seq[String] = Nil)
 
 /** Spark-native incremental model runner — the engine's replacement for the
@@ -233,8 +235,14 @@ final class IncrementalRunner(
   private def rebalanced(df: DataFrame, clusterBy: Seq[String]): DataFrame = {
     val hinted = df.hint("rebalance", "date_key")
     if (clusterBy.isEmpty) hinted
-    else hinted.sortWithinPartitions(
-      ("date_key" +: clusterBy).map(org.apache.spark.sql.functions.col): _*)
+    else {
+      // entries are parsed as expressions so the engine's native sort
+      // keys (zorder_key) work; a bare column name parses to itself
+      graft.functions.GraftFunctions.register(spark)
+      hinted.sortWithinPartitions(
+        org.apache.spark.sql.functions.col("date_key") +:
+          clusterBy.map(org.apache.spark.sql.functions.expr): _*)
+    }
   }
 
   /** Repair: delete target rows with `date_key >= cutoff` (cadence-
