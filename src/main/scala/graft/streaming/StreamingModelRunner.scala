@@ -229,6 +229,32 @@ object StreamingModelRunner {
       .select(col("dw.start").cast(DateType).as("date_key"),
         col("sk_wallets"), col("txn_count"))
 
+  /** The streaming `daily_amount_sketches` plan (unstarted) — the
+    * quantile tier's twin (`ModelRegistry.quantileDag` layer 1,
+    * `QuantileModels.dailyAmountSketches`), completing the mergeable-
+    * sketch streaming family: frequent-items, theta AND KLL daily
+    * layers all build continuously under the same watermark-window
+    * protocol. Grain is (day, app): the app key comes out of the props
+    * JSON exactly as the batch fact derives it, and the amount runs
+    * through the same DECIMAL(18,2)→double path, so a closed day's
+    * streamed sketch row is value-identical to the batch
+    * materialization (exact below the sketch's k; same merge algebra
+    * above it). State per open (day, app) is one ≤3 KB KLL buffer.
+    */
+  def dailyAmountSketchesStream(spark: SparkSession,
+      inputDir: String): DataFrame =
+    factStream(spark, inputDir)
+      .select(col("ts"),
+        coalesce(get_json_object(col("props"), "$.k").cast(IntegerType),
+          lit(0)).as("app_id"),
+        col("value").cast(TxnModels.Amount).cast("double").as("amount_d"))
+      .groupBy(window(col("ts"), "1 day").as("dw"), col("app_id"))
+      .agg(
+        call_function("kll_sketch_agg", col("amount_d")).as("sk_amount"),
+        count(col("amount_d")).as("txn_count"))
+      .select(col("dw.start").cast(DateType).as("date_key"), col("app_id"),
+        col("sk_amount"), col("txn_count"))
+
   /** Streaming twins keyed by their registry model name. */
   val twins: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_txn_summary" -> (dailyTxnSummaryStream _),
@@ -236,7 +262,8 @@ object StreamingModelRunner {
     "weekly_txn_rollup" -> (weeklyTxnRollupStream _),
     "monthly_txn_rollup" -> (monthlyTxnRollupStream _),
     "daily_wallet_freq_sketches" -> (dailyWalletFreqSketchesStream _),
-    "daily_wallet_theta_sketches" -> (dailyWalletThetaSketchesStream _))
+    "daily_wallet_theta_sketches" -> (dailyWalletThetaSketchesStream _),
+    "daily_amount_sketches" -> (dailyAmountSketchesStream _))
 
   /** One catch-up run (Trigger.AvailableNow): process every file now in
     * `inputDir`, append the newly closed days to `targetDir`, stop. Two

@@ -21,7 +21,8 @@ class StreamingAuditSpec extends AnyFunSuite {
     "weekly_txn_rollup" -> Cadence.Weekly,
     "monthly_txn_rollup" -> Cadence.Monthly,
     "daily_wallet_freq_sketches" -> Cadence.Daily,
-    "daily_wallet_theta_sketches" -> Cadence.Daily)
+    "daily_wallet_theta_sketches" -> Cadence.Daily,
+    "daily_amount_sketches" -> Cadence.Daily)
 
   test("every streaming twin shadows a registered model, cadence-true") {
     // a twin may shadow a model in ANY registered DAG — the core mart
