@@ -105,11 +105,13 @@ object SparkEntry {
     "d05_embedding_near_dup" -> (SimilarityModels.embeddingNearDupPairs _),
     "d06_edit_distance_pairs" -> (DedupModels.editDistancePairs _),
     "d07_near_dup_clusters" -> (DedupModels.nearDupClusters _),
+    "d08_segment_dedup" -> (DedupModels.segmentDedup _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
     "s04_sq8_ann_topk" -> (SimilarityModels.sq8AnnTopK _),
     "s05_pq_ann_topk" -> (SimilarityModels.pqAnnTopK _),
+    "s06_ivfpq_ann_topk" -> (SimilarityModels.ivfPqAnnTopK _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -123,6 +125,7 @@ object SparkEntry {
     "t04_token_counts" -> (TextModels.tokenCounts _),
     "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
     "t06_heavy_hitters" -> (TextModels.heavyHitters _),
+    "t07_unigram_logprob" -> (TextModels.unigramLogprob _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -182,6 +185,9 @@ object SparkEntry {
     "s03_ivf_ann_topk" -> Seq("cosine_sim"),
     "s04_sq8_ann_topk" -> Seq("cosine_sim_sq8"),
     "s05_pq_ann_topk" -> Seq("pq_sim"),
+    "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
+    "d08_segment_dedup" -> Seq("retained_ratio"),
+    "t07_unigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -252,11 +258,13 @@ object SparkEntry {
     "d05_embedding_near_dup" -> SimilarityModels.embeddingNearDupPairsOracle,
     "d06_edit_distance_pairs" -> DedupModels.editDistancePairsOracle,
     "d07_near_dup_clusters" -> DedupModels.nearDupClustersOracle,
+    "d08_segment_dedup" -> DedupModels.segmentDedupOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
     "s04_sq8_ann_topk" -> SimilarityModels.sq8AnnTopKOracle,
     "s05_pq_ann_topk" -> SimilarityModels.pqAnnTopKOracle,
+    "s06_ivfpq_ann_topk" -> SimilarityModels.ivfPqAnnTopKOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,
@@ -270,6 +278,7 @@ object SparkEntry {
     "t04_token_counts" -> TextModels.tokenCountsOracle,
     "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
     "t06_heavy_hitters" -> TextModels.heavyHittersOracle,
+    "t07_unigram_logprob" -> TextModels.unigramLogprobOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

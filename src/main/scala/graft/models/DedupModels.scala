@@ -388,4 +388,78 @@ object DedupModels {
        |votes AS (SELECT doc_id, $voteExprs FROM digits GROUP BY doc_id)
        |SELECT doc_id, cast($simhashExpr AS BIGINT) AS simhash FROM votes""".stripMargin
   }
+
+  /** Segment width of the sub-document dedup (tokens per segment). */
+  private[models] val SegW = 10
+
+  /** d08: segment-level exact dedup — the CCNet/RefinedWeb sub-document
+    * stage the whole-doc ops (d01..d07) can't express: boilerplate
+    * repeats ACROSS documents (headers, footers, license blocks) while
+    * the documents themselves stay distinct, so document-grain dedup
+    * keeps every copy. Each doc is cut into non-overlapping `SegW`-token
+    * segments; a segment KEEPS only at its globally first occurrence
+    * (min (doc_id, seg_idx) over the corpus — the same stable-canonical
+    * rule as d01), and every later copy drops. Output is the per-doc
+    * verdict the curation funnel consumes: segment/token counts, dup
+    * segments, and the retained-token ratio.
+    *
+    * Scale: two linear shuffles — one hash-partitioned window over
+    * seg_hash (corpus-wide first-occurrence pick; CCNet's shard-hash
+    * shape, no skew: md5 keys are uniform and a segment's copy count
+    * bounds the partition), one doc_id rollup with map-side combine.
+    * No pairwise compares anywhere — cross-doc repetition is found by
+    * hash equality, linear at 100 TB.
+    */
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+    val nSegs = floor(($"n_tokens" + lit(SegW - 1)) / lit(SegW))
+      .cast(IntegerType)
+    val segs = docs
+      .select($"doc_id", $"n_tokens", $"toks",
+        explode(sequence(lit(0), nSegs - 1)).as("g"))
+      .select($"doc_id", $"n_tokens", $"g",
+        slice($"toks", $"g" * SegW + 1, lit(SegW)).as("seg"))
+      .select($"doc_id", $"n_tokens", $"g",
+        size($"seg").cast(LongType).as("seg_len"),
+        md5(concat_ws(" ", $"seg")).as("seg_hash"))
+    val occ = segs.withColumn("occ", row_number().over(
+      Window.partitionBy($"seg_hash").orderBy($"doc_id", $"g")))
+    occ.groupBy($"doc_id", $"n_tokens")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"occ" > 1, 1L).otherwise(0L)).as("dup_segments"),
+        coalesce(sum(when($"occ" === 1, $"seg_len")), lit(0L))
+          .as("kept_tokens"))
+      .withColumn("retained_ratio",
+        round($"kept_tokens" / $"n_tokens", 6).cast(DecimalType(18, 6)))
+      .select($"doc_id", $"n_tokens", $"n_segments", $"dup_segments",
+        $"kept_tokens", $"retained_ratio")
+  }
+
+  val segmentDedupOracle: String =
+    s"""WITH docs AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS toks
+       |              FROM documents),
+       |d2 AS (SELECT doc_id, toks, cast(len(toks) AS BIGINT) AS n_tokens
+       |       FROM docs),
+       |gs AS (SELECT doc_id, n_tokens, toks,
+       |              unnest(range((n_tokens + ${SegW - 1}) // $SegW)) AS g
+       |       FROM d2),
+       |segs AS (SELECT doc_id, n_tokens, g,
+       |                toks[g*$SegW + 1 : g*$SegW + $SegW] AS seg
+       |         FROM gs),
+       |h AS (SELECT doc_id, n_tokens, g, cast(len(seg) AS BIGINT) AS seg_len,
+       |             md5(array_to_string(seg, ' ')) AS seg_hash
+       |      FROM segs),
+       |o AS (SELECT *, row_number() OVER (PARTITION BY seg_hash
+       |               ORDER BY doc_id, g) AS occ
+       |      FROM h)
+       |SELECT doc_id, n_tokens, count(*) AS n_segments,
+       |       cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+       |       cast(coalesce(sum(CASE WHEN occ = 1 THEN seg_len END), 0) AS BIGINT) AS kept_tokens,
+       |       cast(round(cast(coalesce(sum(CASE WHEN occ = 1 THEN seg_len END), 0) AS DOUBLE)
+       |            / n_tokens, 6) AS DECIMAL(18,6)) AS retained_ratio
+       |FROM o GROUP BY 1, 2""".stripMargin
 }

@@ -435,6 +435,218 @@ object SimilarityModels {
        |QUALIFY sim_rank <= 5""".stripMargin
   }
 
+  /** s06: IVF-PQ — the composed 100 TB ANN architecture: s03's coarse
+    * quantizer prunes the SCAN (only `nprobe`=2 of C=16 cells are
+    * touched per query) and a residual product quantizer shrinks each
+    * stored vector to M=8 4-bit codes scored by ADC lookup tables — the
+    * FAISS `IndexIVFPQ` design (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) expressed as DataFrame ops.
+    *
+    * Residual encoding is what makes it IVF-PQ rather than IVF followed
+    * by PQ: each vector is coded as (cell, PQ codes of `v − cell
+    * centroid`), so the quantizer spends its 4 bytes on the small
+    * residual, not the full vector. The reconstruction identities used
+    * at search time (all constant-side):
+    *   dot(q, v̂)  = dot(q, cent_cell) + Σ_m LUT_q[m, code_m]
+    *   ‖v̂‖²      = ‖cent_cell‖² + 2·Σ_m CROSS[cell, m, code_m]
+    *                + Σ_m RSQ[m, code_m]
+    * where LUT_q is the per-query table of query-subvector · residual-
+    * centroid partial dots, CROSS the cell-centroid-subvector · residual-
+    * centroid dots, and RSQ the residual-centroid self-dots. Every term
+    * is rounded to 9dp and summed as DECIMAL(28,9) (order-free exact
+    * addition — the s05 contract), so the 8-way sums match DuckDB
+    * regardless of shuffle order.
+    *
+    * Deterministic stand-ins for offline training (so the oracle replays
+    * index build exactly): coarse codebook = the 16 lowest-vec_id
+    * embeddings (s03's convention); residual codebook per subspace = the
+    * residuals of vec_ids 16..31 (the 16 lowest vectors that are NOT
+    * coarse centroids — a centroid's own residual is ~0⃗ and would
+    * degenerate the codebook). In production both arrive as tiny dim
+    * tables from an offline k-means job; the query shape is identical.
+    *
+    * Scale: the corpus-sized tables are the assignment pass (one scan ×
+    * constant 16-row broadcast) and the code table (8 short rows — in
+    * production 4 packed bytes — per vector). Search reads the code
+    * table pruned to the probed cells via a ~20-row broadcast, then
+    * scores with THREE constant-size broadcast lookups (≤2048 rows) and
+    * one (query, cand)-grouped decimal sum — no float math and no
+    * full-precision vectors on the corpus side, Σ cellᵢ² bounded scan.
+    */
+  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    // all-double mirror of the corpus: residual arithmetic must be
+    // bit-identical to DuckDB, which has no float32 list math
+    val dotA = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(dotA($"v", $"v")))
+    val cents = base.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    // cell assignment (corpus: crk=1) and query probe set (crk<=2) in
+    // one cached pass — the IVF index table, exactly s03's shape
+    val top2 = Shared.cacheOnce(base.crossJoin(broadcast(cents))
+      .withColumn("cell_sim",
+        round(dotA($"v", $"cv") / ($"norm" * $"cnorm"), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cid")))
+      .filter($"crk" <= 2)
+      .select($"vec_id", $"v", $"norm", $"cid", $"crk"))
+    val assigned = top2.filter($"crk" === 1)
+      .join(broadcast(cents), Seq("cid"))
+      .select($"vec_id", $"cid".as("cell"),
+        zip_with($"v", $"cv", (x, y) => x - y).as("r"))
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    // residual subvectors; the 128-row residual codebook comes from
+    // vec_ids 16..31 (deterministic offline-k-means stand-in, see doc)
+    val rsubs = assigned.select($"vec_id", $"cell", ms, $"r")
+      .select($"vec_id", $"cell", $"m",
+        slice($"r", $"m" * 8 + 1, lit(8)).as("rsub"))
+    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
+      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
+    val l2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    // index build: code each residual subvector against the constant
+    // codebook (one corpus pass; 8 codes per vector = the PQ index)
+    val codes = rsubs.join(broadcast(pqCents), Seq("m"))
+      .withColumn("dist", round(l2($"rsub", $"pcent"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"pcid")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"cell", $"m", $"pcid".as("code"))
+    val dec = (c: Column) => c.cast(DecimalType(28, 9))
+    // constant-side lookup tables (sizes 128 / 2048 / 16)
+    val rsq = pqCents.select($"m", $"pcid".as("code"),
+      dec(round(dotA($"pcent", $"pcent"), 9)).as("rsq"))
+    val cross = cents.select($"cid".as("cell"), ms, $"cv")
+      .select($"cell", $"m", slice($"cv", $"m" * 8 + 1, lit(8)).as("csub"))
+      .join(pqCents, Seq("m"))
+      .select($"cell", $"m", $"pcid".as("code"),
+        dec(round(dotA($"csub", $"pcent"), 9)).as("cross"))
+    val cellSq = cents.select($"cid".as("cell"),
+      dec(round(dotA($"cv", $"cv"), 9)).as("cc_sq"))
+    // query side: probed cells with the dot(q, cent) term, plus the
+    // per-query ADC lookup table (10 × 8 × 16 rows)
+    val qprobe = top2.filter($"vec_id" < 10)
+      .join(broadcast(cents), Seq("cid"))
+      .select($"vec_id".as("query_id"), $"cid".as("cell"),
+        $"norm".as("q_norm"), dec(round(dotA($"v", $"cv"), 9)).as("qc_dot"))
+    val qlut = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), ms, $"v")
+      .select($"query_id", $"m", slice($"v", $"m" * 8 + 1, lit(8)).as("qsub"))
+      .join(broadcast(pqCents), Seq("m"))
+      .select($"query_id", $"m", $"pcid".as("code"),
+        dec(round(dotA($"qsub", $"pcent"), 9)).as("partial"))
+    // search: prune the code table to probed cells, score via lookups
+    val scored = codes
+      .join(broadcast(qprobe.select($"query_id", $"cell")), Seq("cell"))
+      .join(broadcast(qlut), Seq("query_id", "m", "code"))
+      .join(broadcast(rsq), Seq("m", "code"))
+      .join(broadcast(cross), Seq("cell", "m", "code"))
+      .groupBy($"query_id", $"cell", $"vec_id")
+      // sum(DECIMAL(28,9)) widens to DECIMAL(38,9); the +/× below would
+      // then overflow 38-digit precision and Spark SILENTLY DROPS SCALE
+      // (allowPrecisionLoss) — a hidden rounding DuckDB doesn't apply.
+      // The sums are O(1)-magnitude, so narrowing to (20,9) is exact and
+      // keeps every downstream decimal op inside 38 digits.
+      .agg(sum($"partial").cast(DecimalType(20, 9)).as("r_dot"),
+        sum($"cross").cast(DecimalType(20, 9)).as("c_cross"),
+        sum($"rsq").cast(DecimalType(20, 9)).as("r_sq"))
+      .withColumnRenamed("vec_id", "cand_id")
+    val sim = round(
+      ($"qc_dot" + $"r_dot").cast(DoubleType) /
+        ($"q_norm" * sqrt(($"cc_sq" + lit(2) * $"c_cross" + $"r_sq")
+          .cast(DoubleType))), 6).cast(DecimalType(24, 6))
+    scored.join(broadcast(qprobe), Seq("query_id", "cell"))
+      .join(broadcast(cellSq), Seq("cell"))
+      .filter($"query_id" =!= $"cand_id")
+      .withColumn("ivfpq_sim", sim)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ivfpq_sim".desc, $"cand_id")))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"cand_id", $"cell", $"ivfpq_sim",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val ivfPqAnnTopKOracle: String = {
+    def dotN(a: String, b: String, n: Int): String =
+      s"list_sum(list_transform(range($n), i -> $a[i+1] * $b[i+1]))"
+    def l2sq(a: String, b: String): String =
+      s"list_sum(list_transform(range(8), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+    s"""WITH base AS (SELECT vec_id,
+       |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+       |              FROM embeddings),
+       |bn AS (SELECT vec_id, v, sqrt(${dotN("v", "v", 64)}) AS norm FROM base),
+       |cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+       |          FROM bn WHERE vec_id < 16),
+       |t2 AS (SELECT b.vec_id, b.v, b.norm, c.cid, c.cv,
+       |              round(${dotN("b.v", "c.cv", 64)} / (b.norm * c.cnorm), 6) AS cell_sim,
+       |              row_number() OVER (PARTITION BY b.vec_id
+       |                ORDER BY round(${dotN("b.v", "c.cv", 64)} / (b.norm * c.cnorm), 6) DESC,
+       |                         c.cid) AS crk
+       |       FROM bn b CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cid AS cell,
+       |                    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
+       |             FROM t2 WHERE crk = 1),
+       |ms AS (SELECT unnest(range(8)) AS m),
+       |rsubs AS (SELECT a.vec_id, a.cell, ms.m,
+       |                 list_slice(a.r, ms.m*8+1, ms.m*8+8) AS rsub
+       |          FROM assigned a CROSS JOIN ms),
+       |pq AS (SELECT vec_id - 16 AS pcid, m, rsub AS pcent
+       |       FROM rsubs WHERE vec_id >= 16 AND vec_id < 32),
+       |codes AS (
+       |  SELECT vec_id, cell, m, pcid AS code FROM (
+       |    SELECT s.vec_id, s.cell, s.m, p.pcid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY round(${l2sq("s.rsub", "p.pcent")}, 6), p.pcid) AS rk
+       |    FROM rsubs s JOIN pq p ON s.m = p.m)
+       |  WHERE rk = 1),
+       |rsq AS (SELECT m, pcid AS code,
+       |               cast(round(${dotN("pcent", "pcent", 8)}, 9) AS DECIMAL(28,9)) AS rsq
+       |        FROM pq),
+       |crs AS (SELECT c.cid AS cell, p.m, p.pcid AS code,
+       |               cast(round(${dotN("list_slice(c.cv, p.m*8+1, p.m*8+8)", "p.pcent", 8)}, 9)
+       |                    AS DECIMAL(28,9)) AS cross_d
+       |        FROM cents c CROSS JOIN pq p),
+       |cellsq AS (SELECT cid AS cell,
+       |                  cast(round(${dotN("cv", "cv", 64)}, 9) AS DECIMAL(28,9)) AS cc_sq
+       |           FROM cents),
+       |qprobe AS (SELECT t.vec_id AS query_id, t.cid AS cell, t.norm AS q_norm,
+       |                  cast(round(${dotN("t.v", "t.cv", 64)}, 9) AS DECIMAL(28,9)) AS qc_dot
+       |           FROM t2 t WHERE t.vec_id < 10 AND t.crk <= 2),
+       |qlut AS (SELECT b.vec_id AS query_id, p.m, p.pcid AS code,
+       |                cast(round(${dotN("list_slice(b.v, p.m*8+1, p.m*8+8)", "p.pcent", 8)}, 9)
+       |                     AS DECIMAL(28,9)) AS partial
+       |         FROM base b CROSS JOIN pq p WHERE b.vec_id < 10),
+       |scored AS (SELECT q.query_id, k.cell, k.vec_id AS cand_id,
+       |                  sum(l.partial) AS r_dot, sum(x.cross_d) AS c_cross,
+       |                  sum(r.rsq) AS r_sq
+       |           FROM codes k
+       |           JOIN (SELECT DISTINCT query_id, cell FROM qprobe) q ON k.cell = q.cell
+       |           JOIN qlut l ON l.query_id = q.query_id AND l.m = k.m AND l.code = k.code
+       |           JOIN rsq r ON r.m = k.m AND r.code = k.code
+       |           JOIN crs x ON x.cell = k.cell AND x.m = k.m AND x.code = k.code
+       |           GROUP BY 1, 2, 3),
+       |final AS (
+       |  SELECT s.query_id, s.cand_id, s.cell,
+       |         cast(round(cast(q.qc_dot + s.r_dot AS DOUBLE) /
+       |              (q.q_norm * sqrt(cast(c.cc_sq + 2*s.c_cross + s.r_sq AS DOUBLE))), 6)
+       |              AS DECIMAL(24,6)) AS ivfpq_sim
+       |  FROM scored s
+       |  JOIN qprobe q ON q.query_id = s.query_id AND q.cell = s.cell
+       |  JOIN cellsq c ON c.cell = s.cell
+       |  WHERE s.query_id <> s.cand_id)
+       |SELECT query_id, cand_id, cell, ivfpq_sim,
+       |       cast(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY ivfpq_sim DESC, cand_id) AS BIGINT) AS sim_rank
+       |FROM final
+       |QUALIFY sim_rank <= 5""".stripMargin
+  }
+
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */

@@ -219,4 +219,58 @@ object TextModels {
        |SELECT lang, cast(token_rank AS BIGINT) AS token_rank, token,
        |       token_count
        |FROM ranked WHERE token_rank <= $HeavyK""".stripMargin
+
+  /** t07: unigram language-model scoring — the perplexity-filter stage
+    * of a pretraining pipeline (CCNet pairs its line dedup with a KenLM
+    * perplexity gate; the unigram LM is that gate's public-knowledge
+    * form). The corpus's own unigram distribution is the model:
+    * p(w) = count(w)/N over t06's exact tokenization; each doc scores
+    * sum/avg log-likelihood, and a low avg_logprob flags gibberish or
+    * out-of-domain text.
+    *
+    * Determinism across engines: p(w) is an exact BIGINT ratio evaluated
+    * in double identically on both sides; ln(p) rounds to 6dp and enters
+    * a DECIMAL(18,6) so the per-doc sum is order-free exact addition —
+    * no double-summation-order dependence inside the shuffle (the s05
+    * contract). avg divides the exact sum in double and rounds to 6dp.
+    *
+    * Scale: the vocabulary is a two-stage agg (map-side combine) and is
+    * vocabulary-sized, not corpus-sized — it broadcasts as the scoring
+    * dim table (a trained KenLM/n-gram artifact slots into exactly this
+    * seam); scoring is then one scan + broadcast join + doc_id rollup.
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+    val counts = tok.groupBy($"tok").agg(count(lit(1)).as("tok_count"))
+    val total = counts.agg(sum($"tok_count").as("corpus_tokens"))
+    val logp = counts.crossJoin(total)
+      .select($"tok",
+        round(log($"tok_count" / $"corpus_tokens"), 6)
+          .cast(DecimalType(18, 6)).as("logp"))
+    tok.join(broadcast(logp), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logprob"))
+      .withColumn("avg_logprob",
+        round($"sum_logprob".cast(DoubleType) / $"n_tokens", 6)
+          .cast(DecimalType(18, 6)))
+  }
+
+  val unigramLogprobOracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |                    unnest(string_split($normSqlDuck, ' ')) AS tok
+       |             FROM documents),
+       |counts AS (SELECT tok, count(*) AS tok_count FROM tok GROUP BY 1),
+       |total AS (SELECT sum(tok_count) AS corpus_tokens FROM counts),
+       |logp AS (SELECT tok,
+       |                cast(round(ln(cast(tok_count AS DOUBLE) / corpus_tokens), 6)
+       |                     AS DECIMAL(18,6)) AS logp
+       |         FROM counts CROSS JOIN total)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |       sum(l.logp) AS sum_logprob,
+       |       cast(round(cast(sum(l.logp) AS DOUBLE) / count(*), 6)
+       |            AS DECIMAL(18,6)) AS avg_logprob
+       |FROM tok t JOIN logp l USING (tok)
+       |GROUP BY 1""".stripMargin
 }

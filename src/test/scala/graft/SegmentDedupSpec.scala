@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.models.{DedupModels, TextModels}
+
+/** d08 segment dedup + t07 unigram scoring semantics on handcrafted
+  * corpora — the sub-document keep/drop rule and LM-score algebra the
+  * DuckDB oracle proves cross-engine but can't prove MEANS the right
+  * thing. Covers: boilerplate shared across distinct docs (the case
+  * whole-doc dedup misses), exact duplicate docs (first occurrence
+  * keeps everything, the copy keeps nothing), segment conservation, and
+  * unigram-score ordering (common-token docs outscore rare-token docs).
+  */
+class SegmentDedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-segdedup").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(ws: String*): String = ws.mkString(" ")
+  // a 10-token segment of distinct filler, parameterized so docs differ
+  private def seg(tag: String): String =
+    (0 until 10).map(i => s"$tag$i").mkString(" ")
+
+  test("d08: shared boilerplate drops from the later doc only") {
+    // doc 0 and doc 1 are DIFFERENT documents sharing one 10-token
+    // header segment — d01-style whole-doc dedup keeps both copies of
+    // the header; d08 must keep it once (in doc 0) and drop it in doc 1
+    val header = seg("hdr")
+    val dir = docsDir(Seq(
+      (0L, words(header, seg("bodyA")), "en", "s"),
+      (1L, words(header, seg("bodyB")), "en", "s")))
+    val out = DedupModels.segmentDedup(spark, dir)
+      .select($"doc_id", $"n_segments", $"dup_segments", $"kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 2L, 0L, 20L)), s"doc 0: ${out(0)}")
+    assert(out(1) == ((1L, 2L, 1L, 10L)), s"doc 1: ${out(1)}")
+  }
+
+  test("d08: an exact duplicate doc retains nothing; the original everything") {
+    val text = words(seg("aa"), seg("bb"), "tail one two")
+    val dir = docsDir(Seq((0L, text, "en", "s"), (5L, text, "en", "s")))
+    val rows = DedupModels.segmentDedup(spark, dir)
+      .select($"doc_id", $"dup_segments", $"n_segments", $"retained_ratio")
+      .as[(Long, Long, Long, java.math.BigDecimal)].collect().sortBy(_._1)
+    assert(rows(0)._2 == 0L && rows(0)._4.doubleValue() == 1.0)
+    assert(rows(1)._2 == rows(1)._3, "every segment of the copy is a dup")
+    assert(rows(1)._4.doubleValue() == 0.0)
+  }
+
+  test("d08: segment/token conservation on the real corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = DedupModels.segmentDedup(spark, sfDir)
+    // segments cover the doc exactly: ceil(n_tokens / 10) segments and
+    // kept + dropped tokens can never exceed the doc's token count
+    val badGeom = out.filter(
+      $"n_segments" =!= ceil($"n_tokens" / 10.0).cast("long") ||
+        $"kept_tokens" > $"n_tokens" || $"dup_segments" > $"n_segments")
+      .count()
+    assert(badGeom === 0)
+    // exactly one keeper per distinct segment hash corpus-wide
+    val docs = graft.catalog.Tables.documents(spark, sfDir)
+    val segCount = out.agg(sum($"n_segments" - $"dup_segments")).as[Long].head()
+    val distinctHashes = docs
+      .select($"doc_id",
+        split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ").as("toks"))
+      .select(explode(sequence(lit(0),
+        (ceil(size($"toks") / 10.0) - 1).cast("int"))).as("g"), $"toks")
+      .select(md5(concat_ws(" ", slice($"toks", $"g" * 10 + 1, lit(10)))).as("h"))
+      .distinct().count()
+    assert(segCount === distinctHashes,
+      s"keepers $segCount != distinct segments $distinctHashes")
+  }
+
+  test("t07: common-token docs outscore rare-token docs; scores are negative") {
+    // 'common' appears 20×, 'rare' once each → doc 0's avg logprob must
+    // be strictly greater (less negative) than doc 1's
+    val dir = docsDir(Seq(
+      (0L, (0 until 20).map(_ => "common").mkString(" "), "en", "s"),
+      (1L, words("rare1", "rare2", "rare3", "rare4"), "en", "s")))
+    val rows = TextModels.unigramLogprob(spark, dir)
+      .select($"doc_id", $"avg_logprob")
+      .as[(Long, java.math.BigDecimal)].collect().sortBy(_._1)
+    assert(rows(0)._2.doubleValue() > rows(1)._2.doubleValue())
+    assert(rows.forall(_._2.doubleValue() < 0.0))
+  }
+
+  test("t07: per-doc token counts and the ln(p) upper bound hold on the real corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = TextModels.unigramLogprob(spark, sfDir)
+    val docs = graft.catalog.Tables.documents(spark, sfDir)
+    assert(out.count() === docs.count(), "one score row per document")
+    // avg_logprob can never beat the most frequent token's own logprob
+    val tok = docs.select(explode(
+      split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ")).as("t"))
+    val counts = tok.groupBy($"t").count()
+    val total = counts.agg(sum($"count")).as[Long].head()
+    val maxCnt = counts.agg(max($"count")).as[Long].head()
+    val bound = math.log(maxCnt.toDouble / total)
+    val viol = out.filter($"avg_logprob" > lit(bound) + lit(1e-6)).count()
+    assert(viol === 0, s"avg_logprob above the best-token bound $bound")
+  }
+}
