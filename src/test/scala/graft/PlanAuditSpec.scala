@@ -40,6 +40,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "s03_ivf_ann_topk",
     "s04_sq8_ann_topk", // 10 broadcast query vectors, the s01 shape
     // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
+    "s06_ivfpq_ann_topk", // s03's constant 16-row coarse codebook
+    // crossJoin for cell assignment (`SimilarityModels.ivfPqAnnTopK`)
+    "t07_unigram_logprob", // one-row corpus-token-total frame
+    // decorating the vocabulary (`TextModels.unigramLogprob`)
     "q34_monthly_active_accounts",
     "q40_daily_summary_by_app")
 
