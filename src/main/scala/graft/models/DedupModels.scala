@@ -410,15 +410,17 @@ object DedupModels {
     * No pairwise compares anywhere — cross-doc repetition is found by
     * hash equality, linear at 100 TB.
     */
-  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
+  /** The segment table of a documents frame: one row per (doc,
+    * 10-token segment) with its md5 hash — the shared input of the d08
+    * query and the curation pipeline's incremental segment stage. */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toked = docs
       .select($"doc_id", tokens($"text").as("toks"))
       .withColumn("n_tokens", size($"toks").cast(LongType))
     val nSegs = floor(($"n_tokens" + lit(SegW - 1)) / lit(SegW))
       .cast(IntegerType)
-    val segs = docs
+    toked
       .select($"doc_id", $"n_tokens", $"toks",
         explode(sequence(lit(0), nSegs - 1)).as("g"))
       .select($"doc_id", $"n_tokens", $"g",
@@ -426,18 +428,37 @@ object DedupModels {
       .select($"doc_id", $"n_tokens", $"g",
         size($"seg").cast(LongType).as("seg_len"),
         md5(concat_ws(" ", $"seg")).as("seg_hash"))
-    val occ = segs.withColumn("occ", row_number().over(
-      Window.partitionBy($"seg_hash").orderBy($"doc_id", $"g")))
-    occ.groupBy($"doc_id", $"n_tokens")
+  }
+
+  /** Per-doc rollup of an occurrence-marked segment frame (`dup` =
+    * this copy of the segment drops). */
+  private[graft] def segmentStatsOf(marked: DataFrame): DataFrame = {
+    import marked.sparkSession.implicits._
+    marked.groupBy($"doc_id", $"n_tokens")
       .agg(count(lit(1)).as("n_segments"),
-        sum(when($"occ" > 1, 1L).otherwise(0L)).as("dup_segments"),
-        coalesce(sum(when($"occ" === 1, $"seg_len")), lit(0L))
+        sum(when($"dup", 1L).otherwise(0L)).as("dup_segments"),
+        coalesce(sum(when(!$"dup", $"seg_len")), lit(0L))
           .as("kept_tokens"))
       .withColumn("retained_ratio",
         round($"kept_tokens" / $"n_tokens", 6).cast(DecimalType(18, 6)))
       .select($"doc_id", $"n_tokens", $"n_segments", $"dup_segments",
         $"kept_tokens", $"retained_ratio")
   }
+
+  /** Corpus-wide first-occurrence marking: a segment copy drops unless
+    * it is the globally first (doc_id, seg_idx) holder of its hash. */
+  private[graft] def markFirstOccurrence(segs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import segs.sparkSession.implicits._
+    segs.withColumn("dup", row_number().over(
+      Window.partitionBy($"seg_hash").orderBy($"doc_id", $"g")) > 1)
+  }
+
+  def segmentDedupFrom(docs: DataFrame): DataFrame =
+    segmentStatsOf(markFirstOccurrence(segmentsOf(docs)))
+
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    segmentDedupFrom(Tables.documents(spark, sfDir))
 
   val segmentDedupOracle: String =
     s"""WITH docs AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS toks

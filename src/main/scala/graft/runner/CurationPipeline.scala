@@ -12,6 +12,10 @@ import graft.models.{CurationModels, DedupModels}
   *   1. curation_funnel   per-document keep/drop verdicts (c06)
   *   2. curated_corpus    the kept documents, column-complete
   *   3. curated_packing   sequence-packing index over the KEPT set (c05)
+  *   4. segment_stats     sub-document segment-dedup stats (d08), with
+  *                        `curation_segments` (first-occurrence holder
+  *                        per distinct segment hash) as the bookkeeping
+  *                        table incremental runs verdict against
   *
   * with every stage MATERIALIZED to the warehouse dir, so downstream
   * consumers (and re-runs, and the packing stage itself) read tables
@@ -108,6 +112,17 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .hint("rebalance", "lang", "shard")
       .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
       .parquet(targetPath("curated_packing"))
+    // --- 4. sub-document segment stage (d08): per-doc retained-token
+    // stats over the RAW snapshot, plus the bookkeeping table an
+    // incremental run needs — the first-occurrence holder of every
+    // distinct segment hash (the segment analog of curation_groups)
+    val marked = DedupModels.markFirstOccurrence(
+      DedupModels.segmentsOf(Tables.documents(spark, sfDir)))
+    DedupModels.segmentStatsOf(marked)
+      .write.mode(SaveMode.Overwrite).parquet(targetPath("segment_stats"))
+    marked.filter(!$"dup").select($"seg_hash", $"doc_id", $"g")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_segments"))
     report()
   }
 
@@ -206,6 +221,26 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang", "shard")
         .parquet(targetPath("curated_packing"))
+
+      // --- 4. segment stage catch-up: only the NEW docs' segments are
+      // hashed; a new copy drops if its hash is already held by the
+      // materialized first-occurrence table OR by an earlier (doc_id, g)
+      // within this batch. Old docs' stats are immutable for the same
+      // reason as the funnel verdicts — new doc_ids exceed every
+      // processed id, so no new segment can unseat an existing keeper.
+      // Cost is O(new segments) plus one hash join against the keeper
+      // table — never a corpus re-scan.
+      val segsNew = DedupModels.markFirstOccurrence(
+        DedupModels.segmentsOf(newDocs))
+      val keepers = spark.read.parquet(targetPath("curation_segments"))
+        .select($"seg_hash", lit(true).as("known"))
+      val markedNew = segsNew.join(keepers, Seq("seg_hash"), "left")
+        .withColumn("dup", $"dup" || coalesce($"known", lit(false)))
+      DedupModels.segmentStatsOf(markedNew)
+        .write.mode(SaveMode.Append).parquet(targetPath("segment_stats"))
+      markedNew.filter(!$"dup").select($"seg_hash", $"doc_id", $"g")
+        .write.mode(SaveMode.Append)
+        .parquet(targetPath("curation_segments"))
       newFunnel.unpersist()
       report()
     } finally newDocs.unpersist()

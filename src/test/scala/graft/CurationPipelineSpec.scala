@@ -88,8 +88,18 @@ class CurationPipelineSpec extends AnyFunSuite {
 
     assert(rInc == rFull)
     for (t <- Seq("curation_funnel", "curated_corpus/documents.parquet",
-        "curated_packing"))
+        "curated_packing", "segment_stats", "curation_segments"))
       assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
+
+    // segment stage: the exact-duplicate append (doc 500 copies doc 3's
+    // text, so every segment hash is already held by a snapshot keeper)
+    // retains zero tokens, while the fresh doc 501 retains everything
+    val segStats = spark.read.parquet(s"$whInc/segment_stats")
+      .filter($"doc_id".isin(500L, 501L))
+      .select($"doc_id", $"retained_ratio".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(segStats(500L) == 0.0, "duplicate text must retain nothing")
+    assert(segStats(501L) == 1.0, "fresh text must retain everything")
 
     // the new batch exercised every verdict path as designed
     val v = spark.read.parquet(s"$whInc/curation_funnel")
