@@ -473,51 +473,80 @@ object SimilarityModels {
     * one (query, cand)-grouped decimal sum — no float math and no
     * full-precision vectors on the corpus side, Σ cellᵢ² bounded scan.
     */
-  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    withFloatDot(spark)
-    import spark.implicits._
-    // all-double mirror of the corpus: residual arithmetic must be
-    // bit-identical to DuckDB, which has no float32 list math
-    val dotA = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val base = Tables.embeddings(spark, sfDir)
-      .select($"vec_id",
+  /** Left-to-right double dot/L2 folds (DuckDB list_sum's order) —
+    * shared by the s06 query and the materialized ANN index pipeline. */
+  private[graft] def dotArr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  private[graft] def l2Arr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** All-double mirror of an embeddings frame (residual arithmetic must
+    * be bit-identical to DuckDB, which has no float32 list math). */
+  private[graft] def doubledEmb(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id",
         transform($"embedding", x => x.cast(DoubleType)).as("v"))
-      .withColumn("norm", sqrt(dotA($"v", $"v")))
-    val cents = base.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    // cell assignment (corpus: crk=1) and query probe set (crk<=2) in
-    // one cached pass — the IVF index table, exactly s03's shape
-    val top2 = Shared.cacheOnce(base.crossJoin(broadcast(cents))
+      .withColumn("norm", sqrt(dotArr($"v", $"v")))
+  }
+
+  /** Top-2 coarse-cell ranking per vector against a (cid, cv, cnorm)
+    * codebook — crk=1 is the IVF assignment, crk≤2 the query probe set. */
+  private[graft] def cellTop2(base: DataFrame, cents: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    base.crossJoin(broadcast(cents))
       .withColumn("cell_sim",
-        round(dotA($"v", $"cv") / ($"norm" * $"cnorm"), 6))
+        round(dotArr($"v", $"cv") / ($"norm" * $"cnorm"), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cid")))
       .filter($"crk" <= 2)
-      .select($"vec_id", $"v", $"norm", $"cid", $"crk"))
-    val assigned = top2.filter($"crk" === 1)
+      .select($"vec_id", $"v", $"norm", $"cid", $"crk")
+  }
+
+  /** Residual subvectors of the crk=1 assignment: (vec_id, cell, m,
+    * rsub) with rsub = slice(v − cell_centroid). */
+  private[graft] def residualSubs(top2: DataFrame, cents: DataFrame): DataFrame = {
+    import top2.sparkSession.implicits._
+    top2.filter($"crk" === 1)
       .join(broadcast(cents), Seq("cid"))
       .select($"vec_id", $"cid".as("cell"),
         zip_with($"v", $"cv", (x, y) => x - y).as("r"))
-    val ms = explode(sequence(lit(0), lit(7))).as("m")
-    // residual subvectors; the 128-row residual codebook comes from
-    // vec_ids 16..31 (deterministic offline-k-means stand-in, see doc)
-    val rsubs = assigned.select($"vec_id", $"cell", ms, $"r")
+      .select($"vec_id", $"cell",
+        explode(sequence(lit(0), lit(7))).as("m"), $"r")
       .select($"vec_id", $"cell", $"m",
         slice($"r", $"m" * 8 + 1, lit(8)).as("rsub"))
-    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
-      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, v) => acc + v)
-    // index build: code each residual subvector against the constant
-    // codebook (one corpus pass; 8 codes per vector = the PQ index)
-    val codes = rsubs.join(broadcast(pqCents), Seq("m"))
-      .withColumn("dist", round(l2($"rsub", $"pcent"), 6))
+  }
+
+  /** Code each residual subvector against a (pcid, m, pcent) codebook:
+    * nearest rounded L2, ties by pcid — 8 codes per vector. */
+  private[graft] def encodeAgainst(rsubs: DataFrame, pqCents: DataFrame): DataFrame = {
+    import rsubs.sparkSession.implicits._
+    rsubs.join(broadcast(pqCents), Seq("m"))
+      .withColumn("dist", round(l2Arr($"rsub", $"pcent"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"pcid")))
       .filter($"rk" === 1)
       .select($"vec_id", $"cell", $"m", $"pcid".as("code"))
+  }
+
+  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val dotA = dotArr _
+    val base = doubledEmb(Tables.embeddings(spark, sfDir))
+    val cents = base.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    // cell assignment (corpus: crk=1) and query probe set (crk<=2) in
+    // one cached pass — the IVF index table, exactly s03's shape
+    val top2 = Shared.cacheOnce(cellTop2(base, cents))
+    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    // residual subvectors; the 128-row residual codebook comes from
+    // vec_ids 16..31 (deterministic offline-k-means stand-in, see doc)
+    val rsubs = residualSubs(top2, cents)
+    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
+      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
+    // index build: one corpus pass; 8 codes per vector = the PQ index
+    val codes = encodeAgainst(rsubs, pqCents)
     val dec = (c: Column) => c.cast(DecimalType(28, 9))
     // constant-side lookup tables (sizes 128 / 2048 / 16)
     val rsq = pqCents.select($"m", $"pcid".as("code"),

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runner.AnnIndexPipeline
+
+/** IVF-PQ index maintenance: full build + frozen-codebook incremental
+  * append ≡ one full build over the union; the append never rewrites
+  * existing rows; appended codes stay inside the 4-bit code range.
+  */
+class AnnIndexPipelineSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tableRows(path: String): Seq[String] = {
+    val df = spark.read.parquet(path)
+    df.select(df.columns.sorted.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("incremental append over new vectors ≡ full rebuild over the union") {
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxId = emb0.agg(max($"vec_id")).as[Long].head()
+    // appended batch: shifted copies of the first 20 vectors with ids
+    // above the watermark (fresh but correlated content, like real
+    // arrivals), same physical schema
+    val newRows = emb0.filter($"vec_id" < 20)
+      .select(($"vec_id" + lit(maxId + 1)).as("vec_id"),
+        transform($"embedding", x => x + lit(0.25f)).as("embedding"),
+        $"label")
+    val snapDir = Files.createTempDirectory("graft-ann-snap").toString
+    val unionDir = Files.createTempDirectory("graft-ann-union").toString
+    emb0.write.parquet(s"$snapDir/embeddings.parquet")
+    emb0.unionByName(newRows).write.parquet(s"$unionDir/embeddings.parquet")
+
+    val whInc = Files.createTempDirectory("graft-ann-inc").toString
+    val inc = new AnnIndexPipeline(spark, whInc)
+    val r0 = inc.run(snapDir)
+    val preCodes = tableRows(s"$whInc/ann_codes")
+    val rInc = inc.runIncremental(unionDir)
+
+    val whFull = Files.createTempDirectory("graft-ann-full").toString
+    val rFull = new AnnIndexPipeline(spark, whFull).run(unionDir)
+
+    assert(rInc == rFull)
+    for (t <- Seq("ann_coarse_codebook", "ann_pq_codebook", "ann_codes"))
+      assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
+
+    // the append is additive: every pre-existing code row survives
+    // byte-identical, and exactly 8 new rows per appended vector landed
+    val postCodes = tableRows(s"$whInc/ann_codes")
+    assert(preCodes.toSet.subsetOf(postCodes.toSet))
+    assert(postCodes.size == preCodes.size + 20 * 8)
+    assert(rInc.codedVectors == r0.codedVectors + 20)
+
+    // appended rows: valid 4-bit codes, cells from the frozen codebook
+    val appended = spark.read.parquet(s"$whInc/ann_codes")
+      .filter($"vec_id" > maxId)
+    assert(appended.filter($"code" < 0 || $"code" > 15).count() == 0)
+    assert(appended.filter($"cell" < 0 || $"cell" > 15).count() == 0)
+
+    // frozen-codebook contract: the incremental run left both codebook
+    // tables untouched (the union's deterministic derivation re-selects
+    // the snapshot's source vectors, so full-rebuild matches too)
+    assert(rInc.codebookCells == 16 && rInc.pqCentroids == 128)
+  }
+}
