@@ -529,24 +529,19 @@ object SimilarityModels {
       .select($"vec_id", $"cell", $"m", $"pcid".as("code"))
   }
 
-  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    withFloatDot(spark)
-    import spark.implicits._
+  /** The ADC (asymmetric distance computation) search over an IVF-PQ
+    * index: probe each query's top-2 cells, prune the code table to
+    * those cells, score via the three constant-size lookup tables built
+    * against the codebooks (see [[ivfPqAnnTopK]]'s reconstruction
+    * identities), exact decimal 8-way sums, top-k per query. Shared by
+    * the s06 query (inline-derived index) and
+    * `graft.runner.AnnIndexPipeline.search` (materialized index) —
+    * AnnIndexPipelineSpec pins the two byte-identical. */
+  private[graft] def adcSearch(queries: DataFrame, cents: DataFrame,
+      pqCents: DataFrame, codes: DataFrame, k: Int): DataFrame = {
+    import queries.sparkSession.implicits._
     val dotA = dotArr _
-    val base = doubledEmb(Tables.embeddings(spark, sfDir))
-    val cents = base.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    // cell assignment (corpus: crk=1) and query probe set (crk<=2) in
-    // one cached pass — the IVF index table, exactly s03's shape
-    val top2 = Shared.cacheOnce(cellTop2(base, cents))
     val ms = explode(sequence(lit(0), lit(7))).as("m")
-    // residual subvectors; the 128-row residual codebook comes from
-    // vec_ids 16..31 (deterministic offline-k-means stand-in, see doc)
-    val rsubs = residualSubs(top2, cents)
-    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
-      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
-    // index build: one corpus pass; 8 codes per vector = the PQ index
-    val codes = encodeAgainst(rsubs, pqCents)
     val dec = (c: Column) => c.cast(DecimalType(28, 9))
     // constant-side lookup tables (sizes 128 / 2048 / 16)
     val rsq = pqCents.select($"m", $"pcid".as("code"),
@@ -558,13 +553,13 @@ object SimilarityModels {
         dec(round(dotA($"csub", $"pcent"), 9)).as("cross"))
     val cellSq = cents.select($"cid".as("cell"),
       dec(round(dotA($"cv", $"cv"), 9)).as("cc_sq"))
-    // query side: probed cells with the dot(q, cent) term, plus the
-    // per-query ADC lookup table (10 × 8 × 16 rows)
-    val qprobe = top2.filter($"vec_id" < 10)
+    // probed cells with the dot(q, cent) term, plus the per-query ADC
+    // lookup table (|queries| × 8 × 16 rows)
+    val qprobe = cellTop2(queries, cents)
       .join(broadcast(cents), Seq("cid"))
       .select($"vec_id".as("query_id"), $"cid".as("cell"),
         $"norm".as("q_norm"), dec(round(dotA($"v", $"cv"), 9)).as("qc_dot"))
-    val qlut = base.filter($"vec_id" < 10)
+    val qlut = queries
       .select($"vec_id".as("query_id"), ms, $"v")
       .select($"query_id", $"m", slice($"v", $"m" * 8 + 1, lit(8)).as("qsub"))
       .join(broadcast(pqCents), Seq("m"))
@@ -596,9 +591,29 @@ object SimilarityModels {
       .withColumn("ivfpq_sim", sim)
       .withColumn("rk", row_number().over(
         Window.partitionBy($"query_id").orderBy($"ivfpq_sim".desc, $"cand_id")))
-      .filter($"rk" <= 5)
+      .filter($"rk" <= k)
       .select($"query_id", $"cand_id", $"cell", $"ivfpq_sim",
         $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val base = doubledEmb(Tables.embeddings(spark, sfDir))
+    val cents = base.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    // cell assignment in one cached pass — the IVF index table, s03's
+    // shape (queries re-rank their own probe cells inside adcSearch: a
+    // |queries|-row pass against the 16-row codebook, negligible)
+    val top2 = Shared.cacheOnce(cellTop2(base, cents))
+    // residual subvectors; the 128-row residual codebook comes from
+    // vec_ids 16..31 (deterministic offline-k-means stand-in, see doc)
+    val rsubs = residualSubs(top2, cents)
+    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
+      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
+    // index build: one corpus pass; 8 codes per vector = the PQ index
+    val codes = encodeAgainst(rsubs, pqCents)
+    adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes, k = 5)
   }
 
   val ivfPqAnnTopKOracle: String = {

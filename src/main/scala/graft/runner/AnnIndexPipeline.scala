@@ -70,6 +70,21 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     report()
   }
 
+  /** ADC top-k search over the MATERIALIZED index — the serving path:
+    * codebooks and the code table are read back from the warehouse, the
+    * query frame is anything with (vec_id, embedding) columns, and no
+    * full-precision corpus vector is touched (only the 4-byte codes).
+    * Identical algebra to the s06 query's inline derivation —
+    * AnnIndexPipelineSpec pins search-over-materialized byte-identical
+    * to `SimilarityModels.ivfPqAnnTopK`. */
+  def search(queries: org.apache.spark.sql.DataFrame, k: Int = 5)
+      : org.apache.spark.sql.DataFrame =
+    SimilarityModels.adcSearch(
+      SimilarityModels.doubledEmb(queries),
+      spark.read.parquet(targetPath("ann_coarse_codebook")),
+      spark.read.parquet(targetPath("ann_pq_codebook")),
+      spark.read.parquet(targetPath("ann_codes")), k)
+
   /** Append-only catch-up: encode vectors above the index watermark
     * against the FROZEN materialized codebooks. */
   def runIncremental(sfDir: String): Report = {

@@ -67,4 +67,21 @@ class AnnIndexPipelineSpec extends AnyFunSuite {
     // the snapshot's source vectors, so full-rebuild matches too)
     assert(rInc.codebookCells == 16 && rInc.pqCentroids == 128)
   }
+
+  test("search over the materialized index ≡ the s06 inline derivation") {
+    val wh = Files.createTempDirectory("graft-ann-search").toString
+    val pipe = new AnnIndexPipeline(spark, wh)
+    pipe.run(sfDir)
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" < 10)
+    val served = pipe.search(queries, k = 5)
+      .select($"query_id", $"cand_id", $"cell",
+        $"ivfpq_sim".cast("string"), $"sim_rank")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val inline = graft.models.SimilarityModels.ivfPqAnnTopK(spark, sfDir)
+      .select($"query_id", $"cand_id", $"cell",
+        $"ivfpq_sim".cast("string"), $"sim_rank")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(served.nonEmpty && served == inline)
+  }
 }
