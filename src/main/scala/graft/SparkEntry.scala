@@ -129,6 +129,7 @@ object SparkEntry {
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
+    "m04_audio_meta_summary" -> (graft.multimodal.MultimodalOps.audioMetaSummary _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -282,5 +283,6 @@ object SparkEntry {
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,
+    "m04_audio_meta_summary" -> graft.multimodal.MultimodalOps.audioMetaSummaryOracle,
   )
 }

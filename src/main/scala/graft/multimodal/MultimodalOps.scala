@@ -504,4 +504,155 @@ object MultimodalOps {
        |       cast(sum(height) AS BIGINT) AS height_sum,
        |       cast(sum(channels) AS BIGINT) AS channel_sum
        |FROM img GROUP BY 1""".stripMargin
+
+  // ===== m04: audio (WAV) — the third modality beside stills and
+  // animations =====
+
+  /** A minimal valid PCM WAV: RIFF header, canonical 16-byte fmt
+    * chunk, and a data chunk of `nSamples` zeroed frames — 44 header
+    * bytes plus block-aligned payload, the layout every real WAV
+    * reader expects. */
+  def wavBytes(rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(
+      (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val blockAlign = channels * (bits / 8)
+    val dataLen = nSamples * blockAlign
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= "RIFF".getBytes("US-ASCII")
+    out ++= le32(36 + dataLen)
+    out ++= "WAVE".getBytes("US-ASCII")
+    out ++= "fmt ".getBytes("US-ASCII")
+    out ++= le32(16)
+    out ++= le16(1) // PCM
+    out ++= le16(channels)
+    out ++= le32(rate)
+    out ++= le32(rate * blockAlign) // byte rate
+    out ++= le16(blockAlign)
+    out ++= le16(bits)
+    out ++= "data".getBytes("US-ASCII")
+    out ++= le32(dataLen)
+    out ++= Array.fill[Byte](dataLen)(0)
+    out.toArray
+  }
+
+  /** Parsed audio metadata (sample count from the data chunk's length,
+    * never from the generator). */
+  final case class WavMeta(rate: Int, channels: Int, bits: Int, nSamples: Int)
+
+  /** Pure-JVM RIFF chunk walk (the audio sibling of [[headerDecode]]):
+    * verify RIFF/WAVE, then walk chunks by their length prefixes —
+    * `fmt ` yields (rate, channels, bits), `data` yields the payload
+    * length, any other chunk is SKIPPED (real WAVs carry LIST/fact
+    * chunks) — until both are seen. Sample data is never read. None
+    * for anything unrecognizable, truncated, or non-PCM. */
+  def wavDecode(b: Array[Byte]): Option[WavMeta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    try {
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataLen = -1
+      while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+        val (id, len) = (tag(i), le32(i + 4))
+        if (id == "fmt ") {
+          if (le16(i + 8) != 1) return None // PCM only
+          fmt = Some((le32(i + 12), le16(i + 10), le16(i + 22)))
+        } else if (id == "data") dataLen = len
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      fmt match {
+        case Some((rate, ch, bits))
+            if dataLen >= 0 && ch > 0 && bits % 8 == 0 && bits > 0 =>
+          val blockAlign = ch * (bits / 8)
+          if (dataLen % blockAlign != 0) None
+          else Some(WavMeta(rate, ch, bits, dataLen / blockAlign))
+        case _ => None
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** m04's media table: one REAL WAV binary per document, every
+    * parameter derived from doc_id ALONE — `rate ∈ {8000, 16000,
+    * 22050, 44100}` by id%4, `channels = 1 + (id div 7)%2`, `bits ∈ {8, 16}`
+    * by (id div 3)%2, `n_samples = 64 + id%128` — the m01/m02 pattern:
+    * the oracle recomputes the expected metadata arithmetically while
+    * the Spark side actually walks the RIFF chunks it generated. */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rate = (id % 4) match {
+          case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+        }
+        val channels = 1 + ((id / 7) % 2).toInt
+        val bits = if ((id / 3) % 2 == 0) 8 else 16
+        val nSamples = 64 + (id % 128).toInt
+        MediaRecord(id, wavBytes(rate, channels, bits, nSamples), "audio/wav")
+      }
+  }
+
+  /** Parsed per-document audio features; duration in exact integer
+    * microseconds (`n_samples · 1e6 div rate` — floor division agrees
+    * across engines). */
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, byte_len: Long, duration_us: Long)
+
+  /** The audio decode path — same mapPartitions batch contract as
+    * [[decodeFeatures]] (per-partition codec init seam; payload dropped
+    * at decode so shuffles carry only small scalar rows). */
+  def decodeAudio(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        wavDecode(r.media).map { m =>
+          AudioFeatures(r.doc_id, m.rate, m.channels, m.bits,
+            m.nSamples.toLong, r.media.length.toLong,
+            m.nSamples.toLong * 1000000L / m.rate)
+        }
+      }
+    }
+  }
+
+  /** m04: per-(rate, channels) audio metadata summary over REAL WAV
+    * binaries — generate ([[audioTable]]), walk the RIFF chunks back
+    * out ([[decodeAudio]] → [[wavDecode]]), aggregate. Streams/codec
+    * checks at 100 TB: one scan, map-side decode, small-key agg. */
+  def audioMetaSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodeAudio(audioTable(spark, sfDir))
+      .groupBy($"sample_rate", $"channels")
+      .agg(count(lit(1)).as("media_count"),
+        sum($"byte_len").cast(LongType).as("total_bytes"),
+        sum($"n_samples").cast(LongType).as("total_samples"),
+        sum($"duration_us").cast(LongType).as("total_duration_us"))
+  }
+
+  /** The arithmetic twin of [[audioTable]] + [[wavDecode]]: every
+    * parameter replays the doc_id derivation; byte length is the
+    * 44-byte canonical header plus the block-aligned payload. */
+  val audioMetaSummaryOracle: String =
+    s"""WITH wav AS (
+       |  SELECT doc_id,
+       |         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+       |         cast(1 + (doc_id // 7) % 2 AS INT) AS channels,
+       |         CASE WHEN (doc_id // 3) % 2 = 0 THEN 8 ELSE 16 END AS bits,
+       |         64 + doc_id % 128 AS n_samples
+       |  FROM documents),
+       |f AS (SELECT *, channels * (bits // 8) AS block_align FROM wav)
+       |SELECT cast(sample_rate AS INT) AS sample_rate, channels,
+       |       count(*) AS media_count,
+       |       cast(sum(44 + n_samples * block_align) AS BIGINT) AS total_bytes,
+       |       cast(sum(n_samples) AS BIGINT) AS total_samples,
+       |       cast(sum((n_samples * 1000000) // sample_rate) AS BIGINT)
+       |         AS total_duration_us
+       |FROM f GROUP BY 1, 2""".stripMargin
 }

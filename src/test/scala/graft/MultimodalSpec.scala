@@ -166,4 +166,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert((w1, h1, c1) == (w2, h2, c2))
     assert(w1 >= 64 && w1 <= 64 + 255 * 8 && (c1 == 1 || c1 == 3))
   }
+
+  test("wavDecode walks real RIFF chunk structure (round-trip)") {
+    val b = MultimodalOps.wavBytes(44100, 2, 16, 100)
+    assert(b.length == 44 + 100 * 4)
+    assert(MultimodalOps.wavDecode(b)
+      == Some(MultimodalOps.WavMeta(44100, 2, 16, 100)))
+    // mono 8-bit: block align 1
+    assert(MultimodalOps.wavDecode(MultimodalOps.wavBytes(8000, 1, 8, 64))
+      == Some(MultimodalOps.WavMeta(8000, 1, 8, 64)))
+  }
+
+  test("wavDecode skips unknown chunks (real WAVs carry LIST/fact)") {
+    // splice a LIST chunk between fmt and data, fixing the RIFF size
+    val base = MultimodalOps.wavBytes(16000, 1, 16, 10)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = base.slice(0, 36) ++ list ++ base.slice(36, base.length)
+    val newSize = spliced.length - 8
+    for (i <- 0 until 4)
+      spliced(4 + i) = ((newSize >>> (8 * i)) & 0xff).toByte
+    assert(MultimodalOps.wavDecode(spliced)
+      == Some(MultimodalOps.WavMeta(16000, 1, 16, 10)))
+  }
+
+  test("wavDecode rejects truncated, non-RIFF, and non-PCM payloads") {
+    val good = MultimodalOps.wavBytes(22050, 2, 16, 20)
+    assert(MultimodalOps.wavDecode(good.take(30)).isEmpty)
+    assert(MultimodalOps.wavDecode("not audio at all".getBytes).isEmpty)
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(MultimodalOps.wavDecode(nonPcm).isEmpty)
+  }
+
+  test("m04 parses audio metadata back out of generated WAVs (round-trip)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val feats = MultimodalOps.decodeAudio(
+      MultimodalOps.audioTable(spark, sfDir))
+    val rows = feats.collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == docs, "every generated WAV must parse")
+    // parsed values equal the generator's doc_id arithmetic
+    val bad = rows.filterNot { f =>
+      val id = f.doc_id
+      val rate = (id % 4) match {
+        case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+      }
+      f.sample_rate == rate &&
+        f.channels == 1 + ((id / 7) % 2).toInt &&
+        f.bits == (if ((id / 3) % 2 == 0) 8 else 16) &&
+        f.n_samples == 64 + (id % 128) &&
+        f.duration_us == f.n_samples * 1000000L / rate
+    }
+    assert(bad.isEmpty, s"mismatch: ${bad.take(3).toSeq}")
+  }
 }
