@@ -78,10 +78,18 @@ object Bench {
     println(json)
     // hedge: sbt prefixes stdout with [info], which can defeat a driver
     // parser expecting a bare JSON line — also drop the metric in a file
-    // (cwd-relative: lands in the repo root under `sbt runMain`)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
-    catch { case e: Throwable =>
+    // (cwd-relative: lands in the repo root under `sbt runMain`), PLUS a
+    // timestamped archive copy under bench_runs/ so a driver run's full
+    // per-query map survives later dev-loop overwrites of bench_out.json
+    // (a round-6 audit lost exactly that artifact)
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      val dir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(
+        dir.resolve(s"bench-${System.currentTimeMillis()}.json"), json + "\n")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_out.json: $e")
     }
     spark.stop()
