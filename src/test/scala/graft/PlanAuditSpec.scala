@@ -162,4 +162,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readsColumn(q43, "wallet_id"),
       "q43 scan reads wallet_id it never uses")
   }
+
+  test("round-7 families: pruned scans on the corpus tables") {
+    // d08 segments (doc_id, text) alone — lang/source/n_chars must not
+    // leave the documents reader
+    val d08 = formatted("d08_segment_dedup")
+    assert(!readsColumn(d08, "lang") && !readsColumn(d08, "source") &&
+      !readsColumn(d08, "n_chars"),
+      "d08 scan reads corpus columns it never uses")
+    // t07 scores (doc_id, text) alone
+    val t07 = formatted("t07_unigram_logprob")
+    assert(!readsColumn(t07, "lang") && !readsColumn(t07, "n_chars"),
+      "t07 scan reads corpus columns it never uses")
+    // s06 touches only (vec_id, embedding) — the label column stays in
+    // the reader
+    val s06 = formatted("s06_ivfpq_ann_topk")
+    assert(!readsColumn(s06, "label"),
+      "s06 scan reads the label column it never uses")
+    // m04 generates media from doc_id alone — no text payload read
+    val m04 = formatted("m04_audio_meta_summary")
+    assert(!readsColumn(m04, "text"),
+      "m04 scan reads the text payload it never uses")
+  }
 }
