@@ -171,5 +171,18 @@ object GraftFunctions {
       require(children.size == 1, "theta_estimate takes exactly 1 argument")
       ThetaEstimate(children.head)
     })
+    // the bloom membership-guard surface (functions/BloomGuard.scala)
+    reg("bloom_agg", classOf[BloomAgg], { children =>
+      require(children.size == 1, "bloom_agg takes exactly 1 argument")
+      BloomAgg(children.head)
+    })
+    reg("bloom_merge_agg", classOf[BloomMergeAgg], { children =>
+      require(children.size == 1, "bloom_merge_agg takes exactly 1 argument")
+      BloomMergeAgg(children.head)
+    })
+    reg("bloom_contains", classOf[BloomContains], { children =>
+      require(children.size == 2, "bloom_contains takes exactly 2 arguments")
+      BloomContains(children.head, children(1))
+    })
   }
 }

@@ -15,7 +15,11 @@ import graft.models.{CurationModels, DedupModels}
   *   4. segment_stats     sub-document segment-dedup stats (d08), with
   *                        `curation_segments` (first-occurrence holder
   *                        per distinct segment hash) as the bookkeeping
-  *                        table incremental runs verdict against
+  *                        table incremental runs verdict against, and
+  *                        `curation_segment_bloom` as its megabyte
+  *                        bloom sidecar — incremental runs probe it
+  *                        first (no false negatives) so the exact
+  *                        keeper join only sees maybe-known segments
   *
   * with every stage MATERIALIZED to the warehouse dir, so downstream
   * consumers (and re-runs, and the packing stage itself) read tables
@@ -123,6 +127,16 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     marked.filter(!$"dup").select($"seg_hash", $"doc_id", $"g")
       .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("curation_segments"))
+    // bloom sidecar over the keeper hashes: the megabyte summary that
+    // lets incremental runs skip the corpus-sized keeper join for
+    // definitely-new segments (bitsets are reproducible, so the sidecar
+    // a full run writes ≡ the one incremental unions up — spec-pinned)
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(targetPath("curation_segments"))
+      .agg(org.apache.spark.sql.functions.expr("bloom_agg(seg_hash)")
+        .as("bloom"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_segment_bloom"))
     report()
   }
 
@@ -228,19 +242,56 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       // within this batch. Old docs' stats are immutable for the same
       // reason as the funnel verdicts — new doc_ids exceed every
       // processed id, so no new segment can unseat an existing keeper.
-      // Cost is O(new segments) plus one hash join against the keeper
-      // table — never a corpus re-scan.
+      //
+      // The BLOOM SIDECAR makes the keeper lookup scale: the megabyte
+      // filter (a constant-folded plan literal, probed codegen-free but
+      // heapified once per task) answers "definitely new" with no false
+      // negatives, so the exact join against the CORPUS-sized keeper
+      // table runs only over the maybe-known slice — at 100 TB that is
+      // the difference between shuffling a multi-TB table every catch-up
+      // and shuffling kilobytes. Cost: O(new segments) map-side probes
+      // + one hash join over the bloom-positive subset.
+      graft.functions.GraftFunctions.register(spark)
+      val bloomBytes = spark.read
+        .parquet(targetPath("curation_segment_bloom"))
+        .head().getAs[Array[Byte]]("bloom")
       val segsNew = DedupModels.markFirstOccurrence(
         DedupModels.segmentsOf(newDocs))
-      val keepers = spark.read.parquet(targetPath("curation_segments"))
-        .select($"seg_hash", lit(true).as("known"))
-      val markedNew = segsNew.join(keepers, Seq("seg_hash"), "left")
-        .withColumn("dup", $"dup" || coalesce($"known", lit(false)))
-      DedupModels.segmentStatsOf(markedNew)
-        .write.mode(SaveMode.Append).parquet(targetPath("segment_stats"))
-      markedNew.filter(!$"dup").select($"seg_hash", $"doc_id", $"g")
-        .write.mode(SaveMode.Append)
-        .parquet(targetPath("curation_segments"))
+        .withColumn("maybe_known",
+          call_function("bloom_contains", lit(bloomBytes), $"seg_hash"))
+        .persist()
+      try {
+        val keepers = spark.read.parquet(targetPath("curation_segments"))
+          .select($"seg_hash", lit(true).as("known"))
+        // exact join ONLY over the bloom-positive slice; bloom-negative
+        // rows are PROVABLY unseen (no false negatives) and skip it
+        val checked = segsNew.filter($"maybe_known")
+          .join(keepers, Seq("seg_hash"), "left")
+          .withColumn("dup", $"dup" || coalesce($"known", lit(false)))
+          .drop("known")
+        val fresh = segsNew.filter(!$"maybe_known")
+        val markedNew = checked.unionByName(fresh).drop("maybe_known")
+        DedupModels.segmentStatsOf(markedNew)
+          .write.mode(SaveMode.Append).parquet(targetPath("segment_stats"))
+        val newKeepers = markedNew.filter(!$"dup")
+          .select($"seg_hash", $"doc_id", $"g")
+        newKeepers.write.mode(SaveMode.Append)
+          .parquet(targetPath("curation_segments"))
+        // fold the new keepers into the sidecar: OR of reproducible
+        // bitsets ≡ the filter a full rebuild would write
+        spark.read.parquet(targetPath("curation_segment_bloom"))
+          .select($"bloom")
+          .unionByName(newKeepers
+            .agg(expr("bloom_agg(seg_hash)").as("bloom")))
+          .agg(expr("bloom_merge_agg(bloom)").as("bloom"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(targetPath("curation_segment_bloom.tmp"))
+        // two-step swap: the overwrite above cannot target the table it
+        // reads, so land in a tmp dir and rewrite
+        spark.read.parquet(targetPath("curation_segment_bloom.tmp"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(targetPath("curation_segment_bloom"))
+      } finally segsNew.unpersist()
       newFunnel.unpersist()
       report()
     } finally newDocs.unpersist()

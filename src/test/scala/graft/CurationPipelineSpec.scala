@@ -91,6 +91,14 @@ class CurationPipelineSpec extends AnyFunSuite {
         "curated_packing", "segment_stats", "curation_segments"))
       assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
 
+    // the bloom sidecar an incremental run unions up is byte-identical
+    // to the one a full rebuild writes (reproducible bitsets)
+    def bloomMd5(wh: String): String = spark.read
+      .parquet(s"$wh/curation_segment_bloom")
+      .select(md5($"bloom")).as[String].head()
+    assert(bloomMd5(whInc) == bloomMd5(whFull),
+      "incremental bloom sidecar diverged from the full rebuild's")
+
     // segment stage: the exact-duplicate append (doc 500 copies doc 3's
     // text, so every segment hash is already held by a snapshot keeper)
     // retains zero tokens, while the fresh doc 501 retains everything
