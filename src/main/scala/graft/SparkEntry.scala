@@ -97,6 +97,7 @@ object SparkEntry {
     "q42_weekly_active_accounts_app" -> (CompositeModels.weeklyActiveAccountsApp _),
     "q43_asof_price_join" -> (ActivityModels.asofPriceJoin _),
     "q44_sessionization" -> (ActivityModels.sessionization _),
+    "q45_last_touch_attribution" -> (ActivityModels.lastTouchAttribution _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -252,6 +253,7 @@ object SparkEntry {
     "q42_weekly_active_accounts_app" -> CompositeModels.weeklyActiveAccountsAppOracle,
     "q43_asof_price_join" -> ActivityModels.asofPriceJoinOracle,
     "q44_sessionization" -> ActivityModels.sessionizationOracle,
+    "q45_last_touch_attribution" -> ActivityModels.lastTouchAttributionOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,

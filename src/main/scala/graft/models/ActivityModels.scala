@@ -124,6 +124,81 @@ object ActivityModels {
        |         AS duration_s
        |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Attribution lookback: a purchase further than this from the last
+    * click is unattributed. */
+  private val AttributionWindowUs = 7L * 24 * 3600 * 1000000L // 7 days
+
+  /** q45: LAST-TOUCH ATTRIBUTION (beyond-reference) — the event-grain
+    * AS-OF JOIN: each purchase is attributed to the same wallet's most
+    * recent click at-or-before it, within a 7-day window. q43 is the
+    * day-grain calendar-fill as-of; this is the per-key event-grain
+    * sibling, the join every product/marketing mart runs.
+    *
+    * Spark-first plan: NO join at all — tag clicks and purchases, union
+    * them, and carry the last click forward with one per-wallet ordered
+    * window (`last(..., ignoreNulls)` over rows-unbounded-preceding).
+    * At equal timestamps the click sorts FIRST (kind 0 < 1) so
+    * "at-or-before" includes ties; same-ts duplicate clicks collapse to
+    * the max event_id beforehand so the carried value is deterministic.
+    * Timestamps compare as integer microseconds (the q44 contract).
+    *
+    * Scale: one shuffle on wallet_id + one linear per-key sort —
+    * exactly the sessionization shape; never the range self-join that
+    * BNLJs, and no calendar explode. The oracle is DuckDB's NATIVE
+    * `ASOF JOIN`, so the window rewrite is pinned against a real as-of
+    * implementation rather than a re-derivation of itself.
+    */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.catalog.Tables.events(spark, sfDir)
+      .select($"user_id".as("wallet_id"), $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+    // same-ts clicks collapse to max event_id (deterministic carry)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"wallet_id", $"ts_us")
+      .agg(max($"event_id").as("click_event_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"wallet_id", $"ts_us", $"event_id")
+    val tagged = clicks
+      .select($"wallet_id", $"ts_us", lit(0).as("kind"),
+        $"click_event_id", lit(null).cast(LongType).as("purchase_event_id"))
+      .unionByName(purchases
+        .select($"wallet_id", $"ts_us", lit(1).as("kind"),
+          lit(null).cast(LongType).as("click_event_id"),
+          $"event_id".as("purchase_event_id")))
+    val w = Window.partitionBy($"wallet_id")
+      .orderBy($"ts_us", $"kind", $"purchase_event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("attr_click_id",
+        last($"click_event_id", ignoreNulls = true).over(w))
+      .withColumn("attr_click_us",
+        last(when($"click_event_id".isNotNull, $"ts_us"),
+          ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"attr_click_id".isNotNull &&
+        $"ts_us" - $"attr_click_us" <= AttributionWindowUs)
+      .select($"wallet_id", $"purchase_event_id",
+        $"ts_us".as("purchase_ts_us"),
+        $"attr_click_id".as("click_event_id"),
+        $"attr_click_us".as("click_ts_us"),
+        ($"ts_us" - $"attr_click_us").as("gap_us"))
+  }
+
+  val lastTouchAttributionOracle: String =
+    s"""WITH c AS (SELECT user_id AS wallet_id, epoch_us(ts) AS click_ts_us,
+       |                  max(event_id) AS click_event_id
+       |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+       |p AS (SELECT user_id AS wallet_id, event_id AS purchase_event_id,
+       |             epoch_us(ts) AS purchase_ts_us
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT p.wallet_id, p.purchase_event_id, p.purchase_ts_us,
+       |       c.click_event_id, c.click_ts_us,
+       |       p.purchase_ts_us - c.click_ts_us AS gap_us
+       |FROM p ASOF JOIN c
+       |  ON p.wallet_id = c.wallet_id AND c.click_ts_us <= p.purchase_ts_us
+       |WHERE p.purchase_ts_us - c.click_ts_us <= $AttributionWindowUs"""
+      .stripMargin
+
   /** q03: per-day distinct wallets + txn count. Ops: A5 exact
     * count-distinct (`daily_kin_blocks.sql:5`), A1.
     * Scale: count_distinct expands then two-phase aggregates; the group key
