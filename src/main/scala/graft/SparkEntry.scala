@@ -131,6 +131,7 @@ object SparkEntry {
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
     "m04_audio_meta_summary" -> (graft.multimodal.MultimodalOps.audioMetaSummary _),
+    "m05_video_meta_summary" -> (graft.multimodal.MultimodalOps.videoMetaSummary _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -286,5 +287,6 @@ object SparkEntry {
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,
     "m04_audio_meta_summary" -> graft.multimodal.MultimodalOps.audioMetaSummaryOracle,
+    "m05_video_meta_summary" -> graft.multimodal.MultimodalOps.videoMetaSummaryOracle,
   )
 }

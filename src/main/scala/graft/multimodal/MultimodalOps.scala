@@ -655,4 +655,176 @@ object MultimodalOps {
        |       cast(sum((n_samples * 1000000) // sample_rate) AS BIGINT)
        |         AS total_duration_us
        |FROM f GROUP BY 1, 2""".stripMargin
+
+  // ===== m05: video (ISO-BMFF / MP4) — the fourth modality =====
+
+  /** Fixed generated-box sizes (the oracle's byte accounting): ftyp
+    * carries one compatible brand; mvhd/tkhd are version-0. */
+  val FtypLen = 20 // 8 hdr + brand(4) + minor(4) + 1 compatible(4)
+  val MvhdLen = 108 // 8 hdr + 100 version-0 payload
+  val TrakLen = 100 // 8 trak hdr + (8 tkhd hdr + 84 version-0 payload)
+
+  private def be32(v: Int): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** A minimal ISO-BMFF (MP4-family) skeleton: `ftyp` with the major
+    * brand, `moov` holding a version-0 `mvhd` (timescale + duration in
+    * media units) and one `trak`/`tkhd` per track, then an `mdat`
+    * payload — the box grammar every real demuxer walks first.
+    * Constant size per track count: [[FtypLen]] + 8 + [[MvhdLen]] +
+    * tracks·[[TrakLen]] + 8 + mdatLen. */
+  def mp4Bytes(brand: String, timescale: Int, durationUnits: Int,
+      nTracks: Int, mdatLen: Int): Array[Byte] = {
+    require(brand.length == 4)
+    val ftyp = box("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0) ++
+        "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ // ver/flags, created, modified
+        be32(timescale) ++ be32(durationUnits) ++
+        be32(0x00010000) ++ // rate 1.0
+        Array.fill[Byte](2)(0) ++ // volume
+        Array.fill[Byte](10)(0) ++ // reserved
+        Array.fill[Byte](36)(0) ++ // matrix
+        Array.fill[Byte](24)(0) ++ // predefined
+        be32(nTracks + 1)) // next track id
+    val traks = (1 to nTracks).map { tid =>
+      box("trak", box("tkhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ // ver/flags, created, modified
+          be32(tid) ++ be32(0) ++ be32(durationUnits) ++
+          Array.fill[Byte](8)(0) ++ // reserved
+          Array.fill[Byte](2)(0) ++ Array.fill[Byte](2)(0) ++ // layer, group
+          Array.fill[Byte](2)(0) ++ Array.fill[Byte](2)(0) ++ // volume, rsvd
+          Array.fill[Byte](36)(0) ++ // matrix
+          be32(0) ++ be32(0))) // width, height (16.16)
+    }
+    val moov = box("moov", mvhd ++ traks.toArray.flatten)
+    val mdat = box("mdat", Array.fill[Byte](mdatLen)(0))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Parsed container metadata; duration in exact integer milliseconds
+    * (`units · 1000 div timescale`). */
+  final case class Mp4Meta(
+      brand: String, timescale: Int, durationUnits: Int, nTracks: Int)
+
+  /** Pure-JVM ISO-BMFF box walk (the video sibling of [[wavDecode]]):
+    * verify the leading `ftyp`, then walk sibling boxes by their size
+    * prefixes; inside `moov`, read the version-0 `mvhd` (timescale,
+    * duration) and count `trak` children, skipping any other box (real
+    * files carry udta/meta/free) — sample data (`mdat`) is never read.
+    * None for anything unrecognizable, truncated, or version≠0. */
+  def mp4Decode(b: Array[Byte]): Option[Mp4Meta] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32i(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    try {
+      if (b.length < 16 || tag(4) != "ftyp") return None
+      val brand = tag(8)
+      var i = 0
+      var meta: Option[(Int, Int)] = None
+      var tracks = 0
+      var sawMoov = false
+      while (i + 8 <= b.length) {
+        val (len, typ) = (be32i(i), tag(i + 4))
+        if (len < 8) return None
+        if (typ == "moov") {
+          sawMoov = true
+          var j = i + 8
+          val end = i + len
+          while (j + 8 <= end) {
+            val (clen, ctyp) = (be32i(j), tag(j + 4))
+            if (clen < 8) return None
+            if (ctyp == "mvhd") {
+              if (u8(j + 8) != 0) return None // version-0 only
+              meta = Some((be32i(j + 20), be32i(j + 24)))
+            } else if (ctyp == "trak") tracks += 1
+            j += clen
+          }
+        }
+        i += len
+      }
+      meta.collect {
+        case (ts, dur) if sawMoov && ts > 0 =>
+          Mp4Meta(brand, ts, dur, tracks)
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** m05's media table: one REAL MP4 skeleton per document, every
+    * parameter from doc_id ALONE — `timescale ∈ {600, 1000, 90000,
+    * 48000}` by id%4, `duration_units = 1000 + id%9000`, `tracks =
+    * 1 + id%3`, `brand ∈ {isom, mp42}` by (id div 5)%2, `mdat =
+    * id%200` bytes (the m01/m02/m04 pattern). */
+  def videoTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val timescale = (id % 4) match {
+          case 0 => 600; case 1 => 1000; case 2 => 90000; case _ => 48000
+        }
+        val brand = if ((id / 5) % 2 == 0) "isom" else "mp42"
+        MediaRecord(id,
+          mp4Bytes(brand, timescale, (1000 + id % 9000).toInt,
+            (1 + id % 3).toInt, (id % 200).toInt),
+          "video/mp4")
+      }
+  }
+
+  final case class VideoFeatures(
+      doc_id: Long, brand: String, n_tracks: Int, byte_len: Long,
+      duration_ms: Long)
+
+  /** The video decode path — same mapPartitions batch contract as
+    * [[decodeFeatures]]/[[decodeAudio]]. */
+  def decodeVideo(ds: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        mp4Decode(r.media).map { m =>
+          VideoFeatures(r.doc_id, m.brand, m.nTracks, r.media.length.toLong,
+            m.durationUnits.toLong * 1000L / m.timescale)
+        }
+      }
+    }
+  }
+
+  /** m05: per-(brand, tracks) video container summary over REAL
+    * ISO-BMFF skeletons — generate ([[videoTable]]), walk the boxes
+    * back out ([[decodeVideo]] → [[mp4Decode]]), aggregate. */
+  def videoMetaSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodeVideo(videoTable(spark, sfDir))
+      .groupBy($"brand", $"n_tracks")
+      .agg(count(lit(1)).as("media_count"),
+        sum($"byte_len").cast(LongType).as("total_bytes"),
+        sum($"duration_ms").cast(LongType).as("total_duration_ms"))
+  }
+
+  /** The arithmetic twin of [[videoTable]] + [[mp4Decode]]: every
+    * parameter replays the doc_id derivation; byte length follows the
+    * constant box-size accounting. */
+  val videoMetaSummaryOracle: String =
+    s"""WITH vid AS (
+       |  SELECT doc_id,
+       |         CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+       |              WHEN 2 THEN 90000 ELSE 48000 END AS timescale,
+       |         CASE WHEN (doc_id // 5) % 2 = 0 THEN 'isom'
+       |              ELSE 'mp42' END AS brand,
+       |         1000 + doc_id % 9000 AS duration_units,
+       |         cast(1 + doc_id % 3 AS INT) AS n_tracks,
+       |         doc_id % 200 AS mdat_len
+       |  FROM documents)
+       |SELECT brand, n_tracks,
+       |       count(*) AS media_count,
+       |       cast(sum($FtypLen + 8 + $MvhdLen + n_tracks * $TrakLen
+       |                + 8 + mdat_len) AS BIGINT) AS total_bytes,
+       |       cast(sum((duration_units * 1000) // timescale) AS BIGINT)
+       |         AS total_duration_ms
+       |FROM vid GROUP BY 1, 2""".stripMargin
 }

@@ -199,6 +199,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalOps.wavDecode(nonPcm).isEmpty)
   }
 
+  test("mp4Decode walks real ISO-BMFF box structure (round-trip)") {
+    val b = MultimodalOps.mp4Bytes("isom", 90000, 450000, 2, 32)
+    assert(b.length == MultimodalOps.FtypLen + 8 + MultimodalOps.MvhdLen +
+      2 * MultimodalOps.TrakLen + 8 + 32)
+    assert(MultimodalOps.mp4Decode(b)
+      == Some(MultimodalOps.Mp4Meta("isom", 90000, 450000, 2)))
+  }
+
+  test("mp4Decode skips unknown boxes and rejects malformed payloads") {
+    // splice a top-level free box between ftyp and moov
+    val base = MultimodalOps.mp4Bytes("mp42", 1000, 5000, 1, 0)
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    val spliced = base.take(MultimodalOps.FtypLen) ++ free ++
+      base.drop(MultimodalOps.FtypLen)
+    assert(MultimodalOps.mp4Decode(spliced)
+      == Some(MultimodalOps.Mp4Meta("mp42", 1000, 5000, 1)))
+    assert(MultimodalOps.mp4Decode(base.take(40)).isEmpty)
+    assert(MultimodalOps.mp4Decode("definitely not a video".getBytes).isEmpty)
+  }
+
+  test("m05 parses container metadata back out of generated MP4s (round-trip)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = MultimodalOps.decodeVideo(
+      MultimodalOps.videoTable(spark, sfDir)).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == docs, "every generated MP4 must parse")
+    val bad = rows.filterNot { f =>
+      val id = f.doc_id
+      val ts = (id % 4) match {
+        case 0 => 600; case 1 => 1000; case 2 => 90000; case _ => 48000
+      }
+      f.brand == (if ((id / 5) % 2 == 0) "isom" else "mp42") &&
+        f.n_tracks == 1 + (id % 3).toInt &&
+        f.duration_ms == (1000 + id % 9000) * 1000L / ts
+    }
+    assert(bad.isEmpty, s"mismatch: ${bad.take(3).toSeq}")
+  }
+
   test("m04 parses audio metadata back out of generated WAVs (round-trip)") {
     val sfDir = "/root/testdata/sf0.001"
     val feats = MultimodalOps.decodeAudio(

@@ -179,9 +179,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val s06 = formatted("s06_ivfpq_ann_topk")
     assert(!readsColumn(s06, "label"),
       "s06 scan reads the label column it never uses")
-    // m04 generates media from doc_id alone — no text payload read
+    // m04/m05 generate media from doc_id alone — no text payload read
     val m04 = formatted("m04_audio_meta_summary")
     assert(!readsColumn(m04, "text"),
       "m04 scan reads the text payload it never uses")
+    val m05 = formatted("m05_video_meta_summary")
+    assert(!readsColumn(m05, "text"),
+      "m05 scan reads the text payload it never uses")
   }
 }
