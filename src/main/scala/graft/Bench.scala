@@ -63,6 +63,7 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def minOf(ts: Seq[Double]): Double =
       if (ts.exists(_ < 0)) -1.0 else ts.min
+    def r3(d: Double): String = f"$d%.3f"
     val qs = results.map { case (k, ts) => jstr(k) + ":" + minOf(ts) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, ts) =>
@@ -73,9 +74,22 @@ object Bench {
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // the FULL artifact: per-query min + both samples + materialization
+    // attribution, full float precision — written to bench_out.json and
+    // the bench_runs/ archive
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"materialized":$mats,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
+    // the STDOUT line must fit the driver's 2000-char tail capture
+    // (BENCH_r06/r07 both landed "parsed": null from overflow). 3-decimal
+    // seconds and the LEADING QUERY CODE as the key ("q01"… — unique by
+    // construction, full names in bench_out.json/"detail") keep ~80
+    // queries near 1.2 kB. Short keys prefix-match the full names, so
+    // totals stay cross-checkable against the archived artifact.
+    val qsShort = results.map { case (k, ts) =>
+      jstr(k.split("_")(0)) + ":" + r3(minOf(ts)) }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+    println(line)
     // hedge: sbt prefixes stdout with [info], which can defeat a driver
     // parser expecting a bare JSON line — also drop the metric in a file
     // (cwd-relative: lands in the repo root under `sbt runMain`), PLUS a

@@ -352,13 +352,19 @@ object SimilarityModels {
         slice($"embedding", $"m" * 8 + 1, lit(8)).as("sub"))
     val cents = subs.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"m", $"sub".as("cent"))
-    // index build: one corpus pass against the 128-row constant codebook
-    val codes = subs.join(broadcast(cents), Seq("m"))
-      .withColumn("dist", round(l2($"sub", $"cent"), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cid")))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"m", $"cid".as("code"))
+    // index build: one corpus pass against the 128-row constant
+    // codebook — session-memoized as a materialized table (the s06
+    // convention): in production this IS the searchable 4-byte-per-
+    // vector code table, built once and appended incrementally, and
+    // every search reads the codes instead of re-encoding the corpus
+    val codes = Shared.materialized("pq_codes", spark, sfDir) {
+      subs.join(broadcast(cents), Seq("m"))
+        .withColumn("dist", round(l2($"sub", $"cent"), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cid")))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"m", $"cid".as("code"))
+    }
     // the per-query ADC lookup table: M×C partial dots + centroid
     // self-dots, exact-decimal so the later 8-way sum is order-free
     val lut = subs.filter($"vec_id" < 10)

@@ -560,6 +560,10 @@ object MultimodalOps {
       var dataLen = -1
       while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
         val (id, len) = (tag(i), le32(i + 4))
+        // a negative length (crafted/corrupt 32-bit field) would make the
+        // advance below a no-op or step backwards — unrecognizable, like
+        // mp4Decode's `len < 8` guard
+        if (len < 0) return None
         if (id == "fmt ") {
           if (le16(i + 8) != 1) return None // PCM only
           fmt = Some((le32(i + 12), le16(i + 10), le16(i + 22)))

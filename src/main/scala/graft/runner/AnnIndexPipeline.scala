@@ -89,8 +89,10 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     * against the FROZEN materialized codebooks. */
   def runIncremental(sfDir: String): Report = {
     val codes = spark.read.parquet(targetPath("ann_codes"))
-    val wm = codes.agg(org.apache.spark.sql.functions.max($"vec_id"))
-      .head().getLong(0)
+    // max over an EMPTY codes table (a run() over an empty snapshot) is
+    // null — encode everything rather than throw
+    val wmRow = codes.agg(org.apache.spark.sql.functions.max($"vec_id")).head()
+    val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
     val newBase = SimilarityModels.doubledEmb(
       Tables.embeddings(spark, sfDir).filter($"vec_id" > wm))
     val cents = spark.read.parquet(targetPath("ann_coarse_codebook"))

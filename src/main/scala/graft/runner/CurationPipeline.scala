@@ -71,6 +71,40 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
 
   def targetPath(name: String): String = s"$warehouseDir/$name"
 
+  private def hadoopPath(p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path, path.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+  private def deletePath(p: String): Unit = {
+    val (path, fs) = hadoopPath(p); fs.delete(path, true); ()
+  }
+  private def pathExists(p: String): Boolean = {
+    val (path, fs) = hadoopPath(p); fs.exists(path)
+  }
+
+  /** Rebuild the bloom sidecar from the keeper table (used by [[run]]
+    * and by interrupted-swap recovery — bitsets are reproducible, so a
+    * rebuild ≡ the union-folded sidecar an uninterrupted swap lands). */
+  private def rebuildSegmentBloom(): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(targetPath("curation_segments"))
+      .agg(org.apache.spark.sql.functions.expr("bloom_agg(seg_hash)")
+        .as("bloom"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_segment_bloom"))
+  }
+
+  /** A leftover `.tmp` dir means a prior incremental crashed between the
+    * tmp write and the final sidecar rewrite — the sidecar may be STALE
+    * relative to already-appended `curation_segments` keepers (a stale
+    * sidecar loses the no-false-negative guarantee). Rebuild it from the
+    * keeper table (the source of truth), then clear the marker. */
+  private def recoverInterruptedBloomSwap(): Unit =
+    if (pathExists(targetPath("curation_segment_bloom.tmp"))) {
+      rebuildSegmentBloom()
+      deletePath(targetPath("curation_segment_bloom.tmp"))
+    }
+
   private def report(): CurationPipeline.Report = {
     val funnel = spark.read.parquet(targetPath("curation_funnel"))
     val packed = spark.read.parquet(targetPath("curated_packing"))
@@ -131,12 +165,9 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // lets incremental runs skip the corpus-sized keeper join for
     // definitely-new segments (bitsets are reproducible, so the sidecar
     // a full run writes ≡ the one incremental unions up — spec-pinned)
-    graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(targetPath("curation_segments"))
-      .agg(org.apache.spark.sql.functions.expr("bloom_agg(seg_hash)")
-        .as("bloom"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(targetPath("curation_segment_bloom"))
+    rebuildSegmentBloom()
+    // a full run supersedes any interrupted incremental swap
+    deletePath(targetPath("curation_segment_bloom.tmp"))
     report()
   }
 
@@ -146,6 +177,7 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     * union — CurationPipelineSpec pins table-level equality.
     */
   def runIncremental(sfDir: String): CurationPipeline.Report = {
+    recoverInterruptedBloomSwap()
     val funnelOld = spark.read.parquet(targetPath("curation_funnel"))
     val wm = funnelOld.agg(org.apache.spark.sql.functions.max($"doc_id"))
       .head().getLong(0)
@@ -287,10 +319,13 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
           .write.mode(SaveMode.Overwrite)
           .parquet(targetPath("curation_segment_bloom.tmp"))
         // two-step swap: the overwrite above cannot target the table it
-        // reads, so land in a tmp dir and rewrite
+        // reads, so land in a tmp dir and rewrite; drop the tmp dir
+        // afterwards (a leftover tmp is the interrupted-swap marker
+        // recoverInterruptedBloomSwap rebuilds from)
         spark.read.parquet(targetPath("curation_segment_bloom.tmp"))
           .write.mode(SaveMode.Overwrite)
           .parquet(targetPath("curation_segment_bloom"))
+        deletePath(targetPath("curation_segment_bloom.tmp"))
       } finally segsNew.unpersist()
       newFunnel.unpersist()
       report()
