@@ -15,20 +15,21 @@ import graft.models.SimilarityModels
   *   - `ann_codes`            (vec_id, cell, m, code) — 8 rows/vector,
   *                            the 4-byte-per-vector searchable index
   *
-  * [[run]] is the offline (re)train + full encode: codebooks derive
-  * from the snapshot exactly as s06's query does (16 lowest-vec_id
-  * embeddings; residuals of the next 16), then one corpus pass encodes
-  * every vector. [[runIncremental]] is the append path: read BOTH
-  * codebooks back frozen, encode only vectors above the ann_codes
-  * vec_id watermark, append. Frozen codebooks are what make appended
-  * rows immutable AND the search side stable — the ADC lookup tables a
-  * query builds against the materialized codebooks score old and new
-  * codes identically (FAISS's add-after-train contract).
+  * [[run]] is the offline (re)train + full encode: codebooks are
+  * trained exactly as s06's query trains them (deterministic Lloyd
+  * k-means over the fixed `AnnTrainCap` vec_id prefix — coarse cosine
+  * cells, then per-subspace L2 residual centroids), then one corpus
+  * pass encodes every vector. [[runIncremental]] is the append path:
+  * read BOTH codebooks back frozen, encode only vectors above the
+  * ann_codes vec_id watermark, append. Frozen codebooks are what make
+  * appended rows immutable AND the search side stable — the ADC lookup
+  * tables a query builds against the materialized codebooks score old
+  * and new codes identically (FAISS's add-after-train contract).
   *
   * Incremental ≡ full holds exactly (AnnIndexPipelineSpec): appended
-  * vec_ids exceed every snapshot id, so the deterministic codebook
-  * derivation over the union selects the same source vectors the
-  * snapshot run froze. A drifted corpus (codebooks no longer
+  * vec_ids exceed every snapshot id AND the training cap, so k-means
+  * over the union reads the same training sample the snapshot run
+  * froze. A drifted corpus (codebooks no longer
   * representative → recall decay) is the signal for a fresh [[run]] —
   * the retrain-vs-append trade every production ANN service runs.
   *
@@ -51,20 +52,23 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     codedVectors = spark.read.parquet(targetPath("ann_codes"))
       .select($"vec_id").distinct().count())
 
-  /** Offline train + full encode over the snapshot. */
+  /** Offline train + full encode over the snapshot: REAL k-means
+    * codebooks (deterministic fixed-iteration Lloyd over the fixed
+    * `SimilarityModels.AnnTrainCap` training prefix — the bounded
+    * train-on-sample FAISS runs before `add`), then one corpus pass
+    * encodes every vector against the materialized (frozen) books. */
   def run(sfDir: String): Report = {
     val base = SimilarityModels.doubledEmb(Tables.embeddings(spark, sfDir))
-    val cents = base.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    cents.write.mode(SaveMode.Overwrite)
+    SimilarityModels.coarseCodebook(base)
+      .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("ann_coarse_codebook"))
-    val rsubs = SimilarityModels.residualSubs(
-      SimilarityModels.cellTop2(base, cents), cents)
-    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
-      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
-    pqCents.write.mode(SaveMode.Overwrite)
+    val cents = spark.read.parquet(targetPath("ann_coarse_codebook"))
+    SimilarityModels.residualCodebook(base, cents)
+      .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("ann_pq_codebook"))
-    SimilarityModels.encodeAgainst(rsubs,
+    SimilarityModels.encodeAgainst(
+        SimilarityModels.residualSubs(
+          SimilarityModels.cellTop2(base, cents), cents),
         spark.read.parquet(targetPath("ann_pq_codebook")))
       .write.mode(SaveMode.Overwrite).parquet(targetPath("ann_codes"))
     report()

@@ -2,14 +2,15 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.models.SimilarityModels
+import graft.models.{KMeans, SimilarityModels}
 
 /** s06 IVF-PQ: the composed tier must inherit BOTH parents' contracts —
   * IVF's scan pruning (every candidate comes from one of the query's two
   * probed cells) and PQ's ranking usefulness (recall@5 against the exact
-  * brute-force top-5 well above chance), plus the residual-coding
-  * identity that distinguishes IVF-PQ from IVF-then-PQ: a vector that IS
-  * a residual-codebook source must code to itself.
+  * brute-force top-5 well above chance) — and, now that the codebooks
+  * are REAL trained k-means, Lloyd's defining property: iterating from
+  * the fixed seeds must not worsen (and should improve) the total
+  * quantization error the codebook exists to minimize.
   */
 class IvfPqAnnSpec extends AnyFunSuite {
   val spark = TestSpark.spark
@@ -31,21 +32,12 @@ class IvfPqAnnSpec extends AnyFunSuite {
   }
 
   test("every candidate lies in one of the query's two probed cells") {
-    // re-derive the probe set with the model's own deterministic coarse
-    // quantizer (16 lowest-vec_id centroids, rounded cosine, tie by cid)
-    val dotA = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val base = graft.catalog.Tables.embeddings(spark, sfDir)
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(dotA($"v", $"v")))
-    val cents = base.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val ranked = base.crossJoin(broadcast(cents))
-      .withColumn("cell_sim", round(dotA($"v", $"cv") / ($"norm" * $"cnorm"), 6))
-      .withColumn("crk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cid")))
-    val probed = ranked.filter($"vec_id" < 10 && $"crk" <= 2)
+    // re-derive the probe set with the model's own trained coarse
+    // quantizer (the shared codebook helpers the query itself uses)
+    val base = SimilarityModels.doubledEmb(
+      graft.catalog.Tables.embeddings(spark, sfDir))
+    val cents = SimilarityModels.coarseCodebook(base)
+    val probed = SimilarityModels.cellTop2(base.filter($"vec_id" < 10), cents)
       .select($"vec_id".as("query_id"), $"cid".as("cell"))
       .as[(Long, Long)].collect().toSet
     val out = SimilarityModels.ivfPqAnnTopK(spark, sfDir)
@@ -55,43 +47,40 @@ class IvfPqAnnSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"candidates outside the probe set: ${stray.take(5).toSeq}")
   }
 
-  test("residual-codebook sources code to themselves (residual identity)") {
-    // vec_ids 16..31 donate the residual codebook; each of their residual
-    // subvectors is centroid pcid = vec_id - 16, so nearest-centroid
-    // coding must return exactly that id (distance 0, tie rank 1 only if
-    // the coding really runs on residuals, not raw subvectors).
-    val dotA = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val base = graft.catalog.Tables.embeddings(spark, sfDir)
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(dotA($"v", $"v")))
-    val cents = base.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("cell_sim", round(dotA($"v", $"cv") / ($"norm" * $"cnorm"), 6))
-      .withColumn("crk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cid")))
-      .filter($"crk" === 1)
-      .select($"vec_id", $"cid", $"v")
-      .join(broadcast(cents), Seq("cid"))
-      .select($"vec_id", zip_with($"v", $"cv", (x, y) => x - y).as("r"))
-    val rsubs = assigned
-      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"), $"r")
-      .select($"vec_id", $"m", slice($"r", $"m" * 8 + 1, lit(8)).as("rsub"))
-    val pqCents = rsubs.filter($"vec_id" >= 16 && $"vec_id" < 32)
-      .select(($"vec_id" - 16).as("pcid"), $"m", $"rsub".as("pcent"))
-    val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-    val codes = rsubs.join(broadcast(pqCents), Seq("m"))
-      .withColumn("dist", round(l2($"rsub", $"pcent"), 6))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"vec_id", $"m").orderBy($"dist", $"pcid")))
-      .filter($"rk" === 1)
-    val selfMiss = codes
-      .filter($"vec_id" >= 16 && $"vec_id" < 32 &&
-        $"pcid" =!= ($"vec_id" - 16)).count()
-    assert(selfMiss === 0, "a residual-codebook source did not code to itself")
+  /** Rounded-6dp squared-L2 of each residual subvector to its nearest
+    * centroid in `book`, summed — the objective Lloyd minimizes. */
+  private def residualSse(rsubs: org.apache.spark.sql.DataFrame,
+      book: org.apache.spark.sql.DataFrame): Double = {
+    val dist = aggregate(
+      zip_with($"rsub", $"pcent", (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    rsubs.join(broadcast(book), Seq("m"))
+      .withColumn("d2", round(dist, 6))
+      .groupBy($"vec_id", $"m").agg(min($"d2").as("best"))
+      .agg(sum($"best")).as[Double].head()
+  }
+
+  test("trained residual codebook strictly beats its k-means seeds (Lloyd improves SSE)") {
+    val base = SimilarityModels.doubledEmb(
+      graft.catalog.Tables.embeddings(spark, sfDir))
+    val cents = SimilarityModels.coarseCodebook(base)
+    val rsubs = SimilarityModels.residualSubs(
+      SimilarityModels.cellTop2(base, cents), cents)
+    val trained = SimilarityModels.residualCodebook(base, cents)
+    // the seeds the trainer started from: the k lowest-id training
+    // residual subvectors (KMeans.lloyd's deterministic init)
+    val seeds = rsubs.filter($"vec_id" < 16)
+      .select($"m", $"vec_id".as("pcid"), $"rsub".as("pcent"))
+    val sseTrained = residualSse(rsubs, trained)
+    val sseSeeds = residualSse(rsubs, seeds)
+    assert(sseTrained < sseSeeds,
+      s"trained SSE $sseTrained did not improve on seed SSE $sseSeeds")
+    // and the codebook stays the promised 8×16 4-bit shape
+    assert(trained.count() == 128)
+    assert(trained.filter($"pcid" < 0 || $"pcid" > 15).count() == 0)
+    // iteration-count sanity: the spliced oracle unrolls the same count
+    assert(SimilarityModels.KmIters >= 1)
+    assert(KMeans.oracleCtes("t", "t_train", 16, SimilarityModels.KmIters,
+      8, cosine = false).contains(s"t_cents${SimilarityModels.KmIters}"))
   }
 }

@@ -36,34 +36,41 @@ class PqAnnSpec extends AnyFunSuite {
     val emb = graft.catalog.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     // re-derive the code table exactly as the model does (subspace
-    // slice → nearest centroid) via the published query's own plan:
-    // pqAnnTopK consumes it internally, so pin its invariants through
-    // a direct rebuild with the same deterministic codebook
+    // slice → nearest TRAINED centroid) via the published query's own
+    // helpers, and pin its shape invariants
     import org.apache.spark.sql.functions._
-    val subs = emb
-      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"),
-        $"embedding")
+    val subs = SimilarityModels.doubledEmb(emb)
+      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"), $"v")
       .select($"vec_id", $"m",
-        slice($"embedding", $"m" * 8 + 1, lit(8)).as("sub"))
-    val cents = subs.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"m", $"sub".as("cent"))
+        slice($"v", $"m" * 8 + 1, lit(8)).as("sub"))
+    val cents = SimilarityModels.pqCodebook(subs)
+    val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
     val codes = subs.join(broadcast(cents), Seq("m"))
-      .withColumn("d2", aggregate(
-        zip_with($"sub", $"cent", (x, y) =>
-          (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0d), (acc, v) => acc + v))
+      .withColumn("d2", l2($"sub", $"cent"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"vec_id", $"m").orderBy(round($"d2", 6), $"cid")))
       .filter($"rk" === 1)
-      .select($"vec_id", $"m", $"cid".as("code"))
+      .select($"vec_id", $"m", $"cid".as("code"), $"d2")
     assert(codes.count() === n * 8)
     val badCodes = codes.filter($"code" < 0 || $"code" > 15).count()
     assert(badCodes === 0)
-    // every centroid's own subvector must code to itself (distance 0)
-    val selfMiss = codes
-      .filter($"vec_id" < 16 && $"code" =!= $"vec_id").count()
-    assert(selfMiss === 0, "a centroid did not quantize to itself")
+    // the codebook is the promised 8 subspaces × 16 centroids
+    assert(cents.count() === 128)
+
+    // Lloyd's defining property: the trained codebook's quantization
+    // error must beat the deterministic seeds it started from
+    val seeds = subs.filter($"vec_id" < 16)
+      .select($"m", $"vec_id".as("cid"), $"sub".as("cent"))
+    def sse(book: org.apache.spark.sql.DataFrame): Double =
+      subs.join(broadcast(book), Seq("m"))
+        .withColumn("d2", round(l2($"sub", $"cent"), 6))
+        .groupBy($"vec_id", $"m").agg(min($"d2").as("best"))
+        .agg(sum($"best")).as[Double].head()
+    val (sseTrained, sseSeeds) = (sse(cents), sse(seeds))
+    assert(sseTrained < sseSeeds,
+      s"trained SSE $sseTrained did not improve on seed SSE $sseSeeds")
   }
 }
