@@ -127,11 +127,13 @@ object SparkEntry {
     "t05_fingerprint_dedup" -> (TextModels.fingerprintDedup _),
     "t06_heavy_hitters" -> (TextModels.heavyHitters _),
     "t07_unigram_logprob" -> (TextModels.unigramLogprob _),
+    "t08_bigram_logprob" -> (TextModels.bigramLogprob _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
     "m04_audio_meta_summary" -> (graft.multimodal.MultimodalOps.audioMetaSummary _),
     "m05_video_meta_summary" -> (graft.multimodal.MultimodalOps.videoMetaSummary _),
+    "m06_pixel_pool_summary" -> (graft.multimodal.MultimodalOps.pixelPoolSummary _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -191,6 +193,7 @@ object SparkEntry {
     "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "t07_unigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
+    "t08_bigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -283,10 +286,12 @@ object SparkEntry {
     "t05_fingerprint_dedup" -> TextModels.fingerprintDedupOracle,
     "t06_heavy_hitters" -> TextModels.heavyHittersOracle,
     "t07_unigram_logprob" -> TextModels.unigramLogprobOracle,
+    "t08_bigram_logprob" -> TextModels.bigramLogprobOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,
     "m04_audio_meta_summary" -> graft.multimodal.MultimodalOps.audioMetaSummaryOracle,
     "m05_video_meta_summary" -> graft.multimodal.MultimodalOps.videoMetaSummaryOracle,
+    "m06_pixel_pool_summary" -> graft.multimodal.MultimodalOps.pixelPoolSummaryOracle,
   )
 }

@@ -273,4 +273,91 @@ object TextModels {
        |            AS DECIMAL(18,6)) AS avg_logprob
        |FROM tok t JOIN logp l USING (tok)
        |GROUP BY 1""".stripMargin
+
+  /** t08: interpolated bigram language-model scoring — the next rung
+    * above t07's unigram gate on the CCNet/KenLM perplexity-filter
+    * ladder, over the SAME exact tokenization. The corpus's own ML
+    * bigram model interpolates with its unigram floor,
+    *
+    *   p(w | prev) = λ·c(prev, w)/c_ctx(prev) + (1−λ)·c(w)/N,  λ = 0.75
+    *
+    * where c_ctx counts prev's occurrences AS A CONTEXT (bigram starts),
+    * so the ML term is a proper conditional; the unigram floor keeps
+    * unseen-in-context pairs finite — the textbook Jelinek-Mercer
+    * interpolation, deterministic because every probability is a ratio
+    * of exact BIGINT counts evaluated in double with an identical
+    * operation order on both engines.
+    *
+    * Determinism: ln(p) rounds to 6dp into DECIMAL(18,6) so per-doc
+    * sums are order-free exact addition (the t07/s05 contract); avg
+    * divides the exact sum in double and rounds to 6dp.
+    *
+    * Scale: the bigram vocabulary is a two-stage (prev, cur) hash agg —
+    * map-side combine absorbs the explode fan-out, and the model table
+    * is vocabulary²-bounded (sublinear in corpus size in practice);
+    * scoring is one scan + a hash join on (prev, cur) + a doc_id
+    * rollup. The join is left unhinted: a trained KenLM artifact
+    * slotting into this seam can be GBs, and AQE picks broadcast vs
+    * shuffle by the model table's actual size.
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // consecutive token pairs via aligned slices (empty for 1-token
+    // docs — slice length guards against sequence()'s descending trap)
+    val withT = docs.select($"doc_id", toks($"text").as("t"))
+    val bigrams = withT
+      .select($"doc_id", explode(zip_with(
+        expr("slice(t, 1, greatest(size(t) - 1, 0))"),
+        expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
+    val cbi = bigrams.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+    val cctx = bigrams.groupBy($"prev").agg(count(lit(1)).as("cc"))
+    val cuni = withT.select(explode($"t").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cu"))
+    val tot = cuni.agg(sum($"cu").as("n"))
+    val p = lit(0.75d) * ($"cb".cast(DoubleType) / $"cc".cast(DoubleType)) +
+      lit(0.25d) * ($"cu".cast(DoubleType) / $"n".cast(DoubleType))
+    val logp = cbi.join(cctx, Seq("prev"))
+      .join(cuni, $"cur" === $"tok").crossJoin(tot)
+      .select($"prev", $"cur",
+        round(log(p), 6).cast(DecimalType(18, 6)).as("logp"))
+    bigrams.join(logp, Seq("prev", "cur"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logprob"))
+      .withColumn("avg_logprob",
+        round($"sum_logprob".cast(DoubleType) / $"n_bigrams", 6)
+          .cast(DecimalType(18, 6)))
+  }
+
+  val bigramLogprobOracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS t
+       |             FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, bg[1] AS prev, bg[2] AS cur
+       |  FROM (SELECT doc_id,
+       |               unnest(list_transform(range(len(t) - 1),
+       |                        i -> [t[i+1], t[i+2]])) AS bg
+       |        FROM tok)),
+       |cbi AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY 1, 2),
+       |cctx AS (SELECT prev, count(*) AS cc FROM pairs GROUP BY 1),
+       |cuni AS (SELECT tok2 AS tok, count(*) AS cu
+       |         FROM (SELECT unnest(t) AS tok2 FROM tok) GROUP BY 1),
+       |tot AS (SELECT sum(cu) AS n FROM cuni),
+       |logp AS (
+       |  SELECT b.prev, b.cur,
+       |         cast(round(ln(0.75 * (cast(b.cb AS DOUBLE) / cast(x.cc AS DOUBLE))
+       |                     + 0.25 * (cast(u.cu AS DOUBLE) / cast(t.n AS DOUBLE))), 6)
+       |              AS DECIMAL(18,6)) AS logp
+       |  FROM cbi b
+       |  JOIN cctx x ON b.prev = x.prev
+       |  JOIN cuni u ON b.cur = u.tok
+       |  CROSS JOIN tot t)
+       |SELECT p.doc_id, count(*) AS n_bigrams,
+       |       sum(l.logp) AS sum_logprob,
+       |       cast(round(cast(sum(l.logp) AS DOUBLE) / count(*), 6)
+       |            AS DECIMAL(18,6)) AS avg_logprob
+       |FROM pairs p JOIN logp l ON p.prev = l.prev AND p.cur = l.cur
+       |GROUP BY 1""".stripMargin
 }

@@ -810,6 +810,158 @@ object MultimodalOps {
         sum($"duration_ms").cast(LongType).as("total_duration_ms"))
   }
 
+  // ===== m06: REAL pixel decode (javax.imageio) — decoded rasters, not
+  // header metadata =====
+
+  /** m06's media table: one REAL pixel-bearing PNG per document,
+    * encoded by the JDK's own ImageIO PNG writer. Dimensions and every
+    * pixel derive from doc_id ALONE — `w = 8 + id%16`,
+    * `h = 8 + (id div 3)%16`, and pixel (x, y) is
+    * `r = (id + 3x + 7y) % 256`, `g = (2id + 5x + y) % 256`,
+    * `b = (id + x·y) % 256` — so the DuckDB oracle recomputes every
+    * pixel arithmetically while the Spark side round-trips the actual
+    * bytes through a real codec (encode here, decode in
+    * [[decodePixelFeatures]]). PNG is lossless, so the decoded raster
+    * is bit-identical to the generator arithmetic — the property that
+    * makes a pixel-level stage oracle-checkable at all (a JPEG twin
+    * exists in MultimodalSpec as an approximate round-trip; lossy
+    * codecs can't be driver-hashed).
+    */
+  def pixelImageTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        // per-partition codec amortization: ImageIO scans its writer
+        // registry once per partition, not once per image
+        val writerReady = javax.imageio.ImageIO.getImageWritersByFormatName("png").hasNext
+        require(writerReady, "JDK PNG writer missing")
+        it.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + ((id / 3) % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id + 3L * x + 7L * y) % 256).toInt
+              val g = ((2L * id + 5L * x + y) % 256).toInt
+              val b = ((id + x.toLong * y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRecord(id, baos.toByteArray, "image/png")
+        }
+      }
+  }
+
+  /** One average-pool cell of a decoded raster: exact integer channel
+    * sums over the cell's pixels (sums, not means — integer division
+    * conventions never enter the contract). */
+  final case class PixelPoolCell(
+      doc_id: Long, width: Int, height: Int, cell_y: Int, cell_x: Int,
+      px_count: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL pixel decode + 4×4 average-pool grid via mapPartitions — the
+    * feature-extract stage a vision pipeline runs after decode, on
+    * actual rasters ([[javax.imageio.ImageIO]]`.read`, the JDK's PNG/
+    * JPEG/GIF decoders; no new dependency). Pixel (x, y) pools into
+    * cell `((y·4) div h, (x·4) div w)` — the floor-partition both
+    * engines express identically. Payloads that fail to decode are
+    * dropped (a production pipeline quarantines them).
+    *
+    * Scale: decode is embarrassingly parallel and codec init amortizes
+    * per partition (the mapInPandas batch contract); the binary is
+    * dropped at decode, so shuffles carry only 16 small integer rows
+    * per document.
+    */
+  def decodePixelFeatures(ds: Dataset[MediaRecord]): Dataset[PixelPoolCell] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.media))
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val count = Array.ofDim[Long](4, 4)
+          val sr = Array.ofDim[Long](4, 4)
+          val sg = Array.ofDim[Long](4, 4)
+          val sb = Array.ofDim[Long](4, 4)
+          var y = 0
+          while (y < h) {
+            val cy = y * 4 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 4 / w
+              val rgb = img.getRGB(x, y)
+              count(cy)(cx) += 1
+              sr(cy)(cx) += (rgb >> 16) & 0xff
+              sg(cy)(cx) += (rgb >> 8) & 0xff
+              sb(cy)(cx) += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          for (cy <- 0 until 4; cx <- 0 until 4 if count(cy)(cx) > 0)
+            yield PixelPoolCell(rec.doc_id, w, h, cy, cx,
+              count(cy)(cx), sr(cy)(cx), sg(cy)(cx), sb(cy)(cx))
+        }
+      }
+    }
+  }
+
+  /** m06: corpus-wide pooled-pixel summary over REAL decoded rasters —
+    * generate ([[pixelImageTable]], real ImageIO PNG encode), decode
+    * the actual pixels back out ([[decodePixelFeatures]] → ImageIO
+    * read), average-pool 4×4, aggregate per grid cell. Any wrong pixel
+    * anywhere in the corpus shifts a sum — the oracle (which replays
+    * the generator arithmetic per pixel, never parsing a PNG) catches
+    * single-channel single-pixel errors.
+    */
+  def pixelPoolSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decodePixelFeatures(pixelImageTable(spark, sfDir))
+      .groupBy($"cell_y".cast(LongType).as("cell_y"),
+        $"cell_x".cast(LongType).as("cell_x"))
+      .agg(count(lit(1)).as("media_count"),
+        sum($"px_count").as("px_count"),
+        sum($"sum_r").as("sum_r"),
+        sum($"sum_g").as("sum_g"),
+        sum($"sum_b").as("sum_b"))
+  }
+
+  /** The arithmetic twin of [[pixelImageTable]] + [[decodePixelFeatures]]:
+    * every pixel value replays the doc_id derivation (pixel index
+    * p → (x, y) = (p % w, p div w)); DuckDB never decodes a PNG. */
+  val pixelPoolSummaryOracle: String =
+    """WITH img AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 3) % 16 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM img),
+      |vals AS (
+      |  SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+      |pooled AS (
+      |  SELECT doc_id,
+      |         (y * 4) // h AS cell_y, (x * 4) // w AS cell_x,
+      |         (doc_id + 3 * x + 7 * y) % 256 AS r,
+      |         (2 * doc_id + 5 * x + y) % 256 AS g,
+      |         (doc_id + x * y) % 256 AS b
+      |  FROM vals)
+      |SELECT cast(cell_y AS BIGINT) AS cell_y,
+      |       cast(cell_x AS BIGINT) AS cell_x,
+      |       count(DISTINCT doc_id) AS media_count,
+      |       count(*) AS px_count,
+      |       cast(sum(r) AS BIGINT) AS sum_r,
+      |       cast(sum(g) AS BIGINT) AS sum_g,
+      |       cast(sum(b) AS BIGINT) AS sum_b
+      |FROM pooled GROUP BY 1, 2""".stripMargin
+
   /** The arithmetic twin of [[videoTable]] + [[mp4Decode]]: every
     * parameter replays the doc_id derivation; byte length follows the
     * constant box-size accounting. */

@@ -259,4 +259,76 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"mismatch: ${bad.take(3).toSeq}")
   }
+
+  test("m06 decodes REAL pixels losslessly through ImageIO (round-trip vs arithmetic)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cells = MultimodalOps.decodePixelFeatures(
+      MultimodalOps.pixelImageTable(spark, sfDir)).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(cells.length == docs * 16, "every doc must decode to 16 pool cells")
+    // replay the generator arithmetic per cell and compare the DECODED sums
+    val bad = cells.filterNot { c =>
+      val id = c.doc_id
+      val (w, h) = (8 + (id % 16).toInt, 8 + ((id / 3) % 16).toInt)
+      var (n, sr, sg, sb) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until h if y * 4 / h == c.cell_y;
+           x <- 0 until w if x * 4 / w == c.cell_x) {
+        n += 1
+        sr += (id + 3L * x + 7L * y) % 256
+        sg += (2L * id + 5L * x + y) % 256
+        sb += (id + x.toLong * y) % 256
+      }
+      c.width == w && c.height == h && c.px_count == n &&
+        c.sum_r == sr && c.sum_g == sg && c.sum_b == sb
+    }
+    assert(bad.isEmpty, s"decoded pixels diverge from arithmetic: ${bad.take(3).toSeq}")
+  }
+
+  test("ImageIO-encoded files parse through the hand-rolled header walkers") {
+    // cross-validation of two independent implementations: the JDK's
+    // encoders against this library's byte-level parsers
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 37 + y) % 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    assert(MultimodalOps.headerDecode(encode("png", 33, 21)) == Some((33, 21, 3)))
+    val Some((jw, jh, jc)) = MultimodalOps.headerDecode(encode("jpg", 17, 29))
+    assert((jw, jh, jc) == (17, 29, 3))
+    val gif = encode("gif", 15, 11)
+    val anim = MultimodalOps.gifDecode(gif)
+    assert(anim.exists(a => a.width == 15 && a.height == 11 && a.frames == 1))
+  }
+
+  test("JPEG round-trip is approximate, PNG exact (why m06 pins PNG)") {
+    val id = 42L
+    val (w, h) = (16, 16)
+    def raster(bytes: Array[Byte]): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (for (y <- 0 until h; x <- 0 until w) yield img.getRGB(x, y) & 0xffffff).toArray
+    }
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id + 3 * x + 7 * y) % 256).toInt
+      val g = ((2 * id + 5 * x + y) % 256).toInt
+      val b = ((id + x * y) % 256).toInt
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def bytes(fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, fmt, baos); baos.toByteArray
+    }
+    val orig = (for (y <- 0 until h; x <- 0 until w) yield src.getRGB(x, y) & 0xffffff).toArray
+    assert(raster(bytes("png")).sameElements(orig), "PNG must round-trip losslessly")
+    val jpeg = raster(bytes("jpg"))
+    val meanAbsErr = orig.zip(jpeg).map { case (a, b) =>
+      math.abs((a & 0xff) - (b & 0xff))
+    }.sum.toDouble / orig.length
+    assert(meanAbsErr > 0.0, "JPEG is lossy on this pattern")
+    assert(meanAbsErr < 64.0, "JPEG error should still be bounded")
+  }
 }

@@ -44,6 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin for cell assignment (`SimilarityModels.ivfPqAnnTopK`)
     "t07_unigram_logprob", // one-row corpus-token-total frame
     // decorating the vocabulary (`TextModels.unigramLogprob`)
+    "t08_bigram_logprob", // same one-row total frame decorating the
+    // bigram model table (`TextModels.bigramLogprob`)
     "q34_monthly_active_accounts",
     "q40_daily_summary_by_app")
 
@@ -186,5 +188,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val m05 = formatted("m05_video_meta_summary")
     assert(!readsColumn(m05, "text"),
       "m05 scan reads the text payload it never uses")
+  }
+
+  test("round-8 families: pruned scans") {
+    // m06 generates pixel media from doc_id alone
+    val m06 = formatted("m06_pixel_pool_summary")
+    assert(!readsColumn(m06, "text") && !readsColumn(m06, "lang"),
+      "m06 scan reads corpus columns it never uses")
+    // t08 scores (doc_id, text) alone
+    val t08 = formatted("t08_bigram_logprob")
+    assert(!readsColumn(t08, "lang") && !readsColumn(t08, "n_chars"),
+      "t08 scan reads corpus columns it never uses")
+    // s03's trained-codebook path still reads only (vec_id, embedding)
+    val s03 = formatted("s03_ivf_ann_topk")
+    assert(!readsColumn(s03, "label"),
+      "s03 scan reads the label column it never uses")
   }
 }
