@@ -128,6 +128,7 @@ object SparkEntry {
     "t06_heavy_hitters" -> (TextModels.heavyHitters _),
     "t07_unigram_logprob" -> (TextModels.unigramLogprob _),
     "t08_bigram_logprob" -> (TextModels.bigramLogprob _),
+    "t09_lm_quality_tiers" -> (TextModels.lmQualityTiers _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "t07_unigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
     "t08_bigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
+    "t09_lm_quality_tiers" -> Seq("best_logprob", "worst_logprob"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -287,6 +289,7 @@ object SparkEntry {
     "t06_heavy_hitters" -> TextModels.heavyHittersOracle,
     "t07_unigram_logprob" -> TextModels.unigramLogprobOracle,
     "t08_bigram_logprob" -> TextModels.bigramLogprobOracle,
+    "t09_lm_quality_tiers" -> TextModels.lmQualityTiersOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

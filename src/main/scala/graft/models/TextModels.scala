@@ -360,4 +360,70 @@ object TextModels {
        |            AS DECIMAL(18,6)) AS avg_logprob
        |FROM pairs p JOIN logp l ON p.prev = l.prev AND p.cur = l.cur
        |GROUP BY 1""".stripMargin
+
+  /** t09: LM-score quality tiering — CCNet's defining curation stage:
+    * rank each language's documents by LM score (t07's unigram
+    * avg_logprob; a KenLM perplexity slots into the same seam) and
+    * split into HEAD / MIDDLE / TAIL terciles; head text trains, tail
+    * text is down-weighted or dropped. Tier assignment is explicit
+    * integer arithmetic — `tier = ((rank−1)·3) div n` over rank =
+    * row_number ordered by (avg_logprob DESC, doc_id) — rather than
+    * ntile(), so both engines share one bucketing rule by construction
+    * (and doc-count remainders land deterministically).
+    *
+    * Scale: one per-language window over the DOC-GRAIN scored table
+    * (corpus-sized but narrow — three columns), then a 3·|langs|-row
+    * rollup; the scoring input is t07's broadcast-model scan. Per-key
+    * window state is linear in that language's docs, and languages
+    * partition the corpus, so the sort parallelizes across them.
+    */
+  def lmQualityTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogprob(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"avg_logprob".desc, $"doc_id")
+    val n = Window.partitionBy($"lang")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("tier",
+        expr("((rk - 1) * 3) div n").cast(LongType))
+      .groupBy($"lang", $"tier")
+      .agg(count(lit(1)).as("doc_count"),
+        sum($"n_tokens").as("total_tokens"),
+        max($"avg_logprob").as("best_logprob"),
+        min($"avg_logprob").as("worst_logprob"))
+  }
+
+  val lmQualityTiersOracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |                    unnest(string_split($normSqlDuck, ' ')) AS tok
+       |             FROM documents),
+       |counts AS (SELECT tok, count(*) AS tok_count FROM tok GROUP BY 1),
+       |total AS (SELECT sum(tok_count) AS corpus_tokens FROM counts),
+       |logp AS (SELECT tok,
+       |                cast(round(ln(cast(tok_count AS DOUBLE) / corpus_tokens), 6)
+       |                     AS DECIMAL(18,6)) AS logp
+       |         FROM counts CROSS JOIN total),
+       |scored AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |         cast(round(cast(sum(l.logp) AS DOUBLE) / count(*), 6)
+       |              AS DECIMAL(18,6)) AS avg_logprob
+       |  FROM tok t JOIN logp l USING (tok)
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT d.lang, s.n_tokens, s.avg_logprob,
+       |         row_number() OVER (PARTITION BY d.lang
+       |           ORDER BY s.avg_logprob DESC, s.doc_id) AS rk,
+       |         count(*) OVER (PARTITION BY d.lang) AS n
+       |  FROM scored s JOIN documents d USING (doc_id))
+       |SELECT lang, cast(((rk - 1) * 3) // n AS BIGINT) AS tier,
+       |       count(*) AS doc_count,
+       |       cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       max(avg_logprob) AS best_logprob,
+       |       min(avg_logprob) AS worst_logprob
+       |FROM ranked GROUP BY 1, 2""".stripMargin
 }

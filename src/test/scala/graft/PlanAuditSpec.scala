@@ -47,6 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // decorating the vocabulary (`TextModels.unigramLogprob`)
     "t08_bigram_logprob", // same one-row total frame decorating the
     // bigram model table (`TextModels.bigramLogprob`)
+    "t09_lm_quality_tiers", // inherits t07's one-row total frame
+    // through its scoring input (`TextModels.lmQualityTiers`)
     "q34_monthly_active_accounts",
     "q40_daily_summary_by_app")
 
