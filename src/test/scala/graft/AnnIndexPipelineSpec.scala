@@ -68,6 +68,23 @@ class AnnIndexPipelineSpec extends AnyFunSuite {
     assert(rInc.codebookCells == 16 && rInc.pqCentroids == 128)
   }
 
+  test("incremental over an empty index encodes without throwing (null watermark)") {
+    // a run() over an empty snapshot leaves ann_codes empty; the
+    // incremental watermark must read as "encode everything", not NPE
+    val emptyDir = Files.createTempDirectory("graft-ann-empty").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.lit(false))
+      .write.parquet(s"$emptyDir/embeddings.parquet")
+    val wh = Files.createTempDirectory("graft-ann-wh0").toString
+    val pipe = new AnnIndexPipeline(spark, wh)
+    val r0 = pipe.run(emptyDir)
+    assert(r0.codedVectors == 0 && r0.codebookCells == 0)
+    // catch-up over real data: must not throw; with EMPTY frozen
+    // codebooks nothing can encode (the drift signal for a fresh run())
+    val r1 = pipe.runIncremental(sfDir)
+    assert(r1.codedVectors == 0)
+  }
+
   test("search over the materialized index ≡ the s06 inline derivation") {
     val wh = Files.createTempDirectory("graft-ann-search").toString
     val pipe = new AnnIndexPipeline(spark, wh)

@@ -130,4 +130,59 @@ class CurationPipelineSpec extends AnyFunSuite {
       inc.runIncremental(badDir)
     }
   }
+
+  test("an interrupted bloom swap recovers before the next incremental (stale sidecar)") {
+    graft.functions.GraftFunctions.register(spark)
+    val snapDir = Files.createTempDirectory("graft-cur-r-snap").toString
+    val unionDir = Files.createTempDirectory("graft-cur-r-union").toString
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs0.write.parquet(s"$snapDir/documents.parquet")
+    // the appended doc copies doc 3 verbatim: every segment is
+    // historically known, so a CORRECT sidecar must flag each one
+    // maybe-known and the keeper join must drop them all
+    val dupOfOld = docs0.filter($"doc_id" === 3)
+      .select($"text").head().getString(0)
+    val maxId = docs0.agg(max($"doc_id")).as[Long].head()
+    val newRows = Seq((maxId + 1, dupOfOld, "fr", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs0.unionByName(newRows).write.parquet(s"$unionDir/documents.parquet")
+
+    val wh = Files.createTempDirectory("graft-cur-r-wh").toString
+    val pipe = new CurationPipeline(spark, wh)
+    pipe.run(snapDir)
+    // simulate the crash: a bogus-content sidecar (STALE — it holds
+    // none of the real keeper hashes, so unguarded probes would read
+    // every known segment as definitely-new) plus the leftover .tmp
+    // marker from the interrupted two-step swap
+    Seq("bogus").toDF("x")
+      .agg(org.apache.spark.sql.functions.expr("bloom_agg(x)").as("bloom"))
+      .write.mode("overwrite").parquet(s"$wh/curation_segment_bloom")
+    Seq("marker").toDF("x")
+      .write.parquet(s"$wh/curation_segment_bloom.tmp")
+
+    val rInc = pipe.runIncremental(unionDir)
+    // recovery must have rebuilt the sidecar from curation_segments
+    // BEFORE verdicting: the duplicate doc retains zero tokens and
+    // adds no keepers — identical to a clean full run over the union
+    val whFull = Files.createTempDirectory("graft-cur-r-full").toString
+    val rFull = new CurationPipeline(spark, whFull).run(unionDir)
+    assert(rInc == rFull)
+    def rows(p: String): Seq[String] = {
+      val df = spark.read.parquet(p)
+      df.select(df.columns.sorted.map(c => col(c).cast("string")): _*)
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+    for (t <- Seq("segment_stats", "curation_segments"))
+      assert(rows(s"$wh/$t") == rows(s"$whFull/$t"), t)
+    // the marker is cleared and the sidecar matches a full rebuild's
+    val hadoopTmp = new org.apache.hadoop.fs.Path(
+      s"$wh/curation_segment_bloom.tmp")
+    assert(!hadoopTmp.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(hadoopTmp))
+    def bloomMd5(dir: String): String = spark.read
+      .parquet(s"$dir/curation_segment_bloom")
+      .select(md5($"bloom")).as[String].head()
+    assert(bloomMd5(wh) == bloomMd5(whFull))
+  }
 }
