@@ -120,6 +120,7 @@ object SparkEntry {
     "c05_pack_sequences" -> (CurationModels.packSequences _),
     "c06_curation_funnel" -> (CurationModels.curationFunnel _),
     "c07_temperature_mix" -> (CurationModels.temperatureMix _),
+    "c08_packing_efficiency" -> (CurationModels.packingEfficiency _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -281,6 +282,7 @@ object SparkEntry {
     "c05_pack_sequences" -> CurationModels.packSequencesOracle,
     "c06_curation_funnel" -> CurationModels.curationFunnelOracle,
     "c07_temperature_mix" -> CurationModels.temperatureMixOracle,
+    "c08_packing_efficiency" -> CurationModels.packingEfficiencyOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

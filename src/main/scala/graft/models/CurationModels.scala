@@ -595,4 +595,62 @@ object CurationModels {
        |            WHEN NOT sample_kept THEN 'sampled_out'
        |            ELSE 'kept' END AS verdict
        |FROM j""".stripMargin
+
+  /** c08: packing-efficiency accounting — the budget sheet a training
+    * build reads after c05 packs its streams: per language, how many
+    * fixed `PackBudget`-token windows the packed streams occupy, how
+    * full they are (fill ratio in exact integer micros — the padding
+    * waste is `1 − fill`), and how many documents straddle window
+    * boundaries (each crossing is a packer split or a cross-document
+    * attention contamination, the trade sequence packing manages).
+    * Windows per (lang, shard) stream = `max(last_seq) + 1` (offsets
+    * restart per stream); only the stream's LAST window can be
+    * partial, so fill approaches 1 as streams lengthen — the property
+    * that makes shard-bounded packing cheap at 100 TB.
+    *
+    * Scale: reads c05's output grain (doc rows), one (lang, shard)
+    * rollup with map-side combine, then a |langs|-row re-rollup.
+    */
+  def packingEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    packSequences(spark, sfDir)
+      .groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("docs"),
+        sum($"n_tokens").as("tokens"),
+        (max($"last_seq") + 1L).as("windows"),
+        sum($"last_seq" - $"first_seq").as("crossings"),
+        sum(when($"boundary_split", 1L).otherwise(0L)).as("split_docs"))
+      .groupBy($"lang")
+      .agg(sum($"docs").as("doc_count"),
+        sum($"tokens").as("total_tokens"),
+        sum($"windows").as("windows"),
+        sum($"crossings").as("boundary_crossings"),
+        sum($"split_docs").as("split_docs"))
+      .withColumn("capacity", $"windows" * lit(PackBudget))
+      .withColumn("fill_micros",
+        expr("(total_tokens * 1000000) div capacity"))
+  }
+
+  val packingEfficiencyOracle: String =
+    s"""WITH packed AS ($packSequencesOracle),
+       |per_stream AS (
+       |  SELECT lang, shard, count(*) AS docs, sum(n_tokens) AS tokens,
+       |         max(last_seq) + 1 AS windows,
+       |         sum(last_seq - first_seq) AS crossings,
+       |         sum(CASE WHEN boundary_split THEN 1 ELSE 0 END) AS split_docs
+       |  FROM packed GROUP BY 1, 2),
+       |per_lang AS (
+       |  SELECT lang, sum(docs) AS doc_count, sum(tokens) AS total_tokens,
+       |         sum(windows) AS windows, sum(crossings) AS boundary_crossings,
+       |         sum(split_docs) AS split_docs
+       |  FROM per_stream GROUP BY 1)
+       |SELECT lang, cast(doc_count AS BIGINT) AS doc_count,
+       |       cast(total_tokens AS BIGINT) AS total_tokens,
+       |       cast(windows AS BIGINT) AS windows,
+       |       cast(boundary_crossings AS BIGINT) AS boundary_crossings,
+       |       cast(split_docs AS BIGINT) AS split_docs,
+       |       cast(windows * $PackBudget AS BIGINT) AS capacity,
+       |       cast((total_tokens * 1000000) // (windows * $PackBudget) AS BIGINT)
+       |         AS fill_micros
+       |FROM per_lang""".stripMargin
 }
