@@ -243,12 +243,18 @@ object TextModels {
     import spark.implicits._
     val tok = Tables.documents(spark, sfDir)
       .select($"doc_id", explode(toks($"text")).as("tok"))
-    val counts = tok.groupBy($"tok").agg(count(lit(1)).as("tok_count"))
-    val total = counts.agg(sum($"tok_count").as("corpus_tokens"))
-    val logp = counts.crossJoin(total)
-      .select($"tok",
-        round(log($"tok_count" / $"corpus_tokens"), 6)
-          .cast(DecimalType(18, 6)).as("logp"))
+    // the MODEL is a vocabulary-sized artifact — materialize it once
+    // per session (Spark shares no subtrees inside one plan, so an
+    // inline derivation re-scans the corpus once per referencing leg;
+    // a trained KenLM table arrives as exactly this dim table)
+    val logp = Shared.materialized("unigram_model", spark, sfDir) {
+      val counts = tok.groupBy($"tok").agg(count(lit(1)).as("tok_count"))
+      val total = counts.agg(sum($"tok_count").as("corpus_tokens"))
+      counts.crossJoin(total)
+        .select($"tok",
+          round(log($"tok_count" / $"corpus_tokens"), 6)
+            .cast(DecimalType(18, 6)).as("logp"))
+    }
     tok.join(broadcast(logp), Seq("tok"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logprob"))
@@ -312,17 +318,25 @@ object TextModels {
         expr("slice(t, 2, greatest(size(t) - 1, 0))"),
         (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
       .select($"doc_id", $"bg.prev".as("prev"), $"bg.cur".as("cur"))
-    val cbi = bigrams.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
-    val cctx = bigrams.groupBy($"prev").agg(count(lit(1)).as("cc"))
-    val cuni = withT.select(explode($"t").as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("cu"))
-    val tot = cuni.agg(sum($"cu").as("n"))
-    val p = lit(0.75d) * ($"cb".cast(DoubleType) / $"cc".cast(DoubleType)) +
-      lit(0.25d) * ($"cu".cast(DoubleType) / $"n".cast(DoubleType))
-    val logp = cbi.join(cctx, Seq("prev"))
-      .join(cuni, $"cur" === $"tok").crossJoin(tot)
-      .select($"prev", $"cur",
-        round(log(p), 6).cast(DecimalType(18, 6)).as("logp"))
+    // the MODEL is vocabulary²-bounded — materialize once per session
+    // (the unigramLogprob rationale; without it each model leg re-scans
+    // the corpus: 5 scans measured in the inline plan, 1 after). The
+    // context denominator derives from the bigram counts themselves
+    // (Σ_cur c(prev, cur) ≡ prev's occurrences as a context), saving a
+    // further corpus pass.
+    val logp = Shared.materialized("bigram_model", spark, sfDir) {
+      val cbi = bigrams.groupBy($"prev", $"cur").agg(count(lit(1)).as("cb"))
+      val cctx = cbi.groupBy($"prev").agg(sum($"cb").as("cc"))
+      val cuni = withT.select(explode($"t").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("cu"))
+      val tot = cuni.agg(sum($"cu").as("n"))
+      val p = lit(0.75d) * ($"cb".cast(DoubleType) / $"cc".cast(DoubleType)) +
+        lit(0.25d) * ($"cu".cast(DoubleType) / $"n".cast(DoubleType))
+      cbi.join(cctx, Seq("prev"))
+        .join(cuni, $"cur" === $"tok").crossJoin(tot)
+        .select($"prev", $"cur",
+          round(log(p), 6).cast(DecimalType(18, 6)).as("logp"))
+    }
     bigrams.join(logp, Seq("prev", "cur"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logprob"))

@@ -43,12 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
     "s06_ivfpq_ann_topk", // s03's constant 16-row coarse codebook
     // crossJoin for cell assignment (`SimilarityModels.ivfPqAnnTopK`)
-    "t07_unigram_logprob", // one-row corpus-token-total frame
-    // decorating the vocabulary (`TextModels.unigramLogprob`)
-    "t08_bigram_logprob", // same one-row total frame decorating the
-    // bigram model table (`TextModels.bigramLogprob`)
-    "t09_lm_quality_tiers", // inherits t07's one-row total frame
-    // through its scoring input (`TextModels.lmQualityTiers`)
+    // t07/t08/t09 carried one-row total-frame BNLJs until round 8;
+    // their LM models are now session-materialized dim tables, so the
+    // audited steady-state plans read parquet with no nested loop
     "q34_monthly_active_accounts",
     "q40_daily_summary_by_app")
 
