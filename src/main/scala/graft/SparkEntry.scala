@@ -113,6 +113,7 @@ object SparkEntry {
     "s04_sq8_ann_topk" -> (SimilarityModels.sq8AnnTopK _),
     "s05_pq_ann_topk" -> (SimilarityModels.pqAnnTopK _),
     "s06_ivfpq_ann_topk" -> (SimilarityModels.ivfPqAnnTopK _),
+    "s07_ivfpq_refined_topk" -> (SimilarityModels.ivfPqRefinedTopK _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "s04_sq8_ann_topk" -> Seq("cosine_sim_sq8"),
     "s05_pq_ann_topk" -> Seq("pq_sim"),
     "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
+    "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "t07_unigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
     "t08_bigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
@@ -275,6 +277,7 @@ object SparkEntry {
     "s04_sq8_ann_topk" -> SimilarityModels.sq8AnnTopKOracle,
     "s05_pq_ann_topk" -> SimilarityModels.pqAnnTopKOracle,
     "s06_ivfpq_ann_topk" -> SimilarityModels.ivfPqAnnTopKOracle,
+    "s07_ivfpq_refined_topk" -> SimilarityModels.ivfPqRefinedTopKOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,

@@ -668,37 +668,110 @@ object SimilarityModels {
         $"rk".cast(LongType).as("sim_rank"))
   }
 
-  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared s06/s07 index setup: the doubled corpus plus the three
+    * MATERIALIZED index tables. Materialized (parquet round-trip is
+    * double-exact), because adcSearch references the codebooks in six
+    * broadcast lookup branches — a .cache() cleared between runs
+    * re-trains once PER BRANCH (a measured 13× blow-up at sf0.1); in
+    * production they are AnnIndexPipeline's frozen codebook dim tables
+    * and its ann_codes (built once, appended incrementally) — every
+    * search reads the 4-byte codes, not the full-precision corpus. */
+  private def ivfPqIndex(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     withFloatDot(spark)
     import spark.implicits._
     val base = doubledEmb(Tables.embeddings(spark, sfDir))
     // REAL trained codebooks over the fixed training prefix: coarse
     // cells from cosine k-means, then a 128-row residual codebook from
     // per-subspace L2 k-means over the sample's residuals — both
-    // replayed exactly by the oracle's unrolled KMeans.oracleCtes.
-    // MATERIALIZED (parquet round-trip is double-exact), because
-    // adcSearch references them in six broadcast lookup branches — a
-    // .cache() cleared between runs re-trains once PER BRANCH (a
-    // measured 13× blow-up at sf0.1); in production they are the
-    // AnnIndexPipeline's frozen codebook dim tables
+    // replayed exactly by the oracle's unrolled KMeans.oracleCtes
     val cents = Shared.materialized("ivfpq_cents", spark, sfDir) {
       coarseCodebook(base)
     }
     val pqCents = Shared.materialized("ivfpq_pq_cents", spark, sfDir) {
       residualCodebook(base, cents)
     }
-    // index build — the ONE corpus-sized pass (cell assignment +
-    // residual coding; 8 codes per vector) — is session-memoized as a
-    // materialized table: in production this IS AnnIndexPipeline's
-    // ann_codes (built once, appended incrementally), and every search
-    // reads the 4-byte codes, not the full-precision corpus
     val codes = Shared.materialized("ivfpq_codes", spark, sfDir) {
       encodeAgainst(residualSubs(cellTop2(base, cents), cents), pqCents)
     }
+    (base, cents, pqCents, codes)
+  }
+
+  def ivfPqAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (base, cents, pqCents, codes) = ivfPqIndex(spark, sfDir)
     adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes, k = 5)
   }
 
-  val ivfPqAnnTopKOracle: String = {
+  /** s07: IVF-PQ with EXACT REFINE — the production ANN serving shape
+    * (FAISS `IndexRefineFlat`): the compressed index produces a cheap
+    * ADC shortlist (top-20 ≈ 4·k), then ONLY those candidates are
+    * re-scored against their full-precision vectors and the true
+    * cosine picks the final top-5. Refine un-does the quantization
+    * error for everything the shortlist caught — recall rises toward
+    * the probe bound (what the coarse pruning admits) at the cost of
+    * |queries|·20 exact dot products.
+    *
+    * Scale: the re-rank gather is a hash join on the corpus's PRIMARY
+    * KEY over a shortlist-sized side — a point-lookup-shaped join; no
+    * full-precision vector outside the shortlist is ever touched, so
+    * the memory story of the 4-byte index stands. Determinism: the
+    * refine similarity is s01's exact rounded cosine (ties by
+    * cand_id), so the oracle replays it directly.
+    */
+  def ivfPqRefinedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (base, cents, pqCents, codes) = ivfPqIndex(spark, sfDir)
+    val shortlist =
+      adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes, k = 20)
+        .select($"query_id", $"cand_id", $"sim_rank".as("adc_rank"))
+    val cand = base.select($"vec_id".as("cand_id"), $"v".as("c_v"),
+      $"norm".as("c_norm"))
+    val qs = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("q_v"), $"norm".as("q_norm"))
+    shortlist.join(cand, Seq("cand_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cosine_sim",
+        round(dotArr($"q_v", $"c_v") / ($"q_norm" * $"c_norm"), 6)
+          .cast(DecimalType(24, 6)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"cosine_sim".desc, $"cand_id")))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"cand_id", $"cosine_sim", $"adc_rank",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val ivfPqRefinedTopKOracle: String = {
+    def dot64(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+    ivfPqOracleCtes +
+      s""",
+         |short AS (
+         |  SELECT query_id, cand_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ivfpq_sim DESC, cand_id) AS adc_rank
+         |  FROM final
+         |  QUALIFY adc_rank <= 20),
+         |rerank AS (
+         |  SELECT s.query_id, s.cand_id,
+         |         cast(s.adc_rank AS BIGINT) AS adc_rank,
+         |         cast(round(${dot64("qb.v", "cb.v")} / (qb.norm * cb.norm), 6)
+         |              AS DECIMAL(24,6)) AS cosine_sim
+         |  FROM short s
+         |  JOIN bn qb ON qb.vec_id = s.query_id
+         |  JOIN bn cb ON cb.vec_id = s.cand_id)
+         |SELECT query_id, cand_id, cosine_sim, adc_rank,
+         |       cast(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cosine_sim DESC, cand_id) AS BIGINT) AS sim_rank
+         |FROM rerank
+         |QUALIFY sim_rank <= 5""".stripMargin
+  }
+
+  /** CTE chain shared by the s06 and s07 oracles: everything through
+    * the `final` CTE (per-candidate ADC similarity over the probed
+    * cells), ready for a closing SELECT (s06) or a refine stage (s07). */
+  private lazy val ivfPqOracleCtes: String = {
     def dotN(a: String, b: String, n: Int): String =
       s"list_sum(list_transform(range($n), i -> $a[i+1] * $b[i+1]))"
     def l2sq(a: String, b: String): String =
@@ -772,16 +845,20 @@ object SimilarityModels {
        |  FROM scored s
        |  JOIN qprobe q ON q.query_id = s.query_id AND q.cell = s.cell
        |  JOIN cellsq c ON c.cell = s.cell
-       |  WHERE s.query_id <> s.cand_id)
-       |SELECT query_id, cand_id, cell, ivfpq_sim,
-       |       cast(row_number() OVER (PARTITION BY query_id
-       |              ORDER BY ivfpq_sim DESC, cand_id) AS BIGINT) AS sim_rank
-       |FROM final
-       |QUALIFY sim_rank <= 5""".stripMargin
+       |  WHERE s.query_id <> s.cand_id)""".stripMargin
     head + KMeans.oracleCtes("km6", "km6_train", 16, KmIters, 64, cosine = true) +
       mid + KMeans.oracleCtes("km6r", "km6r_train", 16, KmIters, 8, cosine = false) +
       tail
   }
+
+  val ivfPqAnnTopKOracle: String =
+    ivfPqOracleCtes +
+      """
+        |SELECT query_id, cand_id, cell, ivfpq_sim,
+        |       cast(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY ivfpq_sim DESC, cand_id) AS BIGINT) AS sim_rank
+        |FROM final
+        |QUALIFY sim_rank <= 5""".stripMargin
 
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).

@@ -48,7 +48,8 @@ object AnnBench {
       ("s03_ivf_ann_topk", exact3),
       ("s04_sq8_ann_topk", exact5),
       ("s05_pq_ann_topk", exact5),
-      ("s06_ivfpq_ann_topk", exact5))
+      ("s06_ivfpq_ann_topk", exact5),
+      ("s07_ivfpq_refined_topk", exact5))
     val rows = tiers.map { case (name, baseline) =>
       val (got, dt) = pairs(name)
       val recall = (got & baseline).size.toDouble / baseline.size

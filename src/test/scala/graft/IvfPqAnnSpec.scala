@@ -31,6 +31,29 @@ class IvfPqAnnSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"recall@5 = $recall")
   }
 
+  test("exact refine (s07) lifts recall over the raw ADC ranking (s06)") {
+    val exact = SimilarityModels.cosineTopK(spark, sfDir)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val adc = SimilarityModels.ivfPqAnnTopK(spark, sfDir)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val refined = SimilarityModels.ivfPqRefinedTopK(spark, sfDir)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    assert(refined.size == 50)
+    val rAdc = (exact & adc).size.toDouble / exact.size
+    val rRef = (exact & refined).size.toDouble / exact.size
+    // refine re-scores the ADC top-20 with the TRUE cosine, so it can
+    // only fix quantization mistakes the shortlist caught — recall
+    // must not drop, and on this fixture it should strictly improve
+    assert(rRef >= rAdc, s"refine recall $rRef below ADC recall $rAdc")
+    assert(rRef > rAdc, s"refine did not improve recall ($rRef vs $rAdc)")
+    // every refined hit comes from the probe-admitted shortlist: a
+    // refined candidate the raw ADC ranking could never order above
+    // rank 20 must not appear
+    val short20 = SimilarityModels.ivfPqRefinedTopK(spark, sfDir)
+      .select($"adc_rank").as[Long].collect()
+    assert(short20.forall(r => r >= 1 && r <= 20))
+  }
+
   test("every candidate lies in one of the query's two probed cells") {
     // re-derive the probe set with the model's own trained coarse
     // quantizer (the shared codebook helpers the query itself uses)

@@ -41,8 +41,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "s01_cosine_topk",
     "s04_sq8_ann_topk", // 10 broadcast query vectors, the s01 shape
     // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
-    "s06_ivfpq_ann_topk", // s03's constant 16-row coarse codebook
-    // crossJoin for cell assignment (`SimilarityModels.ivfPqAnnTopK`)
+    "s06_ivfpq_ann_topk", // constant 16-row coarse codebook crossJoin
+    // for the query-probe assignment (`SimilarityModels.adcSearch`)
+    "s07_ivfpq_refined_topk", // same probe-assignment crossJoin via
+    // adcSearch's shortlist stage
     // t07/t08/t09 carried one-row total-frame BNLJs until round 8;
     // their LM models are now session-materialized dim tables, so the
     // audited steady-state plans read parquet with no nested loop
