@@ -196,9 +196,10 @@ object SparkEntry {
     "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
     "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
-    "t07_unigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
-    "t08_bigram_logprob" -> Seq("sum_logprob", "avg_logprob"),
-    "t09_lm_quality_tiers" -> Seq("best_logprob", "worst_logprob"),
+    // t07/t08 avg_logprob and t09's tier extrema are DOUBLE since the
+    // round-8 integer-micros rounding fix (only the sums stay decimal)
+    "t07_unigram_logprob" -> Seq("sum_logprob"),
+    "t08_bigram_logprob" -> Seq("sum_logprob"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching

@@ -257,11 +257,28 @@ object TextModels {
     }
     tok.join(broadcast(logp), Seq("tok"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logprob"))
-      .withColumn("avg_logprob",
-        round($"sum_logprob".cast(DoubleType) / $"n_tokens", 6)
-          .cast(DecimalType(18, 6)))
+      .agg(count(lit(1)).as("n_tokens"), sum($"logp").as("sum_logprob"),
+        sum(($"logp" * 1000000).cast(LongType)).as("sum_micros"))
+      .withColumn("avg_logprob", avgFromMicros("sum_micros", "n_tokens"))
+      .drop("sum_micros")
   }
+
+  /** round(sum/n, 6) for a NEGATIVE logprob sum, computed entirely in
+    * exact integer micros (`sum_micros` = Σ of the 6dp logps ×1e6, an
+    * exact BIGINT sum): `round(x, 6)` on the DOUBLE quotient is
+    * tie-UNSTABLE across engines (sum −33.974605 over n=10 sits exactly
+    * on a 7th-digit half — Spark rounded the binary double down, DuckDB
+    * away from zero; 2/5000 rows flipped at sf0.1). Here the quotient's
+    * half-away-from-zero rounding is `floor((2·|sum_micros| + n)/(2n))`
+    * over exact positive BIGINTs — Spark `div` and DuckDB `//` agree —
+    * and the final micros→double conversion is the same IEEE op on both
+    * sides. Output is DOUBLE (not DECIMAL), already driver-comparable. */
+  private def avgFromMicros(microsCol: String, nCol: String): Column =
+    expr(s"-cast(((-$microsCol) * 2 + $nCol) div ($nCol * 2) AS DOUBLE) / 1000000.0")
+
+  /** The DuckDB twin of [[avgFromMicros]] (micros expression inline). */
+  private def avgFromMicrosSql(microsExpr: String, nExpr: String): String =
+    s"-cast(((-($microsExpr)) * 2 + ($nExpr)) // (($nExpr) * 2) AS DOUBLE) / 1000000.0"
 
   val unigramLogprobOracle: String =
     s"""WITH tok AS (SELECT doc_id,
@@ -275,8 +292,7 @@ object TextModels {
        |         FROM counts CROSS JOIN total)
        |SELECT t.doc_id, count(*) AS n_tokens,
        |       sum(l.logp) AS sum_logprob,
-       |       cast(round(cast(sum(l.logp) AS DOUBLE) / count(*), 6)
-       |            AS DECIMAL(18,6)) AS avg_logprob
+       |       ${avgFromMicrosSql("sum(cast(l.logp * 1000000 AS BIGINT))", "count(*)")} AS avg_logprob
        |FROM tok t JOIN logp l USING (tok)
        |GROUP BY 1""".stripMargin
 
@@ -339,10 +355,10 @@ object TextModels {
     }
     bigrams.join(logp, Seq("prev", "cur"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logprob"))
-      .withColumn("avg_logprob",
-        round($"sum_logprob".cast(DoubleType) / $"n_bigrams", 6)
-          .cast(DecimalType(18, 6)))
+      .agg(count(lit(1)).as("n_bigrams"), sum($"logp").as("sum_logprob"),
+        sum(($"logp" * 1000000).cast(LongType)).as("sum_micros"))
+      .withColumn("avg_logprob", avgFromMicros("sum_micros", "n_bigrams"))
+      .drop("sum_micros")
   }
 
   val bigramLogprobOracle: String =
@@ -370,8 +386,7 @@ object TextModels {
        |  CROSS JOIN tot t)
        |SELECT p.doc_id, count(*) AS n_bigrams,
        |       sum(l.logp) AS sum_logprob,
-       |       cast(round(cast(sum(l.logp) AS DOUBLE) / count(*), 6)
-       |            AS DECIMAL(18,6)) AS avg_logprob
+       |       ${avgFromMicrosSql("sum(cast(l.logp * 1000000 AS BIGINT))", "count(*)")} AS avg_logprob
        |FROM pairs p JOIN logp l ON p.prev = l.prev AND p.cur = l.cur
        |GROUP BY 1""".stripMargin
 
@@ -424,8 +439,7 @@ object TextModels {
        |         FROM counts CROSS JOIN total),
        |scored AS (
        |  SELECT t.doc_id, count(*) AS n_tokens,
-       |         cast(round(cast(sum(l.logp) AS DOUBLE) / count(*), 6)
-       |              AS DECIMAL(18,6)) AS avg_logprob
+       |         ${avgFromMicrosSql("sum(cast(l.logp * 1000000 AS BIGINT))", "count(*)")} AS avg_logprob
        |  FROM tok t JOIN logp l USING (tok)
        |  GROUP BY 1),
        |ranked AS (
