@@ -88,9 +88,9 @@ class SegmentDedupSpec extends AnyFunSuite {
       (1L, words("rare1", "rare2", "rare3", "rare4"), "en", "s")))
     val rows = TextModels.unigramLogprob(spark, dir)
       .select($"doc_id", $"avg_logprob")
-      .as[(Long, java.math.BigDecimal)].collect().sortBy(_._1)
-    assert(rows(0)._2.doubleValue() > rows(1)._2.doubleValue())
-    assert(rows.forall(_._2.doubleValue() < 0.0))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows(0)._2 > rows(1)._2)
+    assert(rows.forall(_._2 < 0.0))
   }
 
   test("t07: per-doc token counts and the ln(p) upper bound hold on the real corpus") {
