@@ -98,6 +98,7 @@ object SparkEntry {
     "q43_asof_price_join" -> (ActivityModels.asofPriceJoin _),
     "q44_sessionization" -> (ActivityModels.sessionization _),
     "q45_last_touch_attribution" -> (ActivityModels.lastTouchAttribution _),
+    "q46_hourly_gapfill" -> (ActivityModels.hourlyGapfill _),
     // --- beyond-reference: dedup / similarity / text (SURVEY.md §7.2 M8) ---
     "d01_dedup_exact" -> (DedupModels.dedupExact _),
     "d02_minhash_signatures" -> (DedupModels.minhashSignatures _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "d06_edit_distance_pairs" -> (DedupModels.editDistancePairs _),
     "d07_near_dup_clusters" -> (DedupModels.nearDupClusters _),
     "d08_segment_dedup" -> (DedupModels.segmentDedup _),
+    "d09_semantic_dedup" -> (SimilarityModels.semanticDedup _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
@@ -122,6 +124,7 @@ object SparkEntry {
     "c06_curation_funnel" -> (CurationModels.curationFunnel _),
     "c07_temperature_mix" -> (CurationModels.temperatureMix _),
     "c08_packing_efficiency" -> (CurationModels.packingEfficiency _),
+    "c09_leakage_safe_split" -> (CurationModels.leakageSafeSplit _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -131,6 +134,7 @@ object SparkEntry {
     "t07_unigram_logprob" -> (TextModels.unigramLogprob _),
     "t08_bigram_logprob" -> (TextModels.bigramLogprob _),
     "t09_lm_quality_tiers" -> (TextModels.lmQualityTiers _),
+    "t10_pii_redaction" -> (TextModels.piiRedaction _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -196,6 +200,8 @@ object SparkEntry {
     "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
     "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
+    "d09_semantic_dedup" -> Seq("max_pair_sim"),
+    "q46_hourly_gapfill" -> Seq("total_value"),
     // t07/t08 avg_logprob and t09's tier extrema are DOUBLE since the
     // round-8 integer-micros rounding fix (only the sums stay decimal)
     "t07_unigram_logprob" -> Seq("sum_logprob"),
@@ -264,6 +270,7 @@ object SparkEntry {
     "q43_asof_price_join" -> ActivityModels.asofPriceJoinOracle,
     "q44_sessionization" -> ActivityModels.sessionizationOracle,
     "q45_last_touch_attribution" -> ActivityModels.lastTouchAttributionOracle,
+    "q46_hourly_gapfill" -> ActivityModels.hourlyGapfillOracle,
     "d01_dedup_exact" -> DedupModels.dedupExactOracle,
     "d02_minhash_signatures" -> DedupModels.minhashSignaturesOracle,
     "d03_lsh_near_dup_pairs" -> DedupModels.lshNearDupPairsOracle,
@@ -272,6 +279,7 @@ object SparkEntry {
     "d06_edit_distance_pairs" -> DedupModels.editDistancePairsOracle,
     "d07_near_dup_clusters" -> DedupModels.nearDupClustersOracle,
     "d08_segment_dedup" -> DedupModels.segmentDedupOracle,
+    "d09_semantic_dedup" -> SimilarityModels.semanticDedupOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
@@ -287,6 +295,7 @@ object SparkEntry {
     "c06_curation_funnel" -> CurationModels.curationFunnelOracle,
     "c07_temperature_mix" -> CurationModels.temperatureMixOracle,
     "c08_packing_efficiency" -> CurationModels.packingEfficiencyOracle,
+    "c09_leakage_safe_split" -> CurationModels.leakageSafeSplitOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,
@@ -296,6 +305,7 @@ object SparkEntry {
     "t07_unigram_logprob" -> TextModels.unigramLogprobOracle,
     "t08_bigram_logprob" -> TextModels.bigramLogprobOracle,
     "t09_lm_quality_tiers" -> TextModels.lmQualityTiersOracle,
+    "t10_pii_redaction" -> TextModels.piiRedactionOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

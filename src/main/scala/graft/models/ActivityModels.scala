@@ -564,4 +564,88 @@ object ActivityModels {
       |           FROM txn)
       |SELECT date_key, wallet_id, balance AS closing_balance
       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** q46's bucket unit: one hour in integer microseconds. */
+  private val HourUs = 3600L * 1000000L
+
+  /** q46: CALENDAR-SPINE GAP-FILL (beyond-reference) — materialize an
+    * explicit zero row for every (hour, event_type) slot in the observed
+    * range. Densification is the step every time-series chart, anomaly
+    * detector, and downstream ML feature join needs: a missing slot is
+    * not zero until someone says so, and a LEFT JOIN against a generated
+    * spine is the warehouse idiom that says it.
+    *
+    * Spark-first shape — ONE fact scan, spine derived from the
+    * aggregate, equi-join only:
+    *  1. the fact aggregates to (event_type, hour-bucket) grain —
+    *     output-sized (|types|·|hours| rows), cached because both the
+    *     spine and the fill read it;
+    *  2. per-type bounds collapse to GLOBAL bounds with a window over
+    *     the |types|-row aggregate (constant-partition spec — the
+    *     aggregate-bounded window pattern q43's calendar fill uses; no
+    *     one-row crossJoin frame, so the plan carries no BNLJ);
+    *  3. `sequence(gmn, gmx, 1h)` + `explode` generates each type's
+    *     hour spine (|types|·|hours| rows — output-sized, never
+    *     fact-sized), which LEFT-equi-joins the aggregate back on
+    *     (event_type, bucket_us) and zero-fills the holes.
+    *
+    * Buckets are integer micros (`unix_micros` ↔ DuckDB `epoch_us`,
+    * q44's cross-engine idiom — fixture timestamps are all post-epoch,
+    * so truncating `div` and flooring `//` agree); values are exact
+    * decimal sums (order-free, q01's Amount convention).
+    *
+    * At 100 TB: the shuffle is the (type, hour) aggregate — map-side
+    * combined, output-sized state; the spine explode fans out of a
+    * |types|-row frame; the fill join is output-sized ⋈ output-sized.
+    * The fact is scanned exactly once and only (ts, event_type, value)
+    * leave the reader.
+    */
+  def hourlyGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Shared.cacheOnce(
+      graft.catalog.Tables.events(spark, sfDir)
+        .select($"event_type",
+          (expr(s"unix_micros(ts) div ${HourUs}L") * HourUs).as("bucket_us"),
+          $"value".cast(Amount).as("amount"))
+        .groupBy($"event_type", $"bucket_us")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"amount").cast(DecimalType(38, 2)).as("total_value")))
+    // constant-partition window over the |types|-row bounds aggregate:
+    // global range without a one-row crossJoin frame
+    val wg = Window.partitionBy(lit(1))
+    val spine = hourly.groupBy($"event_type")
+      .agg(min($"bucket_us").as("mn"), max($"bucket_us").as("mx"))
+      .withColumn("gmn", min($"mn").over(wg))
+      .withColumn("gmx", max($"mx").over(wg))
+      .select($"event_type",
+        explode(sequence($"gmn", $"gmx", lit(HourUs))).as("bucket_us"))
+    spine.join(hourly, Seq("event_type", "bucket_us"), "left")
+      .select($"bucket_us", $"event_type",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"total_value", lit(BigDecimal(0)).cast(DecimalType(38, 2)))
+          .as("total_value"),
+        $"n_events".isNull.as("is_gap"))
+  }
+
+  val hourlyGapfillOracle: String =
+    """WITH e AS (SELECT event_type,
+      |                  (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+      |                  cast(value AS DECIMAL(18,2)) AS amount
+      |           FROM events),
+      |hourly AS (SELECT event_type, bucket_us, count(*) AS n_events,
+      |                  cast(sum(amount) AS DECIMAL(38,2)) AS total_value
+      |           FROM e GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.event_type, unnest(generate_series(
+      |           (SELECT min(bucket_us) FROM hourly),
+      |           (SELECT max(bucket_us) FROM hourly),
+      |           3600000000)) AS bucket_us
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t)
+      |SELECT s.bucket_us, s.event_type,
+      |       cast(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+      |       cast(coalesce(h.total_value, 0) AS DECIMAL(38,2)) AS total_value,
+      |       h.n_events IS NULL AS is_gap
+      |FROM spine s LEFT JOIN hourly h
+      |  ON s.event_type = h.event_type AND s.bucket_us = h.bucket_us"""
+      .stripMargin
 }

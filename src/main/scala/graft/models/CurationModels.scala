@@ -653,4 +653,75 @@ object CurationModels {
        |       cast((total_tokens * 1000000) // (windows * $PackBudget) AS BIGINT)
        |         AS fill_micros
        |FROM per_lang""".stripMargin
+
+  /** c09 split thresholds over the 256 content-hash buckets:
+    * bucket < 244 → train (~95.3%), < 250 → val (~2.3%), else test. */
+  private val TrainPer256 = 244
+  private val ValPer256 = 250
+
+  /** c09: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT (beyond-reference) — the
+    * split assignment is a deterministic hash of the document's CONTENT
+    * fingerprint (d01's normalized-text md5), not of its id: byte-equal
+    * duplicates always share a bucket, so an exact duplicate of a
+    * training document can never leak into val/test no matter how many
+    * ids it ships under — the train-on-test contamination mode id-keyed
+    * splits are blind to. (Near-dup-safe splitting composes d03/d07's
+    * cluster labels with the same idiom; this operator is the exact
+    * tier.) Buckets come from the first two hex digits of md5(fp) — the
+    * c02 idiom, re-hashed so sampling (keyed on doc_id) and splitting
+    * (keyed on content) stay independent coins.
+    *
+    * Output is the per (split, lang) audit: doc counts, distinct
+    * fingerprints, and the duplicate mass that traveled together
+    * (`n_dup_docs` = docs − unique fps — every one of these would have
+    * been a potential leak under an id-keyed split).
+    *
+    * Scale: a stateless per-doc map (no RNG, no order dependence —
+    * reshuffling or re-sharding the corpus cannot move a document
+    * across splits) + one output-sized rollup; the shuffle is the
+    * (split, lang) aggregate with map-side combine. countDistinct(fp)
+    * shuffles (split, lang, fp) partials — fp-keyed, uniform, no skew.
+    */
+  def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
+    leakageSafeSplitFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized variant (incremental runs feed only NEW docs;
+    * their split labels are stable because the hash ignores run state). */
+  def leakageSafeSplitFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
+    docs
+      .select($"lang", $"n_chars", md5(normText($"text")).as("fp"))
+      .withColumn("h", md5($"fp"))
+      .withColumn("bucket",
+        hexVal(substring($"h", 1, 1)) * 16 + hexVal(substring($"h", 2, 1)))
+      .withColumn("split",
+        when($"bucket" < TrainPer256, "train")
+          .when($"bucket" < ValPer256, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_unique_fp"),
+        sum($"n_chars").as("total_chars"))
+      .withColumn("n_dup_docs", $"n_docs" - $"n_unique_fp")
+  }
+
+  val leakageSafeSplitOracle: String =
+    s"""WITH d AS (SELECT lang, n_chars, md5($normSqlDuck) AS fp
+       |           FROM documents),
+       |b AS (SELECT lang, n_chars, fp,
+       |             (strpos('0123456789abcdef', substr(md5(fp),1,1)) - 1) * 16 +
+       |             (strpos('0123456789abcdef', substr(md5(fp),2,1)) - 1) AS bucket
+       |      FROM d),
+       |s AS (SELECT lang, n_chars, fp,
+       |             CASE WHEN bucket < $TrainPer256 THEN 'train'
+       |                  WHEN bucket < $ValPer256 THEN 'val'
+       |                  ELSE 'test' END AS split
+       |      FROM b)
+       |SELECT split, lang, count(*) AS n_docs,
+       |       count(DISTINCT fp) AS n_unique_fp,
+       |       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       |       count(*) - count(DISTINCT fp) AS n_dup_docs
+       |FROM s GROUP BY 1, 2""".stripMargin
 }

@@ -952,4 +952,128 @@ object SimilarityModels {
        |       count(DISTINCT label) AS distinct_labels
        |FROM bucketed GROUP BY bucket""".stripMargin
   }
+
+  /** d09's duplicate threshold: same-cell pairs at or above this rounded
+    * cosine are semantic duplicates. Deliberately low for the
+    * near-isotropic synthetic embeddings (their top pairwise cosines sit
+    * near 0.45–0.6; a real web corpus runs this at ~0.95+). */
+  private[graft] val SemDedupTau = 0.4
+
+  /** d09: SEMANTIC DEDUPLICATION (beyond-reference) — the SemDeDup
+    * pipeline (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    * the embedding space, then compare pairs ONLY within a cluster and
+    * drop all but one of each semantic-duplicate group. This is the
+    * embedding-space tier of the dedup family — d01 catches byte-equal,
+    * d03/d07 catch token-overlap near-dups, d05 catches
+    * LSH-bucket-cosine near-dups; d09 catches REPHRASINGS that share no
+    * tokens at all, which is why it is the stage modern corpus builds
+    * (SemDeDup on LAION/C4) run after exact/minhash dedup.
+    *
+    * Composition over new machinery: the clustering IS s03's trained
+    * IVF coarse codebook and assignment, read from the same
+    * session-materialized index tables (`ivf_cents`/`ivf_top2`) — one
+    * trained structure serving both ANN search and semantic dedup,
+    * exactly how a production vector warehouse amortizes its index.
+    * Keeper rule: within a cell, the LOWEST vec_id of a duplicate pair
+    * survives; a vector is dropped iff some smaller-id cell-mate sits
+    * at ≥ [[SemDedupTau]] (the deterministic keep-first form of
+    * SemDeDup's drop-all-but-one; no RNG, no iteration order).
+    *
+    * Output: per-cell audit — members, pairs scored, duplicate pairs,
+    * drops, max pairwise cosine, and the dropped id list (the actual
+    * dedup decision, witnessed cross-engine).
+    *
+    * Scale: the pair join is equi on the cell id, so compare volume is
+    * Σ|cell|² — bounded by keeping cells constant-sized (k grows with
+    * the corpus: n/k vectors per cell, the SemDeDup posture; k=16 here
+    * mirrors s03). Nothing all-pairs exists; assignment is one corpus
+    * pass against a broadcast codebook, already materialized by the ANN
+    * tier.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val base = doubledEmb(Tables.embeddings(spark, sfDir))
+    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+      cellTop2(base, cents)
+    }
+    val members = top2.filter($"crk" === 1)
+      .select($"cid".as("cell"), $"vec_id", $"v", $"norm")
+    val a = members.select($"cell", $"vec_id".as("id_a"), $"v".as("v_a"),
+      $"norm".as("na"))
+    val b = members.select($"cell", $"vec_id".as("id_b"), $"v".as("v_b"),
+      $"norm".as("nb"))
+    val pairs = a.join(b, Seq("cell")).filter($"id_a" < $"id_b")
+      .withColumn("sim",
+        round(dotArr($"v_a", $"v_b") / ($"na" * $"nb"), 6))
+      .select($"cell", $"id_a", $"id_b", $"sim")
+    val psum = pairs.groupBy($"cell").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when($"sim" >= SemDedupTau, 1L).otherwise(0L)).as("n_dup_pairs"),
+      max($"sim").as("max_sim"))
+    val drops = pairs.filter($"sim" >= SemDedupTau)
+      .select($"cell", $"id_b").distinct()
+      .groupBy($"cell").agg(count(lit(1)).as("nd"),
+        concat_ws(",", sort_array(collect_list($"id_b"))).as("di"))
+    members.groupBy($"cell").agg(count(lit(1)).as("n_members"))
+      .join(psum, Seq("cell"), "left")
+      .join(drops, Seq("cell"), "left")
+      .select($"cell", $"n_members",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
+        coalesce($"nd", lit(0L)).as("n_dropped"),
+        $"max_sim".cast(DecimalType(24, 6)).as("max_pair_sim"),
+        coalesce($"di", lit("")).as("dropped_ids"))
+  }
+
+  val semanticDedupOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+    val head =
+      s"""WITH base AS (SELECT vec_id,
+         |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         |              FROM embeddings),
+         |bn AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS norm FROM base),
+         |km_train AS (SELECT 0 AS grp, vec_id AS id, v FROM base
+         |             WHERE vec_id < $AnnTrainCap),
+         |""".stripMargin
+    val tail =
+      s"""cents AS (SELECT cid, cv, cnorm FROM km_cents),
+         |ranked AS (
+         |  SELECT b.vec_id, b.v, b.norm, c.cid,
+         |         row_number() OVER (PARTITION BY b.vec_id
+         |           ORDER BY round(${dot("b.v", "c.cv")} / (b.norm * c.cnorm), 6) DESC,
+         |                    c.cid) AS crk
+         |  FROM bn b CROSS JOIN cents c),
+         |members AS (SELECT cid AS cell, vec_id, v, norm
+         |            FROM ranked WHERE crk = 1),
+         |pairs AS (
+         |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) AS sim
+         |  FROM members a JOIN members b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |psum AS (SELECT cell, count(*) AS n_pairs,
+         |                count(*) FILTER (WHERE sim >= $SemDedupTau) AS n_dup_pairs,
+         |                max(sim) AS max_sim
+         |         FROM pairs GROUP BY 1),
+         |drops AS (SELECT cell, count(*) AS nd,
+         |                 string_agg(cast(id_b AS VARCHAR), ',' ORDER BY id_b) AS di
+         |          FROM (SELECT DISTINCT cell, id_b FROM pairs
+         |                WHERE sim >= $SemDedupTau)
+         |          GROUP BY 1),
+         |msum AS (SELECT cell, count(*) AS n_members FROM members GROUP BY 1)
+         |SELECT m.cell, m.n_members,
+         |       cast(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       cast(coalesce(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         |       cast(coalesce(d.nd, 0) AS BIGINT) AS n_dropped,
+         |       cast(p.max_sim AS DECIMAL(24,6)) AS max_pair_sim,
+         |       coalesce(d.di, '') AS dropped_ids
+         |FROM msum m
+         |LEFT JOIN psum p ON m.cell = p.cell
+         |LEFT JOIN drops d ON m.cell = d.cell""".stripMargin
+    head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64, cosine = true) + tail
+  }
 }

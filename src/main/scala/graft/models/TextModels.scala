@@ -454,4 +454,128 @@ object TextModels {
        |       max(avg_logprob) AS best_logprob,
        |       min(avg_logprob) AS worst_logprob
        |FROM ranked GROUP BY 1, 2""".stripMargin
+
+  // ---- t10: PII detection + redaction -------------------------------
+  //
+  // Pattern set: the regex subset shared VERBATIM by java.util.regex
+  // (Spark codegen) and RE2 (DuckDB) — char classes, bounded repeats,
+  // \b word boundaries; no backreferences, no lookaround — so detection
+  // and redaction are oracle-checkable. Patterns are intentionally the
+  // standard recall-first scrubber shapes (emails, dotted quads, long
+  // digit runs, dashed phone triples); precision tuning (e.g. "1.2.3.4
+  // is a version string, not an IP") is a downstream allowlist concern,
+  // as in production scrubbers.
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val CardPat = "\\b\\d{13,19}\\b"
+  private[graft] val PhonePat = "\\b\\d{3}-\\d{3,4}-\\d{4}\\b"
+
+  /** Redact every PII hit, fixed order email → ip → card → phone (the
+    * order matters only for overlapping hits; placeholders introduce no
+    * digits, so later passes can't re-match earlier redactions). */
+  private[graft] def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        CardPat, "<CARD>"),
+      PhonePat, "<PHONE>")
+
+  private def countPat(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast(LongType)
+
+  /** t10: PII DETECTION + REDACTION (beyond-reference) — the scrub
+    * stage every public-web training corpus runs before anything else
+    * (emails, IPs, card-like digit runs, phone numbers → typed
+    * placeholders). The corpus fixture is PII-free word salad, so the
+    * query plants one synthetic PII token of each class into every
+    * document — derived deterministically from doc_id, identically on
+    * both engines — and then runs the REAL scrubber over the combined
+    * text: the regexes must find the planted tokens wherever they
+    * landed (and anything that looks like them), exactly as a scrubber
+    * meets a crawl dump. `TextPiiSpec` covers the precision/recall
+    * corners (mid-word digits, version-ish quads, 12- vs 13-digit
+    * runs) on hand-built strings.
+    *
+    * Output: per (lang, source) — docs, hits per class, the net length
+    * delta redaction caused, and the min-md5 spot fingerprint of the
+    * redacted text (a cheap cross-engine content witness).
+    *
+    * Scale: a stateless per-row map (codegen regex, no UDF, no
+    * shuffle) + one output-sized rollup — scrubbing 100 TB is
+    * embarrassingly parallel and pipelines inside the scan.
+    */
+  def piiRedaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Tables.documents(spark, sfDir).select($"lang", $"source",
+      concat(
+        $"text",
+        lit(" contact user"), $"doc_id".cast(StringType),
+        lit("@example.com ip "),
+        ($"doc_id" % 223 + 1).cast(StringType), lit("."),
+        ($"doc_id" * 7 % 256).cast(StringType), lit("."),
+        ($"doc_id" * 13 % 256).cast(StringType), lit("."),
+        ($"doc_id" % 256).cast(StringType),
+        lit(" card 4"),
+        lpad(($"doc_id" * 2654435761L % 1000000000000000L).cast(StringType),
+          15, "0"),
+        lit(" tel 555-"),
+        lpad(($"doc_id" % 1000).cast(StringType), 3, "0"), lit("-"),
+        lpad(($"doc_id" % 10000).cast(StringType), 4, "0")).as("t"))
+    planted
+      .select($"lang", $"source",
+        countPat($"t", EmailPat).as("e"),
+        countPat($"t", Ipv4Pat).as("i"),
+        countPat($"t", CardPat).as("cc"),
+        countPat($"t", PhonePat).as("p"),
+        (length(scrubPii($"t")) - length($"t")).cast(LongType).as("delta"),
+        md5(scrubPii($"t")).as("red_fp"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"e").as("n_emails"),
+        sum($"i").as("n_ips"),
+        sum($"cc").as("n_cards"),
+        sum($"p").as("n_phones"),
+        sum($"delta").as("chars_delta"),
+        min($"red_fp").as("redacted_fp"))
+  }
+
+  val piiRedactionOracle: String = {
+    // RE2 string literals: backslashes pass through single-quoted SQL
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val card = "\\b\\d{13,19}\\b"
+    val phone = "\\b\\d{3}-\\d{3,4}-\\d{4}\\b"
+    s"""WITH planted AS (
+       |  SELECT lang, source,
+       |         text || ' contact user' || cast(doc_id AS VARCHAR) ||
+       |         '@example.com ip ' ||
+       |         cast(doc_id % 223 + 1 AS VARCHAR) || '.' ||
+       |         cast(doc_id * 7 % 256 AS VARCHAR) || '.' ||
+       |         cast(doc_id * 13 % 256 AS VARCHAR) || '.' ||
+       |         cast(doc_id % 256 AS VARCHAR) ||
+       |         ' card 4' ||
+       |         lpad(cast(doc_id * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') ||
+       |         ' tel 555-' ||
+       |         lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |         lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT lang, source, t,
+       |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+       |           '$email', '<EMAIL>', 'g'),
+       |           '$ip', '<IP>', 'g'),
+       |           '$card', '<CARD>', 'g'),
+       |           '$phone', '<PHONE>', 'g') AS r
+       |  FROM planted)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       cast(sum(len(regexp_extract_all(t, '$email'))) AS BIGINT) AS n_emails,
+       |       cast(sum(len(regexp_extract_all(t, '$ip'))) AS BIGINT) AS n_ips,
+       |       cast(sum(len(regexp_extract_all(t, '$card'))) AS BIGINT) AS n_cards,
+       |       cast(sum(len(regexp_extract_all(t, '$phone'))) AS BIGINT) AS n_phones,
+       |       cast(sum(len(r) - len(t)) AS BIGINT) AS chars_delta,
+       |       min(md5(r)) AS redacted_fp
+       |FROM red GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -206,4 +206,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readsColumn(s03, "label"),
       "s03 scan reads the label column it never uses")
   }
+
+  test("round-9 families: pruned scans") {
+    // d09 clusters (vec_id, embedding) via the shared IVF index — the
+    // label column never leaves any reader
+    val d09 = formatted("d09_semantic_dedup")
+    assert(!readsColumn(d09, "label"),
+      "d09 scan reads the label column it never uses")
+    // c09 splits on the content fingerprint — doc_id and source are
+    // never read
+    val c09 = formatted("c09_leakage_safe_split")
+    assert(!readsColumn(c09, "doc_id") && !readsColumn(c09, "source"),
+      "c09 scan reads corpus columns it never uses")
+    // t10 scrubs (doc_id, lang, source, text); n_chars never read
+    val t10 = formatted("t10_pii_redaction")
+    assert(!readsColumn(t10, "n_chars"),
+      "t10 scan reads n_chars it never uses")
+    // q46 aggregates (ts, event_type, value); payload/event ids stay in
+    // the reader
+    val q46 = formatted("q46_hourly_gapfill")
+    assert(!readsColumn(q46, "props") && !readsColumn(q46, "event_id") &&
+      !readsColumn(q46, "user_id"),
+      "q46 scan reads event columns it never uses")
+  }
 }
