@@ -125,6 +125,7 @@ object SparkEntry {
     "c07_temperature_mix" -> (CurationModels.temperatureMix _),
     "c08_packing_efficiency" -> (CurationModels.packingEfficiency _),
     "c09_leakage_safe_split" -> (CurationModels.leakageSafeSplit _),
+    "c10_neardup_safe_split" -> (CurationModels.nearDupSafeSplit _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -296,6 +297,7 @@ object SparkEntry {
     "c07_temperature_mix" -> CurationModels.temperatureMixOracle,
     "c08_packing_efficiency" -> CurationModels.packingEfficiencyOracle,
     "c09_leakage_safe_split" -> CurationModels.leakageSafeSplitOracle,
+    "c10_neardup_safe_split" -> CurationModels.nearDupSafeSplitOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -685,14 +685,19 @@ object CurationModels {
   def leakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame =
     leakageSafeSplitFrom(Tables.documents(spark, sfDir))
 
-  /** Frame-parameterized variant (incremental runs feed only NEW docs;
-    * their split labels are stable because the hash ignores run state). */
-  def leakageSafeSplitFrom(docs: DataFrame): DataFrame = {
+  /** Per-document split labels (doc_id, lang, n_chars, fp, split) — the
+    * doc-grain surface c09's rollup aggregates and the curation
+    * pipeline materializes as `curation_splits`. A stateless map: a
+    * doc's label depends only on its own content, so labels appended
+    * for new docs are identical to what a full rebuild would assign
+    * (CurationPipelineSpec pins table equality). */
+  def splitLabelsFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val hexVal: Column => Column =
       c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
     docs
-      .select($"lang", $"n_chars", md5(normText($"text")).as("fp"))
+      .select($"doc_id", $"lang", $"n_chars",
+        md5(normText($"text")).as("fp"))
       .withColumn("h", md5($"fp"))
       .withColumn("bucket",
         hexVal(substring($"h", 1, 1)) * 16 + hexVal(substring($"h", 2, 1)))
@@ -700,6 +705,16 @@ object CurationModels {
         when($"bucket" < TrainPer256, "train")
           .when($"bucket" < ValPer256, "val")
           .otherwise("test"))
+      .select($"doc_id", $"lang", $"n_chars", $"fp", $"split")
+  }
+
+  /** Frame-parameterized variant (incremental runs feed only NEW docs;
+    * their split labels are stable because the hash ignores run state).
+    * doc_id is pruned out of the scan by Catalyst (the rollup never
+    * uses it — PlanAuditSpec's c09 canary holds). */
+  def leakageSafeSplitFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    splitLabelsFrom(docs)
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct($"fp").as("n_unique_fp"),
@@ -723,5 +738,90 @@ object CurationModels {
        |       count(DISTINCT fp) AS n_unique_fp,
        |       cast(sum(n_chars) AS BIGINT) AS total_chars,
        |       count(*) - count(DISTINCT fp) AS n_dup_docs
+       |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** c10: NEAR-DUP-SAFE SPLIT (beyond-reference) — c09 closed the
+    * byte-equal leak; this closes the REPHRASING leak: the split is
+    * keyed on the near-dup CLUSTER's representative content (d07's
+    * connected components over LSH-verified Jaccard pairs), so a
+    * lightly-edited copy of a training document — different
+    * fingerprint, same cluster — can never land in val/test either.
+    * This is the fuzzy-dedup-aware split a serious eval protocol runs
+    * (near-dup train/test contamination inflates benchmark scores
+    * exactly like exact duplicates do, and id- or fp-keyed splits are
+    * both blind to it).
+    *
+    * Group key: the cluster representative's fingerprint (min-doc_id
+    * member, resolved with ONE per-cluster window over the rep-keyed
+    * partition — no second corpus scan); singletons key on their own
+    * fingerprint, so c10 degrades to exactly c09 on a pair-free corpus.
+    * Same 244/6/6 md5 buckets as c09.
+    *
+    * Output: per (split, lang) — docs, distinct groups, docs that
+    * arrived via a near-dup cluster, chars.
+    *
+    * Scale: d07's component labels are edge-bounded (near-dup docs
+    * only); the label join is doc-keyed; the rep-fp window shuffles on
+    * rep_id (cluster-sized partitions — near-dup clusters are small
+    * dense sets); the rollup is output-sized. Nothing all-pairs beyond
+    * d03's banded candidate generation.
+    */
+  def nearDupSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars",
+        md5(normText($"text")).as("fp"))
+    val comp = DedupModels.nearDupClusters(spark, sfDir)
+      .select($"doc_id", $"component_id")
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
+    val withRep = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce($"component_id", $"doc_id"))
+    // the representative is a member of its own cluster, so its fp is
+    // IN the rep_id partition — one window, no second corpus scan
+    val wRep = Window.partitionBy($"rep_id")
+    withRep
+      .withColumn("group_fp",
+        first(when($"doc_id" === $"rep_id", $"fp"), ignoreNulls = true)
+          .over(wRep))
+      .withColumn("h", md5($"group_fp"))
+      .withColumn("bucket",
+        hexVal(substring($"h", 1, 1)) * 16 + hexVal(substring($"h", 2, 1)))
+      .withColumn("split",
+        when($"bucket" < TrainPer256, "train")
+          .when($"bucket" < ValPer256, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"group_fp").as("n_groups"),
+        sum(when($"component_id".isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"),
+        sum($"n_chars").as("total_chars"))
+  }
+
+  lazy val nearDupSafeSplitOracle: String =
+    s"""WITH comp AS (SELECT * FROM (${DedupModels.nearDupClustersOracle}) t),
+       |d AS (SELECT doc_id, lang, n_chars, md5($normSqlDuck) AS fp
+       |      FROM documents),
+       |j AS (SELECT d.*, c.component_id,
+       |             coalesce(c.component_id, d.doc_id) AS rep_id
+       |      FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |reps AS (SELECT rep_id, fp AS group_fp FROM j WHERE doc_id = rep_id),
+       |k AS (SELECT j.*, r.group_fp
+       |      FROM j JOIN reps r ON j.rep_id = r.rep_id),
+       |b AS (SELECT k.*,
+       |             (strpos('0123456789abcdef', substr(md5(group_fp),1,1)) - 1) * 16 +
+       |             (strpos('0123456789abcdef', substr(md5(group_fp),2,1)) - 1) AS bucket
+       |      FROM k),
+       |s AS (SELECT b.*,
+       |             CASE WHEN bucket < $TrainPer256 THEN 'train'
+       |                  WHEN bucket < $ValPer256 THEN 'val'
+       |                  ELSE 'test' END AS split
+       |      FROM b)
+       |SELECT split, lang, count(*) AS n_docs,
+       |       count(DISTINCT group_fp) AS n_groups,
+       |       count(component_id) AS n_clustered_docs,
+       |       cast(sum(n_chars) AS BIGINT) AS total_chars
        |FROM s GROUP BY 1, 2""".stripMargin
 }

@@ -494,7 +494,7 @@ object TextModels {
     * both engines — and then runs the REAL scrubber over the combined
     * text: the regexes must find the planted tokens wherever they
     * landed (and anything that looks like them), exactly as a scrubber
-    * meets a crawl dump. `TextPiiSpec` covers the precision/recall
+    * meets a crawl dump. `PiiSplitGapfillSpec` covers the precision/recall
     * corners (mid-word digits, version-ish quads, 12- vs 13-digit
     * runs) on hand-built strings.
     *

@@ -11,6 +11,10 @@ import graft.models.{CurationModels, DedupModels}
   *
   *   1. curation_funnel   per-document keep/drop verdicts (c06)
   *   2. curated_corpus    the kept documents, column-complete
+  *   2b. curation_splits  leakage-safe train/val/test labels over the
+  *                        kept docs (c09's doc-grain surface) — split
+  *                        is a stateless content hash, so incremental
+  *                        appends ≡ full-rebuild labels
   *   3. curated_packing   sequence-packing index over the KEPT set (c05)
   *   4. segment_stats     sub-document segment-dedup stats (d08), with
   *                        `curation_segments` (first-occurrence holder
@@ -138,6 +142,14 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .join(keptIds, Seq("doc_id"), "left_semi")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${targetPath("curated_corpus")}/documents.parquet")
+    // --- 2b. split labels over the curated corpus: the leakage-safe
+    // train/val/test assignment (c09's doc-grain surface) materialized
+    // as a warehouse table downstream samplers read. Content-keyed and
+    // stateless, so incremental appends reproduce exactly what a full
+    // rebuild assigns (spec-pinned)
+    CurationModels
+      .splitLabelsFrom(Tables.documents(spark, targetPath("curated_corpus")))
+      .write.mode(SaveMode.Overwrite).parquet(targetPath("curation_splits"))
     // --- 3. packing index over the CURATED set (offsets are positions
     // in the curated training stream, not the raw snapshot), partitioned
     // by the stream key so incremental runs can overwrite ONLY the
@@ -246,6 +258,12 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       newDocs.join(keptNewIds, Seq("doc_id"), "left_semi")
         .write.mode(SaveMode.Append)
         .parquet(s"${targetPath("curated_corpus")}/documents.parquet")
+
+      // --- 2b. split labels for the new kept docs (stateless content
+      // hash — appended labels ≡ full-rebuild labels)
+      CurationModels
+        .splitLabelsFrom(newDocs.join(keptNewIds, Seq("doc_id"), "left_semi"))
+        .write.mode(SaveMode.Append).parquet(targetPath("curation_splits"))
 
       // --- 3. repack ONLY the (lang, shard) streams the new kept docs
       // touched; every other stream's rows are byte-identical (offsets

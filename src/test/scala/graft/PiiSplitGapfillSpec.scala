@@ -60,6 +60,38 @@ class PiiSplitGapfillSpec extends AnyFunSuite {
       "every distinct (content, lang) is counted in exactly one split")
   }
 
+  test("c10: a REPHRASED near-dup (different fingerprint) cannot straddle splits") {
+    // doc 0 and doc 3 share 15 of their 18 shingles (one token edited)
+    // — different content fingerprints, same d07 cluster; the other
+    // docs are vocabulary-disjoint singletons in another lang
+    val a = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val b = (0 until 19).map(i => s"alpha$i").mkString(" ") + " edited"
+    val rows = Seq(
+      (0L, a, "en", "s"), (3L, b, "en", "s"),
+      (10L, "beta0 beta1 beta2 beta3", "de", "s"),
+      (11L, "gamma0 gamma1 gamma2 gamma3", "de", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-c10").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // precondition: the pair really is one d07 component
+    val comp = graft.models.DedupModels.nearDupClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(comp.map(_._1).toSeq == Seq(0L, 3L) &&
+      comp.forall(_._2 == 0L),
+      s"docs 0 and 3 must form one near-dup component: ${comp.toSeq}")
+    val out = CurationModels.nearDupSafeSplit(spark, dir)
+      .select($"split", $"lang", $"n_docs", $"n_groups",
+        $"n_clustered_docs")
+      .as[(String, String, Long, Long, Long)].collect()
+    // both clustered docs land in ONE (split, lang) row, as one group
+    val en = out.filter(_._2 == "en")
+    assert(en.length == 1 && en.head._3 == 2 && en.head._4 == 1 &&
+      en.head._5 == 2,
+      s"the near-dup pair must travel together: ${out.toSeq}")
+    assert(out.map(_._3).sum == 4L)
+  }
+
   test("q46: complete spine, zero-filled gaps, conserved totals") {
     val sfDir = "/root/testdata/sf0.001"
     val out = ActivityModels.hourlyGapfill(spark, sfDir)
