@@ -42,8 +42,9 @@ class PiiSplitGapfillSpec extends AnyFunSuite {
   test("c09: byte-equal duplicates always land in the same split") {
     // 60 docs over 20 distinct texts (3 ids each), two langs
     val docs = (0 until 60).map { i =>
-      (s"alpha beta text ${i % 20} gamma", if (i % 2 == 0) "en" else "de")
-    }.toDF("text", "lang")
+      (i.toLong, s"alpha beta text ${i % 20} gamma",
+        if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
       .withColumn("n_chars", length($"text").cast("long"))
     val out = CurationModels.leakageSafeSplitFrom(docs)
       .select($"split", $"lang", $"n_docs", $"n_unique_fp", $"n_dup_docs")
