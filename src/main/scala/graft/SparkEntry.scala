@@ -136,6 +136,7 @@ object SparkEntry {
     "t08_bigram_logprob" -> (TextModels.bigramLogprob _),
     "t09_lm_quality_tiers" -> (TextModels.lmQualityTiers _),
     "t10_pii_redaction" -> (TextModels.piiRedaction _),
+    "t11_nb_quality" -> (TextModels.nbQualityScore _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -207,6 +208,7 @@ object SparkEntry {
     // round-8 integer-micros rounding fix (only the sums stay decimal)
     "t07_unigram_logprob" -> Seq("sum_logprob"),
     "t08_bigram_logprob" -> Seq("sum_logprob"),
+    "t11_nb_quality" -> Seq("sum_llr"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -308,6 +310,7 @@ object SparkEntry {
     "t08_bigram_logprob" -> TextModels.bigramLogprobOracle,
     "t09_lm_quality_tiers" -> TextModels.lmQualityTiersOracle,
     "t10_pii_redaction" -> TextModels.piiRedactionOracle,
+    "t11_nb_quality" -> TextModels.nbQualityScoreOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

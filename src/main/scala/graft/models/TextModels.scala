@@ -280,6 +280,21 @@ object TextModels {
   private def avgFromMicrosSql(microsExpr: String, nExpr: String): String =
     s"-cast(((-($microsExpr)) * 2 + ($nExpr)) // (($nExpr) * 2) AS DOUBLE) / 1000000.0"
 
+  /** Sign-aware sibling of [[avgFromMicros]] for sums that can be
+    * positive OR negative (t11's log-likelihood ratios): half-away-
+    * from-zero rounding computed over POSITIVE integer operands on both
+    * branches, because Spark `div` truncates toward zero while DuckDB
+    * `//` floors — they only agree on non-negatives. */
+  private def avgFromMicrosSigned(m: String, n: String): Column =
+    expr(s"""cast(CASE WHEN $m >= 0 THEN ($m * 2 + $n) div ($n * 2)
+             ELSE -(((-$m) * 2 + $n) div ($n * 2)) END AS DOUBLE)
+             / 1000000.0""")
+
+  private def avgFromMicrosSignedSql(m: String, n: String): String =
+    s"""cast(CASE WHEN ($m) >= 0 THEN (($m) * 2 + ($n)) // (($n) * 2)
+        ELSE -(((-($m)) * 2 + ($n)) // (($n) * 2)) END AS DOUBLE)
+        / 1000000.0"""
+
   val unigramLogprobOracle: String =
     s"""WITH tok AS (SELECT doc_id,
        |                    unnest(string_split($normSqlDuck, ' ')) AS tok
@@ -577,5 +592,95 @@ object TextModels {
        |       cast(sum(len(r) - len(t)) AS BIGINT) AS chars_delta,
        |       min(md5(r)) AS redacted_fp
        |FROM red GROUP BY 1, 2""".stripMargin
+  }
+
+  /** t11: TRAINED quality classifier — model-based quality filtering
+    * (the CCNet/fastText "wiki-vs-crawl discriminator" rung above
+    * t03's hand rules and t07/t08's perplexity gates) in its
+    * oracle-replayable public-knowledge form: a Naive-Bayes
+    * log-likelihood-ratio scorer TRAINED ON THE CORPUS ITSELF. The
+    * positive class is the curation tier's quality-reference slice
+    * (`CurationModels.EvalSource` — the role Wikipedia plays in CCNet),
+    * the negative class is everything else; per token, add-1-smoothed
+    *
+    *   llr(w) = ln( (c_pos(w)+1)/(N_pos+V) / ((c_neg(w)+1)/(N_neg+V)) )
+    *
+    * and a document's score is its tokens' llr sum/avg — positive means
+    * "looks like the reference slice". Training IS two exact-count
+    * aggregates, so the whole train+score loop replays in DuckDB
+    * (the trained-artifact seam: a fastText/logistic model table slots
+    * into exactly this broadcast dim).
+    *
+    * Determinism: every probability is a ratio of exact BIGINT counts
+    * evaluated in double with identical operation order on both
+    * engines; ln rounds to 6dp into DECIMAL(18,6) so per-doc sums are
+    * order-free exact (the t07 contract); avg uses the SIGN-AWARE
+    * integer-micros rounding ([[avgFromMicrosSigned]] — llr sums,
+    * unlike logprob sums, carry both signs).
+    *
+    * Scale: the model is vocabulary-sized (two-stage agg, map-side
+    * combine), session-materialized, and broadcast; scoring is one
+    * corpus scan + broadcast join + doc rollup. Scoring the training
+    * corpus itself shows separation by construction — the honest frame
+    * is train-set scoring through the seam a held-out-trained artifact
+    * would use (SegmentDedupSpec pins the separation direction).
+    */
+  def nbQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
+    val model = Shared.materialized("nb_model", spark, sfDir) {
+      val counts = tok
+        .groupBy($"tok")
+        .agg(
+          sum(when($"source" === CurationModels.EvalSource, 1L)
+            .otherwise(0L)).as("c_pos"),
+          sum(when($"source" === CurationModels.EvalSource, 0L)
+            .otherwise(1L)).as("c_neg"))
+      val tot = counts.agg(sum($"c_pos").as("n_pos"),
+        sum($"c_neg").as("n_neg"), count(lit(1)).as("v"))
+      counts.crossJoin(tot)
+        .select($"tok", round(log(
+          (($"c_pos" + 1) / ($"n_pos" + $"v")) /
+            (($"c_neg" + 1) / ($"n_neg" + $"v"))), 6)
+          .cast(DecimalType(18, 6)).as("llr"))
+    }
+    tok.join(broadcast(model), Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"llr").as("sum_llr"),
+        sum(($"llr" * 1000000).cast(LongType)).as("sum_micros"))
+      .withColumn("avg_llr", avgFromMicrosSigned("sum_micros", "n_tokens"))
+      .withColumn("is_quality", $"avg_llr" > 0d)
+      .drop("sum_micros")
+  }
+
+  val nbQualityScoreOracle: String = {
+    val eval = graft.models.CurationModels.EvalSource
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    unnest(string_split($normSqlDuck, ' ')) AS tok
+       |             FROM documents),
+       |counts AS (SELECT tok,
+       |                  sum(CASE WHEN source = '$eval' THEN 1 ELSE 0 END) AS c_pos,
+       |                  sum(CASE WHEN source = '$eval' THEN 0 ELSE 1 END) AS c_neg
+       |           FROM tok GROUP BY 1),
+       |tot AS (SELECT cast(sum(c_pos) AS BIGINT) AS n_pos,
+       |               cast(sum(c_neg) AS BIGINT) AS n_neg,
+       |               count(*) AS v
+       |        FROM counts),
+       |model AS (SELECT tok,
+       |                 cast(round(ln(
+       |                   ((c_pos + 1) / (n_pos + v)) /
+       |                   ((c_neg + 1) / (n_neg + v))), 6)
+       |                      AS DECIMAL(18,6)) AS llr
+       |          FROM counts CROSS JOIN tot),
+       |scored AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |         sum(m.llr) AS sum_llr,
+       |         ${avgFromMicrosSignedSql(
+              "sum(cast(m.llr * 1000000 AS BIGINT))", "count(*)")} AS avg_llr
+       |  FROM tok t JOIN model m USING (tok)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_tokens, sum_llr, avg_llr, avg_llr > 0 AS is_quality
+       |FROM scored""".stripMargin
   }
 }

@@ -108,4 +108,23 @@ class SegmentDedupSpec extends AnyFunSuite {
     val viol = out.filter($"avg_logprob" > lit(bound) + lit(1e-6)).count()
     assert(viol === 0, s"avg_logprob above the best-token bound $bound")
   }
+
+  test("t11: the NB classifier separates the reference slice from the rest") {
+    // positive class = the EvalSource slice ("src0"); its vocabulary is
+    // disjoint from the negative docs', so every src0 doc must score a
+    // strictly positive avg llr and every other doc strictly negative
+    val dir = docsDir(Seq(
+      (0L, words("good", "clean", "prose", "good"), "en", "src0"),
+      (1L, words("clean", "prose", "good", "text"), "en", "src0"),
+      (2L, words("spam", "noise", "junk", "spam"), "en", "web"),
+      (3L, words("noise", "junk", "spam", "blob"), "en", "web")))
+    val rows = TextModels.nbQualityScore(spark, dir)
+      .select($"doc_id", $"avg_llr", $"is_quality")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(r => r._2 > 0 && r._3),
+      s"reference docs must score positive: ${rows.toSeq}")
+    assert(rows.drop(2).forall(r => r._2 < 0 && !r._3),
+      s"non-reference docs must score negative: ${rows.toSeq}")
+  }
 }
