@@ -137,6 +137,7 @@ object SparkEntry {
     "t09_lm_quality_tiers" -> (TextModels.lmQualityTiers _),
     "t10_pii_redaction" -> (TextModels.piiRedaction _),
     "t11_nb_quality" -> (TextModels.nbQualityScore _),
+    "t12_bpe_merges" -> (TextModels.bpeMerges _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -311,6 +312,7 @@ object SparkEntry {
     "t09_lm_quality_tiers" -> TextModels.lmQualityTiersOracle,
     "t10_pii_redaction" -> TextModels.piiRedactionOracle,
     "t11_nb_quality" -> TextModels.nbQualityScoreOracle,
+    "t12_bpe_merges" -> TextModels.bpeMergesOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

@@ -683,4 +683,130 @@ object TextModels {
        |SELECT doc_id, n_tokens, sum_llr, avg_llr, avg_llr > 0 AS is_quality
        |FROM scored""".stripMargin
   }
+
+  /** t12's merge count — unrolled in the DuckDB oracle. */
+  private[graft] val BpeRounds = 8
+
+  /** t12: BPE MERGE INDUCTION — train a byte-pair-encoding tokenizer's
+    * merge table from the corpus (Sennrich et al. 2016, the algorithm
+    * behind GPT/Llama tokenizers): start from characters, repeatedly
+    * merge the most frequent adjacent symbol pair. t04 COUNTS tokens
+    * with a fixed scheme; this LEARNS the scheme — the vocabulary-
+    * induction stage a training-data pipeline runs before token
+    * accounting means anything.
+    *
+    * Deterministic, engine-replayable training (the KMeans playbook):
+    *  - the word table (word, freq) is the trainer's whole input —
+    *    vocabulary-sized, from one corpus scan with map-side combine
+    *    (BPE trains on word counts, not the corpus stream);
+    *  - words are spaced symbol strings (" h e l l o "); pair counts
+    *    come from adjacent-position explode (overlapping, the canonical
+    *    count), freq-weighted;
+    *  - the winning pair maximizes count with ties broken on the pair
+    *    string — one total order both engines share;
+    *  - merge application is literal `replace(' l l ', ' ll ')`:
+    *    left-to-right non-overlapping in Spark's UTF8String, Java and
+    *    DuckDB alike ("a a a" → "aa a", the canonical greedy merge);
+    *    surrounding spaces keep multi-char symbols from matching inside
+    *    neighbors.
+    *
+    * Each round collects ONE scalar (the argmax pair) — the s04
+    * codebook/d07 convergence-probe precedent: driver-side constants,
+    * never data. The oracle unrolls the same [[BpeRounds]] rounds as
+    * CTEs. Output: the learned merge table (round, left, right, merged,
+    * weighted pair count) — the artifact a tokenizer ships.
+    *
+    * Scale: everything after the one corpus scan is vocabulary-sized;
+    * at 100 TB the word-count table is the only shuffle (uniform
+    * md5-free keys, map-side combined), exactly how production BPE
+    * trainers (HuggingFace tokenizers) structure it.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Shared.materialized("bpe_vocab", spark, sfDir) {
+      Tables.documents(spark, sfDir)
+        .select(explode(toks($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+    }
+    var cur = vocab.select($"w", $"freq",
+      concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1)))),
+        lit(" ")).as("s")).cache()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val syms = split(trim($"s"), " ")
+      // single-symbol words carry no pairs (and Spark's sequence(1, 0)
+      // would step BACKWARD, not empty, without the guard)
+      val best = cur.filter(size(syms) >= 2)
+        .select($"freq", explode(
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "),
+              element_at(syms, i + 1)))).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(1)
+        .as[(String, Long)].collect().headOption
+      best match {
+        case None => // vocabulary fully merged — the oracle's empty
+        // b{r} CTEs contribute no rows either; stop training
+        case Some((pair, cnt)) =>
+          val Array(l, rt) = pair.split(" ", 2)
+          merges += ((r, l, rt, cnt))
+          val next = cur.withColumn("s",
+            call_function("replace", $"s",
+              lit(s" $l $rt "), lit(s" $l$rt "))).cache()
+          cur.unpersist()
+          cur = next
+      }
+    }
+    cur.unpersist()
+    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_count")
+      .select($"merge_round".cast(LongType).as("merge_round"),
+        $"left_sym", $"right_sym",
+        concat($"left_sym", $"right_sym").as("merged"),
+        $"pair_count")
+  }
+
+  val bpeMergesOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS w
+              |            FROM documents),
+              |vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
+              |w0 AS (SELECT w, freq,
+              |              ' ' || array_to_string(
+              |                list_transform(range(length(w)),
+              |                               i -> substr(w, i+1, 1)), ' ')
+              |              || ' ' AS s
+              |       FROM vocab),
+              |""".stripMargin
+    for (r <- 1 to BpeRounds) {
+      val prev = s"w${r - 1}"
+      sb ++= s"""p$r AS (
+                |  SELECT pair, sum(freq) AS cnt FROM (
+                |    SELECT freq, unnest(list_transform(range(len(syms)-1),
+                |                 i -> syms[i+1] || ' ' || syms[i+2])) AS pair
+                |    FROM (SELECT freq, string_split(trim(s), ' ') AS syms
+                |          FROM $prev))
+                |  GROUP BY 1),
+                |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+                |w$r AS (SELECT w, freq,
+                |               replace(s, ' ' || pair || ' ',
+                |                       ' ' || replace(pair, ' ', '') || ' ') AS s
+                |        FROM $prev CROSS JOIN b$r),
+                |""".stripMargin
+    }
+    sb ++= (1 to BpeRounds)
+      .map(r => s"SELECT $r AS merge_round, pair, cnt FROM b$r")
+      .mkString("m AS (", " UNION ALL ", ")\n")
+    sb ++= s"""
+              |SELECT cast(merge_round AS BIGINT) AS merge_round,
+              |       string_split(pair, ' ')[1] AS left_sym,
+              |       string_split(pair, ' ')[2] AS right_sym,
+              |       replace(pair, ' ', '') AS merged,
+              |       cast(cnt AS BIGINT) AS pair_count
+              |FROM m""".stripMargin
+    sb.toString
+  }
 }

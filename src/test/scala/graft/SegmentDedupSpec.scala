@@ -127,4 +127,24 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(rows.drop(2).forall(r => r._2 < 0 && !r._3),
       s"non-reference docs must score negative: ${rows.toSeq}")
   }
+
+  test("t12: BPE learns the hand-computable merge sequence and stops when dry") {
+    // vocab {aaab: 2, ab: 1}:
+    //   round 1: (a,a) weight 4 (two overlapping positions × freq 2)
+    //            beats (a,b) weight 3; greedy merge "a a a b" -> "aa a b"
+    //   round 2: (a,b) weight 3 beats (aa,a) weight 2
+    //   round 3: (aa,ab) weight 2 — a MERGED symbol pairs with another
+    //   then every word is one symbol: training stops short of 8 rounds
+    val dir = docsDir(Seq(
+      (0L, "aaab aaab", "en", "s"), (1L, "ab", "en", "s")))
+    val out = TextModels.bpeMerges(spark, dir)
+      .select($"merge_round", $"left_sym", $"right_sym", $"merged",
+        $"pair_count")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)),
+      s"unexpected merge table: ${out.toSeq}")
+  }
 }
