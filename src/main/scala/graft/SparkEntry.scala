@@ -138,6 +138,7 @@ object SparkEntry {
     "t10_pii_redaction" -> (TextModels.piiRedaction _),
     "t11_nb_quality" -> (TextModels.nbQualityScore _),
     "t12_bpe_merges" -> (TextModels.bpeMerges _),
+    "t13_bpe_tokenize" -> (TextModels.bpeTokenize _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -313,6 +314,7 @@ object SparkEntry {
     "t10_pii_redaction" -> TextModels.piiRedactionOracle,
     "t11_nb_quality" -> TextModels.nbQualityScoreOracle,
     "t12_bpe_merges" -> TextModels.bpeMergesOracle,
+    "t13_bpe_tokenize" -> TextModels.bpeTokenizeOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

@@ -721,7 +721,13 @@ object TextModels {
     * md5-free keys, map-side combined), exactly how production BPE
     * trainers (HuggingFace tokenizers) structure it.
     */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared train loop: (merge table rows, final spaced-symbol
+    * vocabulary). The word-count table is session-materialized; the
+    * loop's [[BpeRounds]] argmax scalars replay over it per caller
+    * (vocabulary-sized, 8 tiny jobs). The returned frame stays cached —
+    * callers finish their action and leave eviction to Spark. */
+  private def bpeTrainLoop(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
     val vocab = Shared.materialized("bpe_vocab", spark, sfDir) {
       Tables.documents(spark, sfDir)
@@ -761,18 +767,54 @@ object TextModels {
           cur = next
       }
     }
-    cur.unpersist()
-    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_count")
+    (merges.toSeq, cur)
+  }
+
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = bpeTrainLoop(spark, sfDir)
+    merges.toDF("merge_round", "left_sym", "right_sym", "pair_count")
       .select($"merge_round".cast(LongType).as("merge_round"),
         $"left_sym", $"right_sym",
         concat($"left_sym", $"right_sym").as("merged"),
         $"pair_count")
   }
 
-  val bpeMergesOracle: String = {
+  /** t13: BPE TOKENIZATION — apply t12's learned merges back to the
+    * corpus and account for what the tokenizer bought: per language,
+    * words, characters, resulting BPE tokens, and exact-integer-micros
+    * tokens-per-word / chars-per-token. This is the train→apply loop
+    * every pipeline closes (HuggingFace: train then encode), and the
+    * compression ratio is the number vocabulary-size decisions are made
+    * on. Scoring joins the corpus's (lang, word) stream against the
+    * vocabulary-sized trained segmentation (broadcastable dim — the
+    * encoder's merge table), so applying the tokenizer at 100 TB is
+    * one scan + broadcast join + rollup.
+    */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, segmented) = bpeTrainLoop(spark, sfDir)
+    val seg = segmented.select($"w",
+      size(split(trim($"s"), " ")).cast(LongType).as("n_syms"))
+    Tables.documents(spark, sfDir)
+      .select($"lang", explode(toks($"text")).as("w"))
+      .join(broadcast(seg), Seq("w"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"w")).cast(LongType).as("n_chars"),
+        sum($"n_syms").as("n_bpe_tokens"))
+      .withColumn("tokens_per_word_micros",
+        expr("(n_bpe_tokens * 1000000) div n_words"))
+      .withColumn("chars_per_token_micros",
+        expr("(n_chars * 1000000) div n_bpe_tokens"))
+  }
+
+  /** The unrolled training chain (CTE list `tok, vocab, w0 … w{R}`,
+    * trailing comma) — shared by the t12 and t13 oracles. */
+  private def bpeOracleCtes: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH tok AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS w
-              |            FROM documents),
+    sb ++= s"""tok AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS w
+              |        FROM documents),
               |vocab AS (SELECT w, count(*) AS freq FROM tok GROUP BY 1),
               |w0 AS (SELECT w, freq,
               |              ' ' || array_to_string(
@@ -797,16 +839,36 @@ object TextModels {
                 |        FROM $prev CROSS JOIN b$r),
                 |""".stripMargin
     }
-    sb ++= (1 to BpeRounds)
-      .map(r => s"SELECT $r AS merge_round, pair, cnt FROM b$r")
-      .mkString("m AS (", " UNION ALL ", ")\n")
-    sb ++= s"""
-              |SELECT cast(merge_round AS BIGINT) AS merge_round,
-              |       string_split(pair, ' ')[1] AS left_sym,
-              |       string_split(pair, ' ')[2] AS right_sym,
-              |       replace(pair, ' ', '') AS merged,
-              |       cast(cnt AS BIGINT) AS pair_count
-              |FROM m""".stripMargin
     sb.toString
   }
+
+  val bpeMergesOracle: String = {
+    val tail = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS merge_round, pair, cnt FROM b$r")
+      .mkString("m AS (", " UNION ALL ", ")\n") +
+      s"""
+         |SELECT cast(merge_round AS BIGINT) AS merge_round,
+         |       string_split(pair, ' ')[1] AS left_sym,
+         |       string_split(pair, ' ')[2] AS right_sym,
+         |       replace(pair, ' ', '') AS merged,
+         |       cast(cnt AS BIGINT) AS pair_count
+         |FROM m""".stripMargin
+    "WITH " + bpeOracleCtes + tail
+  }
+
+  val bpeTokenizeOracle: String =
+    "WITH " + bpeOracleCtes +
+      s"""seg AS (SELECT w, cast(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
+         |        FROM w$BpeRounds),
+         |tokl AS (SELECT lang, unnest(string_split($normSqlDuck, ' ')) AS w
+         |         FROM documents)
+         |SELECT t.lang, count(*) AS n_words,
+         |       cast(sum(length(t.w)) AS BIGINT) AS n_chars,
+         |       cast(sum(g.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       cast((sum(g.n_syms) * 1000000) // count(*) AS BIGINT)
+         |         AS tokens_per_word_micros,
+         |       cast((sum(length(t.w)) * 1000000) // sum(g.n_syms) AS BIGINT)
+         |         AS chars_per_token_micros
+         |FROM tokl t JOIN seg g ON t.w = g.w
+         |GROUP BY 1""".stripMargin
 }

@@ -147,4 +147,29 @@ class SegmentDedupSpec extends AnyFunSuite {
       (3L, "aa", "ab", "aaab", 2L)),
       s"unexpected merge table: ${out.toSeq}")
   }
+
+  test("t13: applying the merges compresses to whole-word tokens on the toy corpus") {
+    // after t12's three merges both vocabulary words are single
+    // symbols, so every corpus word encodes to exactly one BPE token
+    val dir = docsDir(Seq(
+      (0L, "aaab aaab", "en", "s"), (1L, "ab", "en", "s")))
+    val out = TextModels.bpeTokenize(spark, dir)
+      .select($"lang", $"n_words", $"n_chars", $"n_bpe_tokens",
+        $"tokens_per_word_micros")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("en", 3L, 10L, 3L, 1000000L)),
+      s"unexpected tokenization accounting: ${out.toSeq}")
+  }
+
+  test("t13: corpus invariants — tokens never exceed characters, never beat words") {
+    val rows = TextModels.bpeTokenize(spark, "/root/testdata/sf0.001")
+      .select($"n_words", $"n_chars", $"n_bpe_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((w, c, t) <- rows) {
+      assert(t <= c, "a BPE token is at least one character")
+      assert(t >= w, "a word is at least one BPE token")
+      assert(t < c, "eight merges must compress SOMETHING per language")
+    }
+  }
 }
