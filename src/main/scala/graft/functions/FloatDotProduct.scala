@@ -71,6 +71,121 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatDotProduct]]'s double-array sibling: dot product of two
+  * `array<double>` columns with the same strict left-to-right fold.
+  * The trained-ANN tier ([[graft.models.KMeans]], cell assignment,
+  * d09's within-cell pair scoring) runs its hot loops over DOUBLE
+  * mirrors of the embeddings (`doubledEmb` — DuckDB has no float32
+  * list math), so the interpreted `aggregate(zip_with(...))`
+  * formulation sat on the hottest path the float expression couldn't
+  * serve. Identical fold order and arithmetic to the builtin — every
+  * oracle comparison is unchanged.
+  */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"double_dot expects two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared-L2 sibling (Σ (aᵢ−bᵢ)², left-to-right) — the PQ/residual
+  * codebook metric's hot loop. Same fold semantics as the builtin
+  * `aggregate(zip_with(a, b, (x,y) => (x−y)²), 0d, _+_)` it replaces.
+  */
+case class DoubleL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"double_l2 expects two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_l2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of graft's native expressions into a session's function
   * registry (idempotent; callable from any model builder regardless of
   * who constructed the session — the driver builds its own).
@@ -88,6 +203,14 @@ object GraftFunctions {
     reg("float_dot", classOf[FloatDotProduct], { children =>
       require(children.size == 2, "float_dot takes exactly 2 arguments")
       FloatDotProduct(children.head, children(1))
+    })
+    reg("double_dot", classOf[DoubleDotProduct], { children =>
+      require(children.size == 2, "double_dot takes exactly 2 arguments")
+      DoubleDotProduct(children.head, children(1))
+    })
+    reg("double_l2", classOf[DoubleL2], { children =>
+      require(children.size == 2, "double_l2 takes exactly 2 arguments")
+      DoubleL2(children.head, children(1))
     })
     reg("zorder_key", classOf[ZOrderKey], { children =>
       require(children.size == 2, "zorder_key takes exactly 2 arguments")

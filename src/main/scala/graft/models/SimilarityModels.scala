@@ -507,12 +507,19 @@ object SimilarityModels {
     * full-precision vectors on the corpus side, Σ cellᵢ² bounded scan.
     */
   /** Left-to-right double dot/L2 folds (DuckDB list_sum's order) —
-    * shared by the s06 query and the materialized ANN index pipeline. */
+    * shared by the trained-ANN tier (KMeans, cell assignment, residual
+    * coding, d09 pair scoring) and the materialized index pipeline.
+    * Since round 9 these resolve to the native codegen expressions
+    * `double_dot`/`double_l2` (graft.functions) — identical fold order
+    * and double arithmetic to the builtin `aggregate(zip_with(...))`
+    * they replaced (every oracle comparison unchanged), but a tight
+    * generated loop instead of interpreted per-element lambdas. Every
+    * session here comes from GraftSession/TestSpark (which register)
+    * or a builder that called [[withFloatDot]]. */
   private[graft] def dotArr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    call_function("double_dot", a, b)
   private[graft] def l2Arr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, v) => acc + v)
+    call_function("double_l2", a, b)
 
   /** All-double mirror of an embeddings frame (residual arithmetic must
     * be bit-identical to DuckDB, which has no float32 list math). */

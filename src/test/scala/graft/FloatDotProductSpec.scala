@@ -50,6 +50,28 @@ class FloatDotProductSpec extends AnyFunSuite {
       err.getMessage.toLowerCase.contains("type"))
   }
 
+  test("double_dot / double_l2 match the builtin folds bit-exactly") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2, 0.3), Array(-0.4, 0.5, 0.6)),
+      // order-sensitive case: a permuted fold WOULD differ in the last
+      // ulp, so bit-equality here pins the left-to-right order too
+      (Array(1e16, 1.0, -1e16), Array(1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+    val refDot = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val refL2 = aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    val rows = df.select(
+      call_function("double_dot", $"a", $"b").as("nd"), refDot.as("rd"),
+      call_function("double_l2", $"a", $"b").as("nl"), refL2.as("rl"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (nd, rd, nl, rl) =>
+      assert(nd == rd && nl == rl) // bit-exact, not approx
+    }
+    assert(rows(0)._1 == 32.0d && rows(0)._3 == 27.0d)
+  }
+
   test("runs inside whole-stage codegen over a real scan") {
     val emb = graft.catalog.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = emb.select(fd($"embedding", $"embedding").as("norm2"))
