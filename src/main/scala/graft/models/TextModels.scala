@@ -722,11 +722,23 @@ object TextModels {
     * trainers (HuggingFace tokenizers) structure it.
     */
   /** The shared train loop: (merge table rows, final spaced-symbol
-    * vocabulary). The word-count table is session-materialized; the
-    * loop's [[BpeRounds]] argmax scalars replay over it per caller
-    * (vocabulary-sized, 8 tiny jobs). The returned frame stays cached —
-    * callers finish their action and leave eviction to Spark. */
+    * vocabulary). The word-count table is session-materialized and the
+    * loop's whole RESULT is memoized per (session, sfDir) — the loop is
+    * [[BpeRounds]] driver-blocking argmax jobs, so t12 trains once and
+    * t13 (and any later consumer) reuses both outputs, the way one
+    * tokenizer artifact serves a whole pipeline. The returned frame
+    * stays cached — callers finish their action and leave eviction to
+    * Spark. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (Seq[(Int, String, String, Long)], DataFrame)]
+
   private def bpeTrainLoop(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir),
+      bpeTrainLoopUncached(spark, sfDir))
+
+  private def bpeTrainLoopUncached(spark: SparkSession, sfDir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
     val vocab = Shared.materialized("bpe_vocab", spark, sfDir) {
