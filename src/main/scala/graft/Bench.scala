@@ -79,16 +79,14 @@ object Bench {
     // the bench_runs/ archive
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"materialized":$mats,"errors":$errJson,"sf":"$sfDir"}"""
-    // the STDOUT line must fit the driver's 2000-char tail capture
-    // (BENCH_r06/r07 both landed "parsed": null from overflow). 3-decimal
-    // seconds and the LEADING QUERY CODE as the key ("q01"… — unique by
-    // construction, full names in bench_out.json/"detail") keep ~80
-    // queries near 1.2 kB. Short keys prefix-match the full names, so
-    // totals stay cross-checkable against the archived artifact.
-    val qsShort = results.map { case (k, ts) =>
-      jstr(k.split("_")(0)) + ":" + r3(minOf(ts)) }.mkString("{", ",", "}")
+    // the STDOUT line must fit the driver's 2000-char tail capture.
+    // Even the compact short-key map overflowed at 91 queries
+    // (BENCH_r09 cut off mid-map at t05 → "parsed": null), so the
+    // stdout line carries NO per-query map at all — total + count +
+    // errors + a pointer to the full artifact. Per-query numbers live
+    // in bench_out.json and the timestamped bench_runs/ archive.
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_run":${results.size},"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     println(line)
     // hedge: sbt prefixes stdout with [info], which can defeat a driver
     // parser expecting a bare JSON line — also drop the metric in a file

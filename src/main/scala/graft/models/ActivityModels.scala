@@ -589,10 +589,13 @@ object ActivityModels {
     *     fact-sized), which LEFT-equi-joins the aggregate back on
     *     (event_type, bucket_us) and zero-fills the holes.
     *
-    * Buckets are integer micros (`unix_micros` ↔ DuckDB `epoch_us`,
-    * q44's cross-engine idiom — fixture timestamps are all post-epoch,
-    * so truncating `div` and flooring `//` agree); values are exact
-    * decimal sums (order-free, q01's Amount convention).
+    * Buckets are integer micros of `date_trunc('hour', ts)`
+    * (`unix_micros` ↔ DuckDB `epoch_us`, q44's cross-engine idiom).
+    * date_trunc FLOORS in calendar terms on both engines regardless of
+    * epoch sign — a `div`-based bucket would truncate toward zero in
+    * Spark but floor in DuckDB's `//`, silently bucketing a pre-epoch
+    * timestamp one hour apart. Values are exact decimal sums
+    * (order-free, q01's Amount convention).
     *
     * At 100 TB: the shuffle is the (type, hour) aggregate — map-side
     * combined, output-sized state; the spine explode fans out of a
@@ -605,7 +608,7 @@ object ActivityModels {
     val hourly = Shared.cacheOnce(
       graft.catalog.Tables.events(spark, sfDir)
         .select($"event_type",
-          (expr(s"unix_micros(ts) div ${HourUs}L") * HourUs).as("bucket_us"),
+          expr("unix_micros(date_trunc('hour', ts))").as("bucket_us"),
           $"value".cast(Amount).as("amount"))
         .groupBy($"event_type", $"bucket_us")
         .agg(count(lit(1)).as("n_events"),
@@ -629,7 +632,7 @@ object ActivityModels {
 
   val hourlyGapfillOracle: String =
     """WITH e AS (SELECT event_type,
-      |                  (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+      |                  epoch_us(date_trunc('hour', ts)) AS bucket_us,
       |                  cast(value AS DECIMAL(18,2)) AS amount
       |           FROM events),
       |hourly AS (SELECT event_type, bucket_us, count(*) AS n_events,

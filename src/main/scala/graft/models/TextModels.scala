@@ -533,8 +533,13 @@ object TextModels {
         ($"doc_id" * 13 % 256).cast(StringType), lit("."),
         ($"doc_id" % 256).cast(StringType),
         lit(" card 4"),
-        lpad(($"doc_id" * 2654435761L % 1000000000000000L).cast(StringType),
-          15, "0"),
+        // reduce doc_id BEFORE the Knuth multiply: 1e9 · 2654435761 ≈
+        // 2.65e18 stays inside Int64 on both engines, whereas the raw
+        // product wraps silently in Spark (ANSI off) but RAISES a
+        // BIGINT-overflow error in DuckDB for doc_id ≳ 3.47e9 — i.e.
+        // the oracle would diverge only at extreme scale factors
+        lpad((($"doc_id" % 1000000000L) * 2654435761L % 1000000000000000L)
+          .cast(StringType), 15, "0"),
         lit(" tel 555-"),
         lpad(($"doc_id" % 1000).cast(StringType), 3, "0"), lit("-"),
         lpad(($"doc_id" % 10000).cast(StringType), 4, "0")).as("t"))
@@ -571,7 +576,7 @@ object TextModels {
        |         cast(doc_id * 13 % 256 AS VARCHAR) || '.' ||
        |         cast(doc_id % 256 AS VARCHAR) ||
        |         ' card 4' ||
-       |         lpad(cast(doc_id * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') ||
+       |         lpad(cast((doc_id % 1000000000) * 2654435761 % 1000000000000000 AS VARCHAR), 15, '0') ||
        |         ' tel 555-' ||
        |         lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
        |         lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0') AS t
@@ -767,8 +772,10 @@ object TextModels {
         .limit(1)
         .as[(String, Long)].collect().headOption
       best match {
-        case None => // vocabulary fully merged — the oracle's empty
-        // b{r} CTEs contribute no rows either; stop training
+        case None => // vocabulary fully merged — the oracle mirrors
+        // this: an empty b{r} contributes no rows to t12's UNION, and
+        // t13's w{r} chain LEFT-JOINs b{r} ON TRUE so the segmentation
+        // passes through unchanged when no merge exists
         case Some((pair, cnt)) =>
           val Array(l, rt) = pair.split(" ", 2)
           merges += ((r, l, rt, cnt))
@@ -846,9 +853,11 @@ object TextModels {
                 |  GROUP BY 1),
                 |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
                 |w$r AS (SELECT w, freq,
-                |               replace(s, ' ' || pair || ' ',
-                |                       ' ' || replace(pair, ' ', '') || ' ') AS s
-                |        FROM $prev CROSS JOIN b$r),
+                |               CASE WHEN pair IS NULL THEN s
+                |                    ELSE replace(s, ' ' || pair || ' ',
+                |                         ' ' || replace(pair, ' ', '') || ' ')
+                |               END AS s
+                |        FROM $prev LEFT JOIN b$r ON TRUE),
                 |""".stripMargin
     }
     sb.toString

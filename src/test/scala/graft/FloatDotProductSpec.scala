@@ -72,6 +72,30 @@ class FloatDotProductSpec extends AnyFunSuite {
     assert(rows(0)._1 == 32.0d && rows(0)._3 == 27.0d)
   }
 
+  test("mismatched lengths and null elements yield NULL like the builtin") {
+    // zip_with pads the shorter array with null → null product → the
+    // builtin fold returns null. The native expressions must agree —
+    // NOT silently truncate to the shorter length or read nulls as 0.
+    val df = Seq(
+      (Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](4.0, 5.0)),
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](4.0, 5.0, 6.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    val rows = df.select(
+      call_function("double_dot", $"a", $"b").as("d"),
+      call_function("double_l2", $"a", $"b").as("l")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // length mismatch
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // null element
+    assert(rows(2).getDouble(0) == 11.0d && rows(2).getDouble(1) == 8.0d)
+    // float sibling: same contract
+    val fdf = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+    val frows = fdf.select(fd($"a", $"b")).collect()
+    assert(frows(0).isNullAt(0) && frows(1).isNullAt(0))
+  }
+
   test("runs inside whole-stage codegen over a real scan") {
     val emb = graft.catalog.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = emb.select(fd($"embedding", $"embedding").as("norm2"))

@@ -199,6 +199,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalOps.wavDecode(nonPcm).isEmpty)
   }
 
+  test("wavDecode rejects a crafted negative chunk length (no infinite loop)") {
+    // len = -8 makes `i += 8 + len + (len & 1)` a no-op: without the
+    // guard the chunk walk spins forever on an executor thread. The
+    // decode must return None, and must return at all — run it on a
+    // watchdog thread so a regression fails the suite instead of
+    // hanging it.
+    val bad = MultimodalOps.wavBytes(16000, 1, 16, 10)
+    // first chunk ("fmt ") length field at offset 16 → 0xFFFFFFF8 (-8)
+    for (i <- 0 until 4) bad(16 + i) = (if (i < 1) 0xf8 else 0xff).toByte
+    @volatile var out: Option[Option[MultimodalOps.WavMeta]] = None
+    val t = new Thread(() => { out = Some(MultimodalOps.wavDecode(bad)) })
+    t.setDaemon(true); t.start(); t.join(5000)
+    assert(out.contains(None), "decode must terminate and reject")
+  }
+
   test("mp4Decode walks real ISO-BMFF box structure (round-trip)") {
     val b = MultimodalOps.mp4Bytes("isom", 90000, 450000, 2, 32)
     assert(b.length == MultimodalOps.FtypLen + 8 + MultimodalOps.MvhdLen +

@@ -161,6 +161,23 @@ class SegmentDedupSpec extends AnyFunSuite {
       s"unexpected tokenization accounting: ${out.toSeq}")
   }
 
+  test("t13 oracle: the w-chain passes through when a round goes dry") {
+    // When training dries up before BpeRounds (the toy corpora above),
+    // b{r} is EMPTY — a CROSS JOIN there would zero out w{r} and every
+    // later CTE, so the oracle would return no rows while the Spark
+    // side keeps the final segmentation (a cross-engine divergence on
+    // degenerate corpora, ADVICE r9). The oracle must LEFT JOIN b{r}
+    // ON TRUE and keep s unchanged when no merge exists. Cross-engine
+    // parity on a fully-merged 2-word corpus was replayed through
+    // Verify + DuckDB when this guard landed; this pins the SQL shape
+    // so a rewrite can't silently reintroduce the CROSS JOIN.
+    val sql = TextModels.bpeTokenizeOracle
+    assert(sql.contains("LEFT JOIN b"), "w-chain must LEFT JOIN the merge pick")
+    assert(sql.contains("WHEN pair IS NULL THEN s"),
+      "segmentation must pass through unchanged on a dry round")
+    assert(!sql.contains("CROSS JOIN b"), "no zero-row cascade")
+  }
+
   test("t13: corpus invariants — tokens never exceed characters, never beat words") {
     val rows = TextModels.bpeTokenize(spark, "/root/testdata/sf0.001")
       .select($"n_words", $"n_chars", $"n_bpe_tokens")
