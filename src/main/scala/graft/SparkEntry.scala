@@ -145,6 +145,7 @@ object SparkEntry {
     "m04_audio_meta_summary" -> (graft.multimodal.MultimodalOps.audioMetaSummary _),
     "m05_video_meta_summary" -> (graft.multimodal.MultimodalOps.videoMetaSummary _),
     "m06_pixel_pool_summary" -> (graft.multimodal.MultimodalOps.pixelPoolSummary _),
+    "m07_phash_image_dedup" -> (graft.multimodal.MultimodalOps.phashImageDedup _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -321,5 +322,6 @@ object SparkEntry {
     "m04_audio_meta_summary" -> graft.multimodal.MultimodalOps.audioMetaSummaryOracle,
     "m05_video_meta_summary" -> graft.multimodal.MultimodalOps.videoMetaSummaryOracle,
     "m06_pixel_pool_summary" -> graft.multimodal.MultimodalOps.pixelPoolSummaryOracle,
+    "m07_phash_image_dedup" -> graft.multimodal.MultimodalOps.phashImageDedupOracle,
   )
 }

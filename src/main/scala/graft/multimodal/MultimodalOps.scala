@@ -969,6 +969,177 @@ object MultimodalOps {
       |       cast(sum(b) AS BIGINT) AS sum_b
       |FROM pooled GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // m07: perceptual-hash image dedup
+  // ------------------------------------------------------------------
+
+  /** m07's media fixture: image CONTENT keyed on `ck = doc_id % 97`,
+    * not on doc_id — so ~|docs|/97 documents carry pixel-identical
+    * images under different doc_ids, the situation perceptual dedup
+    * exists for (the same photo re-uploaded across a crawl). Size and
+    * pixels replay [[pixelImageTable]]'s arithmetic over ck; PNG is
+    * lossless, so decoded rasters are bit-identical to the generator
+    * and the stage stays oracle-checkable. Robustness to LOSSY
+    * re-encodes (the JPEG-ized copy of a PNG) is pinned in
+    * MultimodalSpec — a lossy codec's pixels can't be driver-hashed.
+    */
+  def phashImageTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        val writerReady = javax.imageio.ImageIO.getImageWritersByFormatName("png").hasNext
+        require(writerReady, "JDK PNG writer missing")
+        it.map { id =>
+          val ck = id % 97
+          val w = 8 + (ck % 16).toInt
+          val h = 8 + ((ck / 3) % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((ck + 3L * x + 7L * y) % 256).toInt
+              val g = ((2L * ck + 5L * x + y) % 256).toInt
+              val b = ((ck + x.toLong * y) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRecord(id, baos.toByteArray, "image/png")
+        }
+      }
+  }
+
+  /** 16-bit average-hash (aHash) per document over REAL decoded
+    * rasters: decode ([[decodePixelFeatures]] — ImageIO, any format the
+    * JDK reads), 4×4 average-pool, then bit(cy,cx) = 1 iff the cell's
+    * mean luminance exceeds the image's global mean. The comparison is
+    * the EXACT integer cross-multiplication `cell_lum · total_px >
+    * total_lum · cell_px` — no division, no float, engine-independent
+    * (the m06 convention). Luminance is the unweighted r+g+b sum, kept
+    * integer for the same reason.
+    *
+    * Scale: decode is embarrassingly parallel and drops the binary
+    * immediately; the per-doc window runs over dense 16-row partitions
+    * hash-distributed on doc_id. One 16-bit value per image leaves the
+    * stage — the whole dedup index for a billion images is 8 GB.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    val cells = decodePixelFeatures(media)
+      .select($"doc_id",
+        ($"cell_y" * 4 + $"cell_x").cast(IntegerType).as("bit_idx"),
+        ($"sum_r" + $"sum_g" + $"sum_b").as("lum"), $"px_count")
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    cells
+      .withColumn("tot_lum", sum($"lum").over(wdoc))
+      .withColumn("tot_px", sum($"px_count").over(wdoc))
+      .groupBy($"doc_id")
+      .agg(sum(expr(
+        "CASE WHEN lum * tot_px > tot_lum * px_count" +
+          " THEN shiftleft(1L, bit_idx) ELSE 0L END")).as("ahash"))
+  }
+
+  /** m07: PERCEPTUAL-HASH IMAGE DEDUP (beyond-reference) — the
+    * content-level image twin of d01+d03: re-encoded or re-uploaded
+    * copies of the same picture are invisible to byte-level dedup, so
+    * dedup the 16-bit aHash of the decoded raster instead.
+    *
+    *  1. exact tier (d01 idiom): groupBy ahash — every hash carried by
+    *     more than one document is a perceptual-duplicate group; one
+    *     `(h, h, 0, n, n)` row per group.
+    *  2. near tier (d03/d04 banded idiom): split the hash into 4 bands
+    *     of 4 bits; Hamming ≤ 2 forces ≥ 2 equal bands (pigeonhole),
+    *     so an equi-self-join on (band, band_value) finds every
+    *     candidate without an all-pairs compare; exact Hamming via
+    *     `bit_count(xor)` keeps pairs ≤ 2 apart, one
+    *     `(h_a, h_b, hamming, docs_a, docs_b)` row each.
+    *
+    * Scale: the banded join is quadratic only within a (band, value)
+    * bucket of the DISTINCT-hash table — corpus size never enters the
+    * pair volume, and the hash table itself is content-cardinality
+    * sized. The two count joins broadcast that same small table.
+    */
+  def phashImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.models.Shared
+      .materialized("phash_media", spark, sfDir) {
+        phashImageTable(spark, sfDir).toDF()
+      }.as[MediaRecord]
+    val groups = perceptualHashes(media)
+      .groupBy($"ahash").agg(count(lit(1)).as("n_docs"))
+    val selfRows = groups.filter($"n_docs" > 1)
+      .select($"ahash".as("hash_a"), $"ahash".as("hash_b"),
+        lit(0L).as("hamming"), $"n_docs".as("docs_a"),
+        $"n_docs".as("docs_b"))
+    val bands = groups.select($"ahash",
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("shiftright(ahash, band * 4) & 15"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.ahash") < col("y.ahash"))
+      .select(col("x.ahash").as("hash_a"), col("y.ahash").as("hash_b"))
+      .distinct()
+    val near = cand
+      .withColumn("hamming",
+        expr("bit_count(hash_a ^ hash_b)").cast(LongType))
+      .filter($"hamming" <= 2)
+      .join(broadcast(groups.select($"ahash".as("hash_a"),
+        $"n_docs".as("docs_a"))), Seq("hash_a"))
+      .join(broadcast(groups.select($"ahash".as("hash_b"),
+        $"n_docs".as("docs_b"))), Seq("hash_b"))
+      .select($"hash_a", $"hash_b", $"hamming", $"docs_a", $"docs_b")
+    selfRows.unionByName(near)
+  }
+
+  /** The arithmetic twin of [[phashImageDedup]]: pixels, pools, hash
+    * bits, bands, and Hamming distances all replayed per DISTINCT
+    * content key — DuckDB never decodes a PNG (the m06 convention). */
+  val phashImageDedupOracle: String =
+    """WITH ckt AS (SELECT DISTINCT doc_id % 97 AS ck FROM documents),
+      |img AS (SELECT ck, 8 + ck % 16 AS w, 8 + (ck // 3) % 16 AS h FROM ckt),
+      |px AS (SELECT ck, w, h, unnest(range(w * h)) AS p FROM img),
+      |vals AS (SELECT ck, w, h, p % w AS x, p // w AS y FROM px),
+      |cells AS (
+      |  SELECT ck,
+      |         ((y * 4) // h) * 4 + (x * 4) // w AS bit_idx,
+      |         sum((ck + 3 * x + 7 * y) % 256 + (2 * ck + 5 * x + y) % 256
+      |             + (ck + x * y) % 256) AS lum,
+      |         count(*) AS pxc
+      |  FROM vals GROUP BY 1, 2),
+      |tot AS (SELECT ck, sum(lum) AS tl, sum(pxc) AS tp FROM cells GROUP BY 1),
+      |hashes AS (
+      |  SELECT c.ck,
+      |         cast(sum(CASE WHEN c.lum * t.tp > t.tl * c.pxc
+      |                       THEN 1 << c.bit_idx ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM cells c JOIN tot t USING (ck) GROUP BY 1),
+      |grp AS (SELECT h.ahash, count(*) AS n_docs
+      |        FROM documents d JOIN hashes h ON d.doc_id % 97 = h.ck
+      |        GROUP BY 1),
+      |selfrows AS (SELECT ahash AS hash_a, ahash AS hash_b,
+      |                    cast(0 AS BIGINT) AS hamming,
+      |                    n_docs AS docs_a, n_docs AS docs_b
+      |             FROM grp WHERE n_docs > 1),
+      |bands AS (SELECT ahash, b, (ahash >> (b * 4)) & 15 AS bv
+      |          FROM grp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+      |cand AS (SELECT DISTINCT x.ahash AS hash_a, y.ahash AS hash_b
+      |         FROM bands x JOIN bands y
+      |           ON x.b = y.b AND x.bv = y.bv AND x.ahash < y.ahash),
+      |near AS (SELECT c.hash_a, c.hash_b,
+      |                cast(bit_count(xor(c.hash_a, c.hash_b)) AS BIGINT) AS hamming,
+      |                ga.n_docs AS docs_a, gb.n_docs AS docs_b
+      |         FROM cand c
+      |         JOIN grp ga ON c.hash_a = ga.ahash
+      |         JOIN grp gb ON c.hash_b = gb.ahash
+      |         WHERE bit_count(xor(c.hash_a, c.hash_b)) <= 2)
+      |SELECT * FROM selfrows UNION ALL SELECT * FROM near""".stripMargin
+
   /** The arithmetic twin of [[videoTable]] + [[mp4Decode]]: every
     * parameter replays the doc_id derivation; byte length follows the
     * constant box-size accounting. */

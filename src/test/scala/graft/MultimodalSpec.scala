@@ -346,4 +346,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meanAbsErr > 0.0, "JPEG is lossy on this pattern")
     assert(meanAbsErr < 64.0, "JPEG error should still be bounded")
   }
+
+  test("m07: a JPEG re-encode of a PNG is caught as a perceptual duplicate") {
+    // Byte-level dedup (d01) can never match a PNG against its
+    // JPEG-ized copy — the payloads share no bytes. The aHash must:
+    // each 4×4 cell is either clearly above or clearly below the
+    // global mean on a structured image, so JPEG's small pixel errors
+    // can't flip bits. Build a high-contrast quadrant image (the kind
+    // of margin real photos have at aHash granularity), encode it
+    // BOTH ways, and require identical hashes.
+    val (w, h) = (32, 24)
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bright = (x < w / 2) ^ (y < h / 2)
+      val v = if (bright) 220 else 30
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def bytes(fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, fmt, baos); baos.toByteArray
+    }
+    val media = Seq(
+      MultimodalOps.MediaRecord(1L, bytes("png"), "image/png"),
+      MultimodalOps.MediaRecord(2L, bytes("jpg"), "image/jpeg")).toDS()
+    val hashes = MultimodalOps.perceptualHashes(media)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.size == 2)
+    val hamming = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    assert(hamming == 0,
+      s"re-encoded copy must hash identically, got Hamming $hamming " +
+        s"(${hashes(1L).toBinaryString} vs ${hashes(2L).toBinaryString})")
+    // and the checkerboard pattern actually exercises both bit values
+    assert(hashes(1L) != 0L && hashes(1L) != 0xffffL)
+  }
+
+  test("m07: pixel-identical images under different doc_ids share an exact group") {
+    // the fixture keys content on doc_id % 97 — doc 5 and doc 102
+    // carry byte-identical PNGs, so their hashes must collide exactly,
+    // and a doc with different content must not (with these generator
+    // polynomials, content keys 5 and 6 differ in many cells)
+    val media = MultimodalOps.phashImageTable(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id".isin(5L, 102L, 6L)).cache()
+    val hashes = MultimodalOps.perceptualHashes(media)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(5L) == hashes(102L), "same content key ⇒ same aHash")
+    assert(hashes(5L) != hashes(6L), "different content ⇒ different aHash")
+    media.unpersist()
+  }
 }
