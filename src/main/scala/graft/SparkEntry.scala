@@ -126,6 +126,7 @@ object SparkEntry {
     "c08_packing_efficiency" -> (CurationModels.packingEfficiency _),
     "c09_leakage_safe_split" -> (CurationModels.leakageSafeSplit _),
     "c10_neardup_safe_split" -> (CurationModels.nearDupSafeSplit _),
+    "c11_semantic_decontam" -> (SimilarityModels.semanticDecontamination _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "d09_semantic_dedup" -> Seq("max_pair_sim"),
+    "c11_semantic_decontam" -> Seq("max_eval_sim"),
     "q46_hourly_gapfill" -> Seq("total_value"),
     // t07/t08 avg_logprob and t09's tier extrema are DOUBLE since the
     // round-8 integer-micros rounding fix (only the sums stay decimal)
@@ -303,6 +305,7 @@ object SparkEntry {
     "c08_packing_efficiency" -> CurationModels.packingEfficiencyOracle,
     "c09_leakage_safe_split" -> CurationModels.leakageSafeSplitOracle,
     "c10_neardup_safe_split" -> CurationModels.nearDupSafeSplitOracle,
+    "c11_semantic_decontam" -> SimilarityModels.semanticDecontaminationOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -514,12 +514,15 @@ object CurationModels {
     *    short for bigrams pass by definition);
     *  - `contaminated` — benchmark decontamination fired at the review
     *    threshold (c01; docs with zero eval-gram hits pass);
+    *  - `sem_contaminated` — embedding-space decontamination fired
+    *    (c11; within-IVF-cell cosine to an eval doc ≥ τ — the
+    *    paraphrased-leakage tier c01's token overlap can't see);
     *  - `sample_kept` — survived the deterministic language-mix
     *    downsampling (c02);
     *  - `verdict` — the FIRST failing stage in pipeline order
-    *    (eval → duplicate → repetitive → contaminated → sampled_out),
-    *    else 'kept'. The eval slice itself is excluded from training by
-    *    construction.
+    *    (eval → duplicate → repetitive → contaminated →
+    *    sem_contaminated → sampled_out), else 'kept'. The eval slice
+    *    itself is excluded from training by construction.
     *
     * Downstream, `packSequences` over `verdict = 'kept'` is the curated
     * corpus (composition shown in CurationSpec).
@@ -547,32 +550,41 @@ object CurationModels {
       .select($"doc_id", $"flagged".as("rep_flagged"))
     val cont = decontamination(spark, sfDir)
       .select($"doc_id", $"flagged".as("cont_flagged"))
+    // c11's embedding-space tier: catches paraphrased eval leakage the
+    // token-overlap stage above can't see (only flagged docs appear)
+    val sem = SimilarityModels.semanticDecontamination(spark, sfDir)
+      .select($"doc_id", lit(true).as("sem_flag"))
     val samp = stratifiedSample(spark, sfDir)
       .select($"doc_id", $"kept")
     docs
       .join(canon, Seq("fp"))
       .join(rep, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
       .join(samp, Seq("doc_id"))
       .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
       .withColumn("rep_flagged", coalesce($"rep_flagged", lit(false)))
       .withColumn("contaminated", coalesce($"cont_flagged", lit(false)))
+      .withColumn("sem_contaminated", coalesce($"sem_flag", lit(false)))
       .withColumn("sample_kept", $"kept")
       .withColumn("verdict",
         when($"source" === EvalSource, "eval")
           .when($"is_duplicate", "duplicate")
           .when($"rep_flagged", "repetitive")
           .when($"contaminated", "contaminated")
+          .when($"sem_contaminated", "sem_contaminated")
           .when(!$"sample_kept", "sampled_out")
           .otherwise("kept"))
       .select($"doc_id", $"lang", $"source", $"is_duplicate",
-        $"rep_flagged", $"contaminated", $"sample_kept", $"verdict")
+        $"rep_flagged", $"contaminated", $"sem_contaminated",
+        $"sample_kept", $"verdict")
   }
 
   val curationFunnelOracle: String =
     s"""WITH canon AS (${DedupModels.dedupExactOracle}),
        |rep AS ($repetitionSignalsOracle),
        |cont AS ($decontaminationOracle),
+       |semc AS (${SimilarityModels.semanticDecontaminationOracle}),
        |samp AS ($stratifiedSampleOracle),
        |docs AS (SELECT doc_id, lang, source, md5($normSqlDuck) AS fp
        |         FROM documents),
@@ -580,18 +592,21 @@ object CurationModels {
        |             d.doc_id <> c.canonical_doc_id AS is_duplicate,
        |             coalesce(r.flagged, false) AS rep_flagged,
        |             coalesce(n.flagged, false) AS contaminated,
+       |             m.doc_id IS NOT NULL AS sem_contaminated,
        |             s.kept AS sample_kept
        |      FROM docs d
        |      JOIN canon c ON d.fp = c.fingerprint
        |      LEFT JOIN rep r ON d.doc_id = r.doc_id
        |      LEFT JOIN cont n ON d.doc_id = n.doc_id
+       |      LEFT JOIN semc m ON d.doc_id = m.doc_id
        |      JOIN samp s ON d.doc_id = s.doc_id)
        |SELECT doc_id, lang, source, is_duplicate, rep_flagged,
-       |       contaminated, sample_kept,
+       |       contaminated, sem_contaminated, sample_kept,
        |       CASE WHEN source = '$EvalSource' THEN 'eval'
        |            WHEN is_duplicate THEN 'duplicate'
        |            WHEN rep_flagged THEN 'repetitive'
        |            WHEN contaminated THEN 'contaminated'
+       |            WHEN sem_contaminated THEN 'sem_contaminated'
        |            WHEN NOT sample_kept THEN 'sampled_out'
        |            ELSE 'kept' END AS verdict
        |FROM j""".stripMargin

@@ -1083,4 +1083,101 @@ object SimilarityModels {
          |LEFT JOIN drops d ON m.cell = d.cell""".stripMargin
     head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64, cosine = true) + tail
   }
+
+  /** c11's contamination threshold: a training doc whose within-cell
+    * cosine to ANY eval doc reaches this is flagged. Lower than a real
+    * corpus would run (~0.9) for the same reason as [[SemDedupTau]]:
+    * the synthetic embeddings are near-isotropic, with top train↔eval
+    * cosines near 0.49. */
+  private[graft] val SemContamTau = 0.35
+
+  /** c11: SEMANTIC DECONTAMINATION (beyond-reference) — d09's
+    * machinery pointed at c01's problem. c01 flags token-overlap
+    * contamination (shared 5-gram containment), so a PARAPHRASED eval
+    * document sails through it; embeddings are exactly the
+    * representation that survives paraphrase. Assign every vector to
+    * the trained IVF coarse cells (`ivf_cents`/`ivf_top2`, the same
+    * session-materialized index s03/s06/s07/d09 read), tag each member
+    * eval vs train by joining `documents` on vec_id = doc_id, and flag
+    * every training doc whose within-cell cosine to any eval doc
+    * reaches [[SemContamTau]].
+    *
+    * Output (c01's doc-level audit shape): per flagged training doc —
+    * source, how many eval docs it matched, the max cosine, and the
+    * sorted eval-id list (the actual decontamination evidence).
+    *
+    * Scale: the compare is equi on the cell id and one side is the
+    * EVAL slice — |eval∩cell| · |train∩cell| pairs per cell, far below
+    * d09's Σ|cell|² since eval corpora are tiny fractions of training
+    * corpora. No new scan: the assignment table is already
+    * materialized by the ANN tier; `documents` contributes only
+    * (doc_id, source).
+    */
+  def semanticDecontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val base = doubledEmb(Tables.embeddings(spark, sfDir))
+    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+      cellTop2(base, cents)
+    }
+    val members = top2.filter($"crk" === 1)
+      .select($"cid".as("cell"), $"vec_id", $"v", $"norm")
+    val srcs = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val tagged = members.join(srcs, $"vec_id" === $"doc_id")
+    val ev = tagged.filter($"source" === CurationModels.EvalSource)
+      .select($"cell", $"vec_id".as("eval_id"), $"v".as("evv"),
+        $"norm".as("en"))
+    val tr = tagged.filter($"source" =!= CurationModels.EvalSource)
+      .select($"cell", $"doc_id", $"source", $"v".as("tv"),
+        $"norm".as("tn"))
+    tr.join(ev, Seq("cell"))
+      .withColumn("sim", round(dotArr($"tv", $"evv") / ($"tn" * $"en"), 6))
+      .filter($"sim" >= SemContamTau)
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max($"sim").cast(DecimalType(24, 6)).as("max_eval_sim"),
+        concat_ws(",", sort_array(collect_list($"eval_id"))).as("eval_ids"))
+  }
+
+  val semanticDecontaminationOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+    val head =
+      s"""WITH base AS (SELECT vec_id,
+         |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         |              FROM embeddings),
+         |bn AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS norm FROM base),
+         |km_train AS (SELECT 0 AS grp, vec_id AS id, v FROM base
+         |             WHERE vec_id < $AnnTrainCap),
+         |""".stripMargin
+    val tail =
+      s"""cents AS (SELECT cid, cv, cnorm FROM km_cents),
+         |ranked AS (
+         |  SELECT b.vec_id, b.v, b.norm, c.cid,
+         |         row_number() OVER (PARTITION BY b.vec_id
+         |           ORDER BY round(${dot("b.v", "c.cv")} / (b.norm * c.cnorm), 6) DESC,
+         |                    c.cid) AS crk
+         |  FROM bn b CROSS JOIN cents c),
+         |members AS (SELECT cid AS cell, vec_id, v, norm
+         |            FROM ranked WHERE crk = 1),
+         |tagged AS (SELECT m.cell, m.vec_id, m.v, m.norm, d.source
+         |           FROM members m JOIN documents d ON m.vec_id = d.doc_id),
+         |ev AS (SELECT cell, vec_id AS eval_id, v AS evv, norm AS en
+         |       FROM tagged WHERE source = '${CurationModels.EvalSource}'),
+         |tr AS (SELECT cell, vec_id AS doc_id, source, v AS tv, norm AS tn
+         |       FROM tagged WHERE source <> '${CurationModels.EvalSource}'),
+         |scored AS (
+         |  SELECT t.doc_id, t.source, e.eval_id,
+         |         round(${dot("t.tv", "e.evv")} / (t.tn * e.en), 6) AS sim
+         |  FROM tr t JOIN ev e ON t.cell = e.cell)
+         |SELECT doc_id, source, count(*) AS n_eval_hits,
+         |       cast(max(sim) AS DECIMAL(24,6)) AS max_eval_sim,
+         |       string_agg(cast(eval_id AS VARCHAR), ',' ORDER BY eval_id)
+         |         AS eval_ids
+         |FROM scored WHERE sim >= $SemContamTau GROUP BY 1, 2""".stripMargin
+    head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64, cosine = true) + tail
+  }
 }

@@ -2,7 +2,7 @@ package graft.runner
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import graft.catalog.Tables
-import graft.models.{CurationModels, DedupModels}
+import graft.models.{CurationModels, DedupModels, SimilarityModels}
 
 /** The composed curated-corpus build — the LLM-training-data analog of
   * [[DailyPipeline]]: where the reference's manifest sequences
@@ -134,6 +134,32 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     CurationModels.evalGramsOf(Tables.documents(spark, sfDir))
       .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("curation_eval_grams"))
+    // 1c. the c11 (embedding-space) references: the trained coarse
+    // codebook and the cell-assigned EVAL vectors. Both are frozen at
+    // snapshot time for the same reason the gram set is — the codebook
+    // trains on the fixed vec_id < AnnTrainCap prefix (appends land
+    // above the watermark, so a full rebuild trains identically), and
+    // admitting new eval vectors could flip old docs' flags
+    val baseVecs = SimilarityModels
+      .doubledEmb(Tables.embeddings(spark, sfDir))
+    // the funnel's c11 leg already session-materialized the trained
+    // index — reuse it (parquet round-trips doubles exactly, so the
+    // frozen copy incremental runs read back assigns identically)
+    graft.models.Shared.materialized("ivf_cents", spark, sfDir) {
+      SimilarityModels.coarseCodebook(baseVecs)
+    }.write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_ivf_cents"))
+    val frozenCents = spark.read.parquet(targetPath("curation_ivf_cents"))
+    graft.models.Shared.materialized("ivf_top2", spark, sfDir) {
+      SimilarityModels.cellTop2(baseVecs, frozenCents)
+    }.filter($"crk" === 1)
+      .join(Tables.documents(spark, sfDir)
+        .filter($"source" === CurationModels.EvalSource)
+        .select($"doc_id"), $"vec_id" === $"doc_id")
+      .select($"cid".as("cell"), $"vec_id".as("eval_id"),
+        $"v".as("evv"), $"norm".as("en"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_eval_vecs"))
     // --- 2. curated corpus: kept documents with all source columns,
     // written under a documents.parquet path so the corpus dir IS a
     // valid Tables-resolvable fixture layout for every downstream op
@@ -189,6 +215,9 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     * union — CurationPipelineSpec pins table-level equality.
     */
   def runIncremental(sfDir: String): CurationPipeline.Report = {
+    // the c11 leg's cell assignment runs double_dot (the driver may own
+    // the session, so registration can't be assumed)
+    graft.functions.GraftFunctions.register(spark)
     recoverInterruptedBloomSwap()
     val funnelOld = spark.read.parquet(targetPath("curation_funnel"))
     val wm = funnelOld.agg(org.apache.spark.sql.functions.max($"doc_id"))
@@ -223,27 +252,52 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       val evalGrams = spark.read.parquet(targetPath("curation_eval_grams"))
       val cont = CurationModels.contaminationOf(newDocs, evalGrams)
         .select($"doc_id", $"flagged".as("cont_flagged"))
+      // c11 flags for the new docs only: assign their vectors to the
+      // FROZEN snapshot cells and compare against the FROZEN eval
+      // vectors — a new doc's flag depends on nothing but itself and
+      // the two references, so incremental ≡ full holds exactly
+      val frozenCents = spark.read
+        .parquet(targetPath("curation_ivf_cents"))
+      val evalVecs = spark.read.parquet(targetPath("curation_eval_vecs"))
+      val newVecs = SimilarityModels
+        .doubledEmb(Tables.embeddings(spark, sfDir))
+        .filter($"vec_id" > wm)
+      val sem = SimilarityModels.cellTop2(newVecs, frozenCents)
+        .filter($"crk" === 1)
+        .select($"cid".as("cell"), $"vec_id", $"v", $"norm")
+        .join(evalVecs, Seq("cell"))
+        .filter(org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.call_function(
+            "double_dot", $"v", $"evv") / ($"norm" * $"en"), 6)
+          >= SimilarityModels.SemContamTau)
+        .select($"vec_id".as("doc_id")).distinct()
+        .withColumn("sem_flag",
+          org.apache.spark.sql.functions.lit(true))
+      import org.apache.spark.sql.functions._
       val samp = CurationModels.stratifiedSampleFrom(newDocs)
         .select($"doc_id", $"kept")
-      import org.apache.spark.sql.functions._
       val newFunnel = fps
         .join(canon.select($"fp", $"canonical_doc_id"), Seq("fp"))
         .join(rep, Seq("doc_id"), "left")
         .join(cont, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
         .join(samp, Seq("doc_id"))
         .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
         .withColumn("rep_flagged", coalesce($"rep_flagged", lit(false)))
         .withColumn("contaminated", coalesce($"cont_flagged", lit(false)))
+        .withColumn("sem_contaminated", coalesce($"sem_flag", lit(false)))
         .withColumn("sample_kept", $"kept")
         .withColumn("verdict",
           when($"source" === CurationModels.EvalSource, "eval")
             .when($"is_duplicate", "duplicate")
             .when($"rep_flagged", "repetitive")
             .when($"contaminated", "contaminated")
+            .when($"sem_contaminated", "sem_contaminated")
             .when(!$"sample_kept", "sampled_out")
             .otherwise("kept"))
         .select($"doc_id", $"lang", $"source", $"is_duplicate",
-          $"rep_flagged", $"contaminated", $"sample_kept", $"verdict")
+          $"rep_flagged", $"contaminated", $"sem_contaminated",
+          $"sample_kept", $"verdict")
         .persist()
       newFunnel.write.mode(SaveMode.Append)
         .parquet(targetPath("curation_funnel"))

@@ -58,6 +58,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     val unionDir = Files.createTempDirectory("graft-cur-union").toString
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     docs0.write.parquet(s"$snapDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, snapDir)
     // appended batch: ids above every processed id, never eval-sourced,
     // hitting every verdict path
     val dupOfOld = docs0.filter($"doc_id" === 3)
@@ -76,6 +77,7 @@ class CurationPipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
     docs0.unionByName(newRows).write.parquet(s"$unionDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, unionDir)
 
     // path A: snapshot + incremental catch-up
     val whInc = Files.createTempDirectory("graft-cur-inc").toString
@@ -138,6 +140,7 @@ class CurationPipelineSpec extends AnyFunSuite {
     val unionDir = Files.createTempDirectory("graft-cur-r-union").toString
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     docs0.write.parquet(s"$snapDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, snapDir)
     // the appended doc copies doc 3 verbatim: every segment is
     // historically known, so a CORRECT sidecar must flag each one
     // maybe-known and the keeper join must drop them all
@@ -148,6 +151,7 @@ class CurationPipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
     docs0.unionByName(newRows).write.parquet(s"$unionDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, unionDir)
 
     val wh = Files.createTempDirectory("graft-cur-r-wh").toString
     val pipe = new CurationPipeline(spark, wh)

@@ -17,12 +17,16 @@ class CurationSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Write handcrafted docs as a documents.parquet fixture dir. */
-  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+  /** Write handcrafted docs as a documents.parquet fixture dir, plus
+    * one-hot embeddings (distinct slots → cosine 0 → no accidental c11
+    * flags; the sem-precedence test below plants a shared slot). */
+  private def docsDir(rows: Seq[(Long, String, String, String)],
+      slotOf: Long => Int = id => (id % 64).toInt): String = {
     val dir = Files.createTempDirectory("graft-curation").toString
     rows.toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TestFixtures.oneHotEmbeddingsFor(spark, dir, slotOf)
     dir
   }
 
@@ -131,6 +135,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == "repetitive") // canonical, so dedup passes it
     assert(out(2L) == "duplicate") // duplicate wins over repetitive
     assert(out(4L) == "kept")
+  }
+
+  test("c06: a paraphrased eval twin is sem_contaminated (token overlap blind)") {
+    // doc 2 shares NO tokens with the eval doc 1 (c01 passes it) but
+    // its embedding is doc 1's exact one-hot (cosine 1 ≥ τ, same cell
+    // by construction) — only the c11 leg can catch it. doc 3 is an
+    // orthogonal control.
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "src0"),
+      (2L, "uno dos tres cuatro cinco seis", "en", "s"),
+      (3L, "foo bar baz qux quux corge", "en", "s")),
+      slotOf = id => if (id == 2L) 1 else (id % 64).toInt)
+    val out = CurationModels.curationFunnel(spark, dir)
+      .select($"doc_id", $"sem_contaminated", $"verdict")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((false, "eval")))
+    assert(out(2L)._1 && out(2L)._2 == "sem_contaminated",
+      s"paraphrased twin must flag semantically: ${out(2L)}")
+    assert(!out(3L)._1, "orthogonal doc must not flag")
   }
 
   test("c06→c05 composition: packing the kept set stays contiguous") {

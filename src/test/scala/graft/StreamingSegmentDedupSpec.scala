@@ -42,7 +42,9 @@ class StreamingSegmentDedupSpec extends AnyFunSuite {
     val unionDir = Files.createTempDirectory("graft-ssd-union").toString
     val newDir = Files.createTempDirectory("graft-ssd-new").toString
     docs0.write.parquet(s"$snapDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, snapDir)
     docs0.unionByName(newRows).write.parquet(s"$unionDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, unionDir)
     newRows.write.mode("overwrite").parquet(newDir)
 
     // batch path: full snapshot run, freeze the pre-incremental keeper
