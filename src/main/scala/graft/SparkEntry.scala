@@ -140,6 +140,7 @@ object SparkEntry {
     "t11_nb_quality" -> (TextModels.nbQualityScore _),
     "t12_bpe_merges" -> (TextModels.bpeMerges _),
     "t13_bpe_tokenize" -> (TextModels.bpeTokenize _),
+    "t14_dsir_importance" -> (TextModels.dsirImportance _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "t07_unigram_logprob" -> Seq("sum_logprob"),
     "t08_bigram_logprob" -> Seq("sum_logprob"),
     "t11_nb_quality" -> Seq("sum_llr"),
+    "t14_dsir_importance" -> Seq("sum_lr"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -319,6 +321,7 @@ object SparkEntry {
     "t11_nb_quality" -> TextModels.nbQualityScoreOracle,
     "t12_bpe_merges" -> TextModels.bpeMergesOracle,
     "t13_bpe_tokenize" -> TextModels.bpeTokenizeOracle,
+    "t14_dsir_importance" -> TextModels.dsirImportanceOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

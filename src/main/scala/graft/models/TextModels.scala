@@ -892,4 +892,129 @@ object TextModels {
          |         AS chars_per_token_micros
          |FROM tokl t JOIN seg g ON t.w = g.w
          |GROUP BY 1""".stripMargin
+
+  /** t14's hashed-feature space: 4096 buckets from the first 3 hex
+    * digits of the bigram's md5 (c02/c07's hex-bucket idiom). */
+  private[models] val DsirBuckets = 4096
+
+  /** t14: DSIR-STYLE IMPORTANCE WEIGHTS (beyond-reference) — Data
+    * Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the principled rung above c07's
+    * frequency-only temperature mix: score every raw document by how
+    * much more likely its HASHED-BIGRAM features are under the target
+    * distribution than under the raw-corpus distribution, then select
+    * the top slice. The target here is the curation tier's reference
+    * slice (`CurationModels.EvalSource` — the role formal/quality text
+    * plays in the paper), the raw side is everything else; t11's
+    * trained-artifact seam (two exact-count aggregates → a broadcast
+    * model dim) carries the whole estimator.
+    *
+    * Per bucket b, add-1-smoothed over the [[DsirBuckets]]-bucket space:
+    *   lr(b) = ln( (c_tgt(b)+1)/(N_tgt+B) / ((c_raw(b)+1)/(N_raw+B)) )
+    * A document's log importance weight is the sum of lr over its
+    * feature occurrences; `selected` marks the top ⌈10%⌉ by
+    * length-normalized weight (avg, sign-aware integer-micros
+    * rounding), ties by doc_id — the deterministic stand-in for the
+    * paper's Gumbel resampling.
+    *
+    * Determinism: exact BIGINT counts, identical double operation
+    * order, ln rounded to 6dp into DECIMAL(18,6) so per-doc sums are
+    * order-free (the t11 contract); the rank window runs over the
+    * OUTPUT-SIZED doc aggregate, never the feature stream.
+    *
+    * Scale: the model is ≤B rows (two-stage agg, map-side combine),
+    * session-materialized and broadcast; scoring is one corpus scan +
+    * broadcast join + doc rollup — exactly DSIR's own architecture
+    * (hashed features exist so the model NEVER grows with the corpus).
+    */
+  def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val eval = CurationModels.EvalSource
+    val hexAt = (c: Column, i: Int) =>
+      (instr(lit("0123456789abcdef"), substring(c, i, 1)) - 1)
+        .cast(LongType)
+    val ts = toks($"text")
+    val feats = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", ts.as("ts"))
+      .filter(size($"ts") >= 2) // sequence(1, 0) would step backward
+      .select($"doc_id", $"source", explode(
+        transform(sequence(lit(1), size($"ts") - 1),
+          i => concat(element_at($"ts", i), lit(" "),
+            element_at($"ts", i + 1)))).as("f"))
+      .withColumn("h", md5($"f"))
+      .withColumn("bucket",
+        hexAt($"h", 1) * 256 + hexAt($"h", 2) * 16 + hexAt($"h", 3))
+      .select($"doc_id", $"source", $"bucket")
+    val model = Shared.materialized("dsir_model", spark, sfDir) {
+      val counts = feats.groupBy($"bucket")
+        .agg(sum(when($"source" === eval, 1L).otherwise(0L)).as("c_tgt"),
+          sum(when($"source" === eval, 0L).otherwise(1L)).as("c_raw"))
+      val tot = counts.agg(sum($"c_tgt").as("n_tgt"),
+        sum($"c_raw").as("n_raw"))
+      counts.crossJoin(tot)
+        .select($"bucket", round(log(
+          (($"c_tgt" + 1) / ($"n_tgt" + lit(DsirBuckets))) /
+            (($"c_raw" + 1) / ($"n_raw" + lit(DsirBuckets)))), 6)
+          .cast(DecimalType(18, 6)).as("lr"))
+    }
+    val scored = feats.filter($"source" =!= eval)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"lr").as("sum_lr"),
+        sum(($"lr" * 1000000).cast(LongType)).as("sum_micros"))
+      .withColumn("avg_lr", avgFromMicrosSigned("sum_micros", "n_feats"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"avg_lr".desc, $"doc_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .withColumn("selected", $"rk" <= expr("(n_docs + 9) div 10"))
+      .select($"doc_id", $"n_feats", $"sum_lr", $"avg_lr", $"selected")
+  }
+
+  val dsirImportanceOracle: String = {
+    val eval = CurationModels.EvalSource
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    string_split($normSqlDuck, ' ') AS ts
+       |             FROM documents),
+       |ok AS (SELECT * FROM tok WHERE len(ts) >= 2),
+       |big AS (SELECT doc_id, source,
+       |               md5(unnest(list_transform(range(len(ts) - 1),
+       |                   i -> ts[i+1] || ' ' || ts[i+2]))) AS h
+       |        FROM ok),
+       |feats AS (SELECT doc_id, source,
+       |                 ${hexAt(1)} * 256 + ${hexAt(2)} * 16 + ${hexAt(3)}
+       |                   AS bucket
+       |          FROM big),
+       |counts AS (SELECT bucket,
+       |                  sum(CASE WHEN source = '$eval' THEN 1 ELSE 0 END) AS c_tgt,
+       |                  sum(CASE WHEN source = '$eval' THEN 0 ELSE 1 END) AS c_raw
+       |           FROM feats GROUP BY 1),
+       |tot AS (SELECT cast(sum(c_tgt) AS BIGINT) AS n_tgt,
+       |               cast(sum(c_raw) AS BIGINT) AS n_raw
+       |        FROM counts),
+       |model AS (SELECT bucket,
+       |                 cast(round(ln(
+       |                   ((c_tgt + 1) / (n_tgt + $DsirBuckets)) /
+       |                   ((c_raw + 1) / (n_raw + $DsirBuckets))), 6)
+       |                      AS DECIMAL(18,6)) AS lr
+       |          FROM counts CROSS JOIN tot),
+       |scored AS (
+       |  SELECT f.doc_id, count(*) AS n_feats, sum(m.lr) AS sum_lr,
+       |         ${avgFromMicrosSignedSql(
+              "sum(cast(m.lr * 1000000 AS BIGINT))", "count(*)")} AS avg_lr
+       |  FROM feats f JOIN model m USING (bucket)
+       |  WHERE f.source <> '$eval'
+       |  GROUP BY 1),
+       |ranked AS (SELECT *,
+       |                  row_number() OVER (ORDER BY avg_lr DESC, doc_id) AS rk,
+       |                  count(*) OVER () AS n_docs
+       |           FROM scored)
+       |SELECT doc_id, n_feats, sum_lr, avg_lr,
+       |       rk <= (n_docs + 9) // 10 AS selected
+       |FROM ranked""".stripMargin
+  }
 }

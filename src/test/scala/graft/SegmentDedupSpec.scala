@@ -161,6 +161,30 @@ class SegmentDedupSpec extends AnyFunSuite {
       s"unexpected tokenization accounting: ${out.toSeq}")
   }
 
+  test("t14: eval-like docs outscore eval-unlike docs and fill the top slice") {
+    // target slice (src0) speaks "quality prose" bigrams; doc 10 reuses
+    // those exact bigrams (importance should be high), docs 11-18 share
+    // none (low). With 9 raw docs the top ⌈10%⌉ = 1 slot must go to
+    // doc 10.
+    val q = "quality prose reads well and flows cleanly through ideas"
+    val dir = docsDir(Seq(
+      (0L, q, "en", "src0"),
+      (1L, q + " with careful structure", "en", "src0"),
+      (10L, "quality prose reads well and flows cleanly", "en", "web")) ++
+      (11L to 18L).map(i =>
+        (i, (0 until 8).map(j => s"junk$i$j").mkString(" "), "en", "web")))
+    val rows = TextModels.dsirImportance(spark, dir)
+      .select($"doc_id", $"avg_lr", $"selected")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 9, "all raw docs with >=1 bigram are scored")
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(10L)._2 > 0, "eval-like doc must carry positive weight")
+    assert((11L to 18L).forall(byId(_)._2 < byId(10L)._2),
+      "eval-unlike docs must score below the eval-like doc")
+    assert(byId(10L)._3 && rows.count(_._3) == 1,
+      "exactly the one top-slice slot, and it goes to the eval-like doc")
+  }
+
   test("t13 oracle: the w-chain passes through when a round goes dry") {
     // When training dries up before BpeRounds (the toy corpora above),
     // b{r} is EMPTY — a CROSS JOIN there would zero out w{r} and every
