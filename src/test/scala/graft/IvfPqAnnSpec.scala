@@ -54,6 +54,33 @@ class IvfPqAnnSpec extends AnyFunSuite {
     assert(short20.forall(r => r >= 1 && r <= 20))
   }
 
+  test("family recall floors match the committed ann_bench table") {
+    // the per-round ann_bench.json artifact records recall@k per tier
+    // (r10: s03 0.70, s04 0.94, s06 0.30, s07 0.60). A codebook or
+    // fold-order change can stay hash-green (the oracle replays the
+    // same arithmetic) while silently costing recall — these floors
+    // (set with headroom under the measured values) make that a test
+    // failure instead. The whole tier is deterministic, so on a fixed
+    // fixture these are constants, not flaky measurements.
+    val exact5 = SimilarityModels.cosineTopK(spark, sfDir)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame,
+        baseline: Set[(Long, Long)]): Double = {
+      val got = df.select($"query_id", $"cand_id")
+        .as[(Long, Long)].collect().toSet
+      (got & baseline).size.toDouble / baseline.size
+    }
+    val exact3 = SimilarityModels.cosineTopK(spark, sfDir)
+      .filter($"sim_rank" <= 3)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val r3 = recallOf(SimilarityModels.ivfAnnTopK(spark, sfDir), exact3)
+    val r4 = recallOf(SimilarityModels.sq8AnnTopK(spark, sfDir), exact5)
+    val r7 = recallOf(SimilarityModels.ivfPqRefinedTopK(spark, sfDir), exact5)
+    assert(r3 >= 0.6, s"s03 IVF recall@3 fell to $r3 (floor 0.6)")
+    assert(r4 >= 0.85, s"s04 SQ8 recall@5 fell to $r4 (floor 0.85)")
+    assert(r7 >= 0.5, s"s07 refined recall@5 fell to $r7 (floor 0.5)")
+  }
+
   test("every candidate lies in one of the query's two probed cells") {
     // re-derive the probe set with the model's own trained coarse
     // quantizer (the shared codebook helpers the query itself uses)
