@@ -127,6 +127,7 @@ object SparkEntry {
     "c09_leakage_safe_split" -> (CurationModels.leakageSafeSplit _),
     "c10_neardup_safe_split" -> (CurationModels.nearDupSafeSplit _),
     "c11_semantic_decontam" -> (SimilarityModels.semanticDecontamination _),
+    "c12_train_packing" -> (CurationModels.trainSplitPacking _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -308,6 +309,7 @@ object SparkEntry {
     "c09_leakage_safe_split" -> CurationModels.leakageSafeSplitOracle,
     "c10_neardup_safe_split" -> CurationModels.nearDupSafeSplitOracle,
     "c11_semantic_decontam" -> SimilarityModels.semanticDecontaminationOracle,
+    "c12_train_packing" -> CurationModels.trainSplitPackingOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

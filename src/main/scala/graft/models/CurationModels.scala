@@ -755,6 +755,55 @@ object CurationModels {
        |       count(*) - count(DISTINCT fp) AS n_dup_docs
        |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** c12: TRAIN-SPLIT-ONLY PACKING (beyond-reference) — the downstream
+    * SAMPLER of the split labels: what actually feeds a training run
+    * packs ONLY train-labeled documents, so val/test text can never
+    * enter the packed stream by construction (the composition that
+    * makes c09's labels load-bearing rather than descriptive — the
+    * pipeline materializes the same stage as `train_split_packing`).
+    * Offsets are positions in the TRAIN stream: dropping val/test docs
+    * re-bases every downstream offset, which is why the sampler is a
+    * distinct materialization and not a filter over c05's.
+    *
+    * Scale: the split label is a stateless content hash evaluated
+    * inside the same scan (no label-table shuffle at all in the query
+    * form; the pipeline form semi-joins the materialized labels), and
+    * packing keeps c05's shard-bounded window geometry.
+    */
+  def trainSplitPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val train = splitLabelsFrom(docs).filter($"split" === "train")
+      .select($"doc_id")
+    packSequencesFrom(docs.join(train, Seq("doc_id"), "left_semi"))
+  }
+
+  val trainSplitPackingOracle: String =
+    s"""WITH lbl AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |           (strpos('0123456789abcdef', substr(md5(fp),1,1)) - 1) * 16 +
+       |           (strpos('0123456789abcdef', substr(md5(fp),2,1)) - 1) AS bucket
+       |    FROM (SELECT doc_id, md5($normSqlDuck) AS fp FROM documents))
+       |  WHERE bucket < $TrainPer256),
+       |d AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
+       |             len(string_split($normSqlDuck, ' ')) AS n_tokens
+       |      FROM documents
+       |      WHERE doc_id IN (SELECT doc_id FROM lbl)),
+       |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+       |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS end_offset
+       |      FROM d)
+       |SELECT doc_id, lang, cast(shard AS BIGINT) AS shard,
+       |       cast(n_tokens AS BIGINT) AS n_tokens,
+       |       cast(end_offset - n_tokens AS BIGINT) AS start_offset,
+       |       cast((end_offset - n_tokens) // $PackBudget AS BIGINT)
+       |         AS first_seq,
+       |       cast((end_offset - 1) // $PackBudget AS BIGINT) AS last_seq,
+       |       (end_offset - 1) // $PackBudget >
+       |       (end_offset - n_tokens) // $PackBudget AS boundary_split
+       |FROM o""".stripMargin
+
   /** c10: NEAR-DUP-SAFE SPLIT (beyond-reference) — c09 closed the
     * byte-equal leak; this closes the REPHRASING leak: the split is
     * keyed on the near-dup CLUSTER's representative content (d07's

@@ -16,6 +16,10 @@ import graft.models.{CurationModels, DedupModels, SimilarityModels}
   *                        is a stateless content hash, so incremental
   *                        appends ≡ full-rebuild labels
   *   3. curated_packing   sequence-packing index over the KEPT set (c05)
+  *   3b. train_split_packing  the split labels' downstream SAMPLER
+  *                        (c12): packing over ONLY train-labeled docs —
+  *                        what actually feeds a training run; val/test
+  *                        text can't enter it by construction
   *   4. segment_stats     sub-document segment-dedup stats (d08), with
   *                        `curation_segments` (first-occurrence holder
   *                        per distinct segment hash) as the bookkeeping
@@ -67,7 +71,8 @@ object CurationPipeline {
       verdictCounts: Map[String, Long],
       curatedRows: Long,
       packedRows: Long,
-      boundarySplitDocs: Long)
+      boundarySplitDocs: Long,
+      trainPackedRows: Long)
 }
 
 final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
@@ -118,7 +123,9 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       curatedRows =
         Tables.documents(spark, targetPath("curated_corpus")).count(),
       packedRows = packed.count(),
-      boundarySplitDocs = packed.filter($"boundary_split").count())
+      boundarySplitDocs = packed.filter($"boundary_split").count(),
+      trainPackedRows = spark.read
+        .parquet(targetPath("train_split_packing")).count())
   }
 
   def run(sfDir: String): CurationPipeline.Report = {
@@ -188,6 +195,20 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .hint("rebalance", "lang", "shard")
       .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
       .parquet(targetPath("curated_packing"))
+    // --- 3b. the split labels' downstream SAMPLER: what feeds a
+    // training run packs ONLY train-labeled docs (semi-join against
+    // curation_splits), so val/test text can never enter the packed
+    // training stream — the labels are load-bearing in the DAG, not
+    // just materialized. Offsets re-base over the train stream, which
+    // is why this is a distinct table, not a filter of curated_packing.
+    val trainIds = spark.read.parquet(targetPath("curation_splits"))
+      .filter($"split" === "train").select($"doc_id")
+    CurationModels.packSequencesFrom(
+      Tables.documents(spark, targetPath("curated_corpus"))
+        .join(trainIds, Seq("doc_id"), "left_semi"))
+      .hint("rebalance", "lang", "shard")
+      .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
+      .parquet(targetPath("train_split_packing"))
     // --- 4. sub-document segment stage (d08): per-doc retained-token
     // stats over the RAW snapshot, plus the bookkeeping table an
     // incremental run needs — the first-occurrence holder of every
@@ -339,6 +360,31 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang", "shard")
         .parquet(targetPath("curated_packing"))
+
+      // --- 3b. sampler catch-up: repack only the TRAIN streams the new
+      // TRAIN-labeled docs touched (labels for the new kept docs landed
+      // in step 2b; a doc's label is a stateless content hash, so the
+      // stream membership of old docs is immutable and untouched train
+      // streams stay byte-identical under dynamic partition overwrite)
+      val trainIds = spark.read.parquet(targetPath("curation_splits"))
+        .filter($"split" === "train").select($"doc_id")
+      val touchedTrain = newDocs.join(keptNewIds, Seq("doc_id"), "left_semi")
+        .join(trainIds, Seq("doc_id"), "left_semi")
+        .select($"lang",
+          expr(s"doc_id div ${CurationModels.PackShard}").as("shard"))
+        .distinct()
+      val touchedTrainDocs = curated
+        .join(trainIds, Seq("doc_id"), "left_semi")
+        .withColumn("shard",
+          expr(s"doc_id div ${CurationModels.PackShard}"))
+        .join(touchedTrain, Seq("lang", "shard"), "left_semi")
+        .drop("shard")
+      CurationModels.packSequencesFrom(touchedTrainDocs)
+        .hint("rebalance", "lang", "shard")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang", "shard")
+        .parquet(targetPath("train_split_packing"))
 
       // --- 4. segment stage catch-up: only the NEW docs' segments are
       // hashed; a new copy drops if its hash is already held by the

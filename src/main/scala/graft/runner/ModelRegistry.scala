@@ -371,6 +371,32 @@ object ModelRegistry {
     * source model; the `ds_`/`mb_` prefixes stand in for the target
     * database.schema part of the 3-part Snowflake name.
     */
+  /** The document-family (curation) DAG — the registry's declaration of
+    * what [[CurationPipeline]] materializes and reads, in dependency
+    * order. Executed by CurationPipeline rather than the date-keyed
+    * [[IncrementalRunner]] because the corpus's watermark axis is
+    * doc_id, not date_key — same declared-DAG discipline, different
+    * incremental key. CurationDagSpec (in ModelDagSpec's suite file)
+    * asserts a full pipeline run materializes exactly these targets and
+    * every declared dep is a raw source or an upstream target. The
+    * leaf, `train_split_packing`, is the split labels' downstream
+    * sampler — the consumer that makes `curation_splits` load-bearing.
+    */
+  val curationDag: Seq[(String, Seq[String])] = Seq(
+    "curation_funnel" -> Seq("documents", "embeddings"),
+    "curation_groups" -> Seq("documents"),
+    "curation_eval_grams" -> Seq("documents"),
+    "curation_ivf_cents" -> Seq("embeddings"),
+    "curation_eval_vecs" -> Seq("embeddings", "documents",
+      "curation_ivf_cents"),
+    "curated_corpus" -> Seq("documents", "curation_funnel"),
+    "curation_splits" -> Seq("curated_corpus"),
+    "curated_packing" -> Seq("curated_corpus"),
+    "train_split_packing" -> Seq("curated_corpus", "curation_splits"),
+    "segment_stats" -> Seq("documents"),
+    "curation_segments" -> Seq("documents"),
+    "curation_segment_bloom" -> Seq("curation_segments"))
+
   val clones: Seq[(String, String)] = Seq(
     // data_studio_mart/daily_models/reporting/clones/*
     "ds_daily_active_accounts_ecosystem" -> "daily_active_ecosystem",

@@ -90,8 +90,8 @@ class CurationPipelineSpec extends AnyFunSuite {
 
     assert(rInc == rFull)
     for (t <- Seq("curation_funnel", "curated_corpus/documents.parquet",
-        "curation_splits", "curated_packing", "segment_stats",
-        "curation_segments"))
+        "curation_splits", "curated_packing", "train_split_packing",
+        "segment_stats", "curation_segments"))
       assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
 
     // the bloom sidecar an incremental run unions up is byte-identical

@@ -165,4 +165,49 @@ class ModelDagSpec extends AnyFunSuite {
     assert(offBand.isEmpty,
       "incremental p50 diverged from full beyond the rank-error envelope")
   }
+
+  test("curation DAG: declared targets materialize and the sampler consumes the splits") {
+    // the registry DECLARES the document-family DAG; CurationPipeline
+    // executes it (doc_id watermark instead of date_key). A full run
+    // must materialize exactly the declared targets, every declared dep
+    // must be a raw source or an upstream target (topo order), and the
+    // leaf sampler must be a real CONSUMER of the split labels: its
+    // packed stream holds all and only train-labeled curated docs.
+    val wh = Files.createTempDirectory("graft-curation-dag").toString
+    val pipe = new CurationPipeline(spark, wh)
+    val report = pipe.run("/root/testdata/sf0.001")
+    val raw = Set("documents", "embeddings")
+    val declared = ModelRegistry.curationDag.map(_._1)
+    for (((name, deps), i) <- ModelRegistry.curationDag.zipWithIndex) {
+      assert(new java.io.File(s"$wh/$name").exists(),
+        s"declared target $name not materialized")
+      val upstream = declared.take(i).toSet ++ raw
+      for (d <- deps) assert(upstream.contains(d),
+        s"$name dep $d is neither a raw source nor an upstream target")
+    }
+    // sampler membership: train_split_packing ids == curated ∩ train
+    val trainIds = spark.read.parquet(s"$wh/curation_splits")
+      .filter($"split" === "train").select($"doc_id")
+    val curatedTrain = graft.catalog.Tables
+      .documents(spark, s"$wh/curated_corpus")
+      .join(trainIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    val packedTrain = spark.read.parquet(s"$wh/train_split_packing")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(packedTrain == curatedTrain,
+      "sampler must pack all and only train-labeled curated docs")
+    assert(report.trainPackedRows.toInt == packedTrain.size)
+    // and it is a strict subset of the full packing (val/test excluded)
+    val allPacked = spark.read.parquet(s"$wh/curated_packing")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(packedTrain.subsetOf(allPacked) && packedTrain.size < allPacked.size)
+    // offsets re-base over the train stream: contiguous per (lang, shard)
+    val gaps = spark.read.parquet(s"$wh/train_split_packing")
+      .withColumn("prev_end",
+        lag($"start_offset" + $"n_tokens", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang", $"shard").orderBy($"doc_id")))
+      .filter($"prev_end".isNotNull && $"prev_end" =!= $"start_offset")
+    assert(gaps.count() == 0, "train stream offsets must be contiguous")
+  }
 }

@@ -207,6 +207,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "s03 scan reads the label column it never uses")
   }
 
+  test("round-10 families: pruned scans") {
+    // m07 generates phash media from doc_id alone — no corpus payload
+    val m07 = formatted("m07_phash_image_dedup")
+    assert(!readsColumn(m07, "text") && !readsColumn(m07, "lang"),
+      "m07 scan reads corpus columns it never uses")
+    // c11 touches (vec_id, embedding) + (doc_id, source) only — the
+    // embeddings label and the documents text/lang stay in the readers
+    val c11 = formatted("c11_semantic_decontam")
+    assert(!readsColumn(c11, "label") && !readsColumn(c11, "text") &&
+      !readsColumn(c11, "lang"),
+      "c11 scan reads columns it never uses")
+    // t14 scores (doc_id, source, text); n_chars never read
+    val t14 = formatted("t14_dsir_importance")
+    assert(!readsColumn(t14, "n_chars"),
+      "t14 scan reads n_chars it never uses")
+    // c12 packs (doc_id, lang, text) gated by the content-hash split —
+    // source/n_chars never leave the reader
+    val c12 = formatted("c12_train_packing")
+    assert(!readsColumn(c12, "source") && !readsColumn(c12, "n_chars"),
+      "c12 scan reads columns it never uses")
+  }
+
   test("round-9 families: pruned scans") {
     // d09 clusters (vec_id, embedding) via the shared IVF index — the
     // label column never leaves any reader
