@@ -142,6 +142,7 @@ object SparkEntry {
     "t12_bpe_merges" -> (TextModels.bpeMerges _),
     "t13_bpe_tokenize" -> (TextModels.bpeTokenize _),
     "t14_dsir_importance" -> (TextModels.dsirImportance _),
+    "t15_gumbel_resample" -> (TextModels.dsirGumbelResample _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "m05_video_meta_summary" -> (graft.multimodal.MultimodalOps.videoMetaSummary _),
     "m06_pixel_pool_summary" -> (graft.multimodal.MultimodalOps.pixelPoolSummary _),
     "m07_phash_image_dedup" -> (graft.multimodal.MultimodalOps.phashImageDedup _),
+    "m08_audio_energy" -> (graft.multimodal.MultimodalOps.audioEnergySummary _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -217,6 +219,7 @@ object SparkEntry {
     "t08_bigram_logprob" -> Seq("sum_logprob"),
     "t11_nb_quality" -> Seq("sum_llr"),
     "t14_dsir_importance" -> Seq("sum_lr"),
+    "t15_gumbel_resample" -> Seq("sum_lr"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -324,6 +327,7 @@ object SparkEntry {
     "t12_bpe_merges" -> TextModels.bpeMergesOracle,
     "t13_bpe_tokenize" -> TextModels.bpeTokenizeOracle,
     "t14_dsir_importance" -> TextModels.dsirImportanceOracle,
+    "t15_gumbel_resample" -> TextModels.dsirGumbelResampleOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,
@@ -331,5 +335,6 @@ object SparkEntry {
     "m05_video_meta_summary" -> graft.multimodal.MultimodalOps.videoMetaSummaryOracle,
     "m06_pixel_pool_summary" -> graft.multimodal.MultimodalOps.pixelPoolSummaryOracle,
     "m07_phash_image_dedup" -> graft.multimodal.MultimodalOps.phashImageDedupOracle,
+    "m08_audio_energy" -> graft.multimodal.MultimodalOps.audioEnergySummaryOracle,
   )
 }

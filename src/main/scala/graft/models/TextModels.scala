@@ -927,7 +927,9 @@ object TextModels {
     * broadcast join + doc rollup — exactly DSIR's own architecture
     * (hashed features exist so the model NEVER grows with the corpus).
     */
-  def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared DSIR estimator: per raw doc (doc_id, n_feats, sum_lr,
+    * avg_lr) — t14 ranks it deterministically, t15 Gumbel-resamples. */
+  private def dsirScored(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val eval = CurationModels.EvalSource
     val hexAt = (c: Column, i: Int) =>
@@ -957,29 +959,46 @@ object TextModels {
             (($"c_raw" + 1) / ($"n_raw" + lit(DsirBuckets)))), 6)
           .cast(DecimalType(18, 6)).as("lr"))
     }
-    val scored = feats.filter($"source" =!= eval)
+    feats.filter($"source" =!= eval)
       .join(broadcast(model), Seq("bucket"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"), sum($"lr").as("sum_lr"),
         sum(($"lr" * 1000000).cast(LongType)).as("sum_micros"))
       .withColumn("avg_lr", avgFromMicrosSigned("sum_micros", "n_feats"))
+      .drop("sum_micros")
+  }
+
+  def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"avg_lr".desc, $"doc_id")
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    scored
+    dsirScored(spark, sfDir)
       .withColumn("rk", row_number().over(w))
       .withColumn("n_docs", count(lit(1)).over(wAll))
       .withColumn("selected", $"rk" <= expr("(n_docs + 9) div 10"))
       .select($"doc_id", $"n_feats", $"sum_lr", $"avg_lr", $"selected")
   }
 
-  val dsirImportanceOracle: String = {
+  val dsirImportanceOracle: String =
+    "WITH " + dsirScoredCtes +
+      """ranked AS (SELECT *,
+        |                  row_number() OVER (ORDER BY avg_lr DESC, doc_id) AS rk,
+        |                  count(*) OVER () AS n_docs
+        |           FROM scored)
+        |SELECT doc_id, n_feats, sum_lr, avg_lr,
+        |       rk <= (n_docs + 9) // 10 AS selected
+        |FROM ranked""".stripMargin
+
+  /** The shared CTE chain behind the t14/t15 oracles: defines
+    * `scored`(doc_id, n_feats, sum_lr, avg_lr) over the raw slice. */
+  private def dsirScoredCtes: String = {
     val eval = CurationModels.EvalSource
     def hexAt(i: Int): String =
       s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
-    s"""WITH tok AS (SELECT doc_id, source,
-       |                    string_split($normSqlDuck, ' ') AS ts
-       |             FROM documents),
+    s"""tok AS (SELECT doc_id, source,
+       |               string_split($normSqlDuck, ' ') AS ts
+       |        FROM documents),
        |ok AS (SELECT * FROM tok WHERE len(ts) >= 2),
        |big AS (SELECT doc_id, source,
        |               md5(unnest(list_transform(range(len(ts) - 1),
@@ -1005,16 +1024,79 @@ object TextModels {
        |scored AS (
        |  SELECT f.doc_id, count(*) AS n_feats, sum(m.lr) AS sum_lr,
        |         ${avgFromMicrosSignedSql(
-              "sum(cast(m.lr * 1000000 AS BIGINT))", "count(*)")} AS avg_lr
+            "sum(cast(m.lr * 1000000 AS BIGINT))", "count(*)")} AS avg_lr
        |  FROM feats f JOIN model m USING (bucket)
        |  WHERE f.source <> '$eval'
        |  GROUP BY 1),
-       |ranked AS (SELECT *,
-       |                  row_number() OVER (ORDER BY avg_lr DESC, doc_id) AS rk,
-       |                  count(*) OVER () AS n_docs
-       |           FROM scored)
-       |SELECT doc_id, n_feats, sum_lr, avg_lr,
-       |       rk <= (n_docs + 9) // 10 AS selected
-       |FROM ranked""".stripMargin
+       |""".stripMargin
+  }
+
+  /** t15: GUMBEL-TOP-K IMPORTANCE RESAMPLING — the selection scheme
+    * DSIR actually prescribes (Xie et al. 2023 §2: sample without
+    * replacement ∝ importance weight), where t14's top-p% is the
+    * deterministic simplification. The Gumbel-top-k identity (Kool et
+    * al. 2019): adding i.i.d. Gumbel noise gᵢ = −ln(−ln(uᵢ)) to each
+    * log-weight and taking the k largest keys IS a weighted sample
+    * without replacement. The uniform uᵢ is derived from the doc's own
+    * md5 (the c02/c07 coin idiom, uᵢ = (h16ᵢ + 0.5)/65536) — no RNG,
+    * so the "sample" replays bit-identically on both engines while
+    * keeping the estimator's statistical shape.
+    *
+    * Output per raw doc: the log-weight, its Gumbel perturbation, the
+    * selection key (both rounded to 6dp before ranking, ties by
+    * doc_id — the repo's rank convention), and the resampled flag
+    * (top ⌈10%⌉ keys). Scale: everything after the shared scored
+    * frame is a stateless map + one output-sized rank window.
+    */
+  def dsirGumbelResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hexAt = (c: Column, i: Int) =>
+      (instr(lit("0123456789abcdef"), substring(c, i, 1)) - 1)
+        .cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"sel_key".desc, $"doc_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    dsirScored(spark, sfDir)
+      .withColumn("hd", md5($"doc_id".cast(StringType)))
+      .withColumn("h16",
+        hexAt($"hd", 1) * 4096 + hexAt($"hd", 2) * 256 +
+          hexAt($"hd", 3) * 16 + hexAt($"hd", 4))
+      .withColumn("u", ($"h16".cast(DoubleType) + 0.5) / 65536.0)
+      .withColumn("gumbel", round(-log(-log($"u")), 6))
+      // the key adds the ALREADY-6dp-rounded gumbel: the only float in
+      // play is one rounded ln, so a last-ulp libm difference can't
+      // flip the key across a 6dp rounding boundary (t11's convention)
+      .withColumn("sel_key",
+        round($"sum_lr".cast(DoubleType) + $"gumbel", 6))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .withColumn("resampled", $"rk" <= expr("(n_docs + 9) div 10"))
+      .select($"doc_id", $"sum_lr", $"gumbel", $"sel_key", $"resampled")
+  }
+
+  val dsirGumbelResampleOracle: String = {
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(hd, $i, 1)) - 1)"
+    "WITH " + dsirScoredCtes +
+      s"""g AS (SELECT doc_id, sum_lr,
+         |             md5(cast(doc_id AS VARCHAR)) AS hd
+         |      FROM scored),
+         |u AS (SELECT doc_id, sum_lr,
+         |             (cast(${hexAt(1)} * 4096 + ${hexAt(2)} * 256 +
+         |                   ${hexAt(3)} * 16 + ${hexAt(4)} AS DOUBLE)
+         |              + 0.5) / 65536.0 AS uu
+         |      FROM g),
+         |k AS (SELECT doc_id, sum_lr,
+         |             round(-ln(-ln(uu)), 6) AS gumbel,
+         |             round(cast(sum_lr AS DOUBLE) + round(-ln(-ln(uu)), 6), 6)
+         |               AS sel_key
+         |      FROM u),
+         |ranked AS (SELECT *,
+         |                  row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rk,
+         |                  count(*) OVER () AS n_docs
+         |           FROM k)
+         |SELECT doc_id, sum_lr, gumbel, sel_key,
+         |       rk <= (n_docs + 9) // 10 AS resampled
+         |FROM ranked""".stripMargin
   }
 }

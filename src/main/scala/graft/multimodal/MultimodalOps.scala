@@ -660,6 +660,197 @@ object MultimodalOps {
        |         AS total_duration_us
        |FROM f GROUP BY 1, 2""".stripMargin
 
+  // ===== m08: REAL PCM decode — the audio twin of m06's pixel tier
+  // (m04 stops at container metadata; this reads the actual samples) =====
+
+  /** m08's deterministic 16-bit sample: a (doc, channel, frame)-keyed
+    * signal in [−2048, 2047] — all operands non-negative before the
+    * final shift, so both engines' mod conventions agree. */
+  def pcmSample(id: Long, ch: Int, f: Int): Int =
+    ((id * 31 + ch.toLong * 17 + f.toLong * 7) % 4096).toInt - 2048
+
+  /** A REAL 16-bit PCM WAV carrying [[pcmSample]]'s signal as
+    * interleaved little-endian frames — same canonical 44-byte layout
+    * as [[wavBytes]], but the payload is actual audio data the decode
+    * side must parse back out byte-for-byte. */
+  def pcmWavBytes(rate: Int, channels: Int, nSamples: Int, id: Long): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(
+      (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    val blockAlign = channels * 2
+    val dataLen = nSamples * blockAlign
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    out ++= "RIFF".getBytes("US-ASCII")
+    out ++= le32(36 + dataLen)
+    out ++= "WAVE".getBytes("US-ASCII")
+    out ++= "fmt ".getBytes("US-ASCII")
+    out ++= le32(16)
+    out ++= le16(1) // PCM
+    out ++= le16(channels)
+    out ++= le32(rate)
+    out ++= le32(rate * blockAlign)
+    out ++= le16(blockAlign)
+    out ++= le16(16)
+    out ++= "data".getBytes("US-ASCII")
+    out ++= le32(dataLen)
+    var f = 0
+    while (f < nSamples) {
+      var c = 0
+      while (c < channels) {
+        out ++= le16(pcmSample(id, c, f) & 0xffff)
+        c += 1
+      }
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** m08's media fixture: real PCM WAVs with m04's container geometry
+    * (rate by id%4, channels by id div 7, frames 64 + id%128) but
+    * bits fixed at 16 and [[pcmSample]] signal in the data chunk. */
+  def audioPcmTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val rate = (id % 4) match {
+          case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+        }
+        val channels = 1 + ((id / 7) % 2).toInt
+        val nSamples = 64 + (id % 128).toInt
+        MediaRecord(id, pcmWavBytes(rate, channels, nSamples, id),
+          "audio/wav")
+      }
+  }
+
+  /** RIFF walk to the PCM payload: like [[wavDecode]] but also returns
+    * the data chunk's byte OFFSET so a caller can read the samples.
+    * 16-bit PCM only (the sample loop below is LE16); the same
+    * negative-chunk-length guard applies. */
+  def wavPcm16(b: Array[Byte]): Option[(WavMeta, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    try {
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var dataAt = -1
+      var dataLen = -1
+      while (i + 8 <= b.length && (fmt.isEmpty || dataAt < 0)) {
+        val (id, len) = (tag(i), le32(i + 4))
+        if (len < 0) return None
+        if (id == "fmt ") {
+          if (le16(i + 8) != 1) return None
+          fmt = Some((le32(i + 12), le16(i + 10), le16(i + 22)))
+        } else if (id == "data") { dataAt = i + 8; dataLen = len }
+        i += 8 + len + (len & 1)
+      }
+      fmt match {
+        case Some((rate, ch, 16))
+            if dataAt >= 0 && ch > 0 && dataLen % (ch * 2) == 0 &&
+              dataAt + dataLen <= b.length =>
+          Some((WavMeta(rate, ch, 16, dataLen / (ch * 2)), dataAt))
+        case _ => None
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Exact integer per-(doc, channel) PCM statistics from REAL decoded
+    * sample bytes. */
+  final case class PcmChannelStats(
+      doc_id: Long, sample_rate: Int, channels: Int, ch: Int,
+      n_frames: Long, sum_s: Long, sum_sq: Long, min_s: Int, max_s: Int)
+
+  /** Decode actual interleaved LE16 samples ([[wavPcm16]]) and fold
+    * per-channel exact integer stats — sums and sums of squares, never
+    * a float mean, so the stage stays driver-hashable. Binary dropped
+    * at decode; shuffles carry ≤2 small rows per document. */
+  def decodePcmStats(ds: Dataset[MediaRecord]): Dataset[PcmChannelStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        wavPcm16(r.media).toSeq.flatMap { case (m, at) =>
+          val n = m.nSamples
+          (0 until m.channels).map { c =>
+            var f = 0
+            var s = 0L
+            var sq = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            while (f < n) {
+              val o = at + (f * m.channels + c) * 2
+              val v = ((r.media(o) & 0xff) |
+                (r.media(o + 1) << 8)).toShort.toInt
+              s += v; sq += v.toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              f += 1
+            }
+            PcmChannelStats(r.doc_id, m.rate, m.channels, c,
+              n.toLong, s, sq, mn, mx)
+          }
+        }
+      }
+    }
+  }
+
+  /** m08: PCM ENERGY SUMMARY over REAL decoded samples — generate
+    * ([[audioPcmTable]], real WAV encode), read the actual interleaved
+    * sample bytes back out ([[decodePcmStats]]), aggregate exact
+    * integer energy per (rate, channel-count). Any wrong decoded
+    * sample anywhere shifts a sum — the oracle replays the generator
+    * arithmetic per (doc, channel, frame) and never parses a WAV
+    * (the m06 convention, pointed at audio).
+    */
+  def audioEnergySummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.models.Shared
+      .materialized("pcm_media", spark, sfDir) {
+        audioPcmTable(spark, sfDir).toDF()
+      }.as[MediaRecord]
+    decodePcmStats(media)
+      .groupBy($"sample_rate", $"channels")
+      .agg(countDistinct($"doc_id").as("media_count"),
+        sum($"n_frames").as("total_frames"),
+        sum($"sum_s").as("sum_s"),
+        sum($"sum_sq").as("sum_sq"),
+        min($"min_s").cast(LongType).as("min_s"),
+        max($"max_s").cast(LongType).as("max_s"))
+  }
+
+  /** The arithmetic twin of [[audioPcmTable]] + [[decodePcmStats]]:
+    * every sample value replays the (doc, channel, frame) derivation;
+    * DuckDB never reads a WAV byte. */
+  val audioEnergySummaryOracle: String =
+    """WITH wav AS (
+      |  SELECT doc_id,
+      |         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+      |         cast(1 + (doc_id // 7) % 2 AS INT) AS channels,
+      |         64 + doc_id % 128 AS n_samples
+      |  FROM documents),
+      |fr AS (SELECT doc_id, sample_rate, channels, n_samples,
+      |              unnest(range(n_samples)) AS f
+      |       FROM wav),
+      |sm AS (SELECT doc_id, sample_rate, channels, f,
+      |              unnest(range(channels)) AS c
+      |       FROM fr),
+      |v AS (SELECT doc_id, sample_rate, channels,
+      |             ((doc_id * 31 + c * 17 + f * 7) % 4096) - 2048 AS s
+      |      FROM sm)
+      |SELECT cast(sample_rate AS INT) AS sample_rate, channels,
+      |       count(DISTINCT doc_id) AS media_count,
+      |       count(*) AS total_frames,
+      |       cast(sum(s) AS BIGINT) AS sum_s,
+      |       cast(sum(s * s) AS BIGINT) AS sum_sq,
+      |       cast(min(s) AS BIGINT) AS min_s,
+      |       cast(max(s) AS BIGINT) AS max_s
+      |FROM v GROUP BY 1, 2""".stripMargin
+
   // ===== m05: video (ISO-BMFF / MP4) — the fourth modality =====
 
   /** Fixed generated-box sizes (the oracle's byte accounting): ftyp
@@ -1043,6 +1234,47 @@ object MultimodalOps {
       .agg(sum(expr(
         "CASE WHEN lum * tot_px > tot_lum * px_count" +
           " THEN shiftleft(1L, bit_idx) ELSE 0L END")).as("ahash"))
+  }
+
+  /** Single-pass pure-JVM twin of [[perceptualHashes]]: same decoded
+    * pixels (ImageIO), same exact-integer pooling and cross-multiplied
+    * bit rule, folded imperatively so it lifts to a STREAMING Dataset
+    * (the DataFrame form needs a per-doc window, which streams can't
+    * run). MultimodalSpec pins hash equality between the two paths
+    * over the m07 fixture. */
+  def ahash16(bytes: Array[Byte]): Option[Long] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lum = Array.ofDim[Long](16)
+      val cnt = Array.ofDim[Long](16)
+      var y = 0
+      while (y < h) {
+        val cy = y * 4 / h
+        var x = 0
+        while (x < w) {
+          val cell = cy * 4 + x * 4 / w
+          val rgb = img.getRGB(x, y)
+          lum(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+            (rgb & 0xff)
+          cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totLum = lum.sum
+      val totPx = cnt.sum
+      var hash = 0L
+      var i = 0
+      while (i < 16) {
+        if (cnt(i) > 0 && lum(i) * totPx > totLum * cnt(i))
+          hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    }
   }
 
   /** m07: PERCEPTUAL-HASH IMAGE DEDUP (beyond-reference) — the

@@ -214,6 +214,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.contains(None), "decode must terminate and reject")
   }
 
+  test("m08: real PCM samples round-trip through the RIFF data chunk") {
+    val b = MultimodalOps.pcmWavBytes(16000, 2, 50, 123L)
+    val parsed = MultimodalOps.wavPcm16(b)
+    assert(parsed.map(_._1) == Some(MultimodalOps.WavMeta(16000, 2, 16, 50)))
+    // the decoded per-channel stats must equal the generator's own fold
+    // — any interleave/offset/sign mistake in the byte walk breaks this
+    val ds = Seq(MultimodalOps.MediaRecord(123L, b, "audio/wav")).toDS()
+    val stats = MultimodalOps.decodePcmStats(ds).collect().sortBy(_.ch)
+    assert(stats.length == 2)
+    for (st <- stats) {
+      val vals = (0 until 50).map(f => MultimodalOps.pcmSample(123L, st.ch, f))
+      assert(st.n_frames == 50L)
+      assert(st.sum_s == vals.map(_.toLong).sum, s"ch ${st.ch} sum")
+      assert(st.sum_sq == vals.map(v => v.toLong * v).sum, s"ch ${st.ch} sq")
+      assert(st.min_s == vals.min && st.max_s == vals.max)
+    }
+    // negative samples actually occur (the sign extension is exercised)
+    assert(stats.exists(_.min_s < 0))
+    // non-16-bit and truncated payloads are rejected, not misread
+    assert(MultimodalOps.wavPcm16(
+      MultimodalOps.wavBytes(8000, 1, 8, 64)).isEmpty)
+    assert(MultimodalOps.wavPcm16(b.take(60)).isEmpty)
+  }
+
   test("mp4Decode walks real ISO-BMFF box structure (round-trip)") {
     val b = MultimodalOps.mp4Bytes("isom", 90000, 450000, 2, 32)
     assert(b.length == MultimodalOps.FtypLen + 8 + MultimodalOps.MvhdLen +

@@ -227,6 +227,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val c12 = formatted("c12_train_packing")
     assert(!readsColumn(c12, "source") && !readsColumn(c12, "n_chars"),
       "c12 scan reads columns it never uses")
+    // m08 generates PCM media from doc_id alone
+    val m08 = formatted("m08_audio_energy")
+    assert(!readsColumn(m08, "text") && !readsColumn(m08, "lang"),
+      "m08 scan reads corpus columns it never uses")
   }
 
   test("round-9 families: pruned scans") {
