@@ -109,6 +109,7 @@ object SparkEntry {
     "d07_near_dup_clusters" -> (DedupModels.nearDupClusters _),
     "d08_segment_dedup" -> (DedupModels.segmentDedup _),
     "d09_semantic_dedup" -> (SimilarityModels.semanticDedup _),
+    "d10_dup_spans" -> (DedupModels.dupSpans _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
@@ -294,6 +295,7 @@ object SparkEntry {
     "d07_near_dup_clusters" -> DedupModels.nearDupClustersOracle,
     "d08_segment_dedup" -> DedupModels.segmentDedupOracle,
     "d09_semantic_dedup" -> SimilarityModels.semanticDedupOracle,
+    "d10_dup_spans" -> DedupModels.dupSpansOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,

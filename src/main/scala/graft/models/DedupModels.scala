@@ -494,4 +494,103 @@ object DedupModels {
        |       cast(round(cast(coalesce(sum(CASE WHEN occ = 1 THEN seg_len END), 0) AS DOUBLE)
        |            / n_tokens, 6) AS DECIMAL(18,6)) AS retained_ratio
        |FROM o GROUP BY 1, 2""".stripMargin
+
+  /** d10's span grain: a duplicated substring must cover at least this
+    * many tokens to register (Lee et al. use 50 BPE tokens; 10 words
+    * is the comparable grain on this corpus — and d08's segment
+    * width, so the two tiers are directly comparable). */
+  private[models] val SpanL = 10
+
+  /** d10: DUPLICATE-SPAN DETECTION (beyond-reference) — the
+    * exact-substring dedup of Lee et al. 2022 (arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better") in
+    * its engine-replayable form. d08 cuts docs into FIXED 10-token
+    * segments, so a duplicated passage that straddles a segment
+    * boundary is invisible to it; d10 slides an OVERLAPPING
+    * [[SpanL]]-token window instead: any window occurring ≥2 times
+    * anywhere in the corpus (including within one document) marks its
+    * positions duplicated, and a document's overlapping duplicated
+    * windows merge into MAXIMAL SPANS — the suffix-array result,
+    * computed with a group-by and one per-doc window instead of a
+    * suffix array (which doesn't distribute).
+    *
+    * Island merging is exact and trivially cross-engine BECAUSE the
+    * intervals share one length: interval ends are monotone in their
+    * starts, so a new span begins exactly when `i > lag(i) + SpanL−1`
+    * — no running-max frame needed.
+    *
+    * Output per affected doc: duplicated-window count, merged span
+    * count, duplicated token mass (Σ span widths), and the longest
+    * span — the numbers a dedup policy thresholds on (Lee et al. drop
+    * or trim spans; the mass here is what that would remove).
+    *
+    * Scale: one corpus scan explodes ~n_tokens overlapping window
+    * hashes (map-side combined groupBy — the same shuffle d08 already
+    * pays, ×SpanL density); the dup-hash filter is a semi-join on the
+    * hash key; island merging runs inside per-doc windows over only
+    * the DUPLICATED positions (dense, doc-bounded partitions). No
+    * suffix array, no global sort, nothing driver-side.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("ts"))
+      .filter(size($"ts") >= SpanL)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), size($"ts") - SpanL),
+          j => md5(concat_ws(" ", slice($"ts", j + 1, lit(SpanL))))))
+        .as(Seq("i", "g")))
+    val dupG = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"g")
+    val w = Window.partitionBy($"doc_id").orderBy($"i")
+    val hits = grams.join(dupG, Seq("g"), "left_semi")
+      .withColumn("prev", lag($"i", 1).over(w))
+      .withColumn("newi",
+        when($"prev".isNull || $"i" > $"prev" + (SpanL - 1), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum($"newi").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    hits.groupBy($"doc_id", $"isl")
+      .agg(count(lit(1)).as("grams"), min($"i").as("s"),
+        (max($"i") + SpanL).as("e"))
+      .groupBy($"doc_id")
+      .agg(sum($"grams").as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum($"e" - $"s").cast(LongType).as("dup_tokens"),
+        max($"e" - $"s").cast(LongType).as("max_span"))
+  }
+
+  val dupSpansOracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS ts
+       |             FROM documents),
+       |ok AS (SELECT * FROM tok WHERE len(ts) >= $SpanL),
+       |grams AS (SELECT doc_id, i,
+       |                 md5(array_to_string(ts[i+1 : i+$SpanL], ' ')) AS g
+       |          FROM (SELECT doc_id, ts,
+       |                       unnest(range(len(ts) - ${SpanL - 1})) AS i
+       |                FROM ok)),
+       |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, i FROM grams
+       |         WHERE g IN (SELECT g FROM dupg)),
+       |m AS (SELECT doc_id, i,
+       |             lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |      FROM hits),
+       |mi AS (SELECT doc_id, i,
+       |              CASE WHEN prev IS NULL OR i > prev + ${SpanL - 1}
+       |                   THEN 1 ELSE 0 END AS newi
+       |       FROM m),
+       |isl AS (SELECT doc_id, i,
+       |               sum(newi) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                 AS isl
+       |        FROM mi),
+       |spans AS (SELECT doc_id, isl, count(*) AS grams,
+       |                 min(i) AS s, max(i) + $SpanL AS e
+       |          FROM isl GROUP BY 1, 2)
+       |SELECT doc_id, cast(sum(grams) AS BIGINT) AS n_dup_windows,
+       |       count(*) AS n_spans,
+       |       cast(sum(e - s) AS BIGINT) AS dup_tokens,
+       |       cast(max(e - s) AS BIGINT) AS max_span
+       |FROM spans GROUP BY 1""".stripMargin
 }

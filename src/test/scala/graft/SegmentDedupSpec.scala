@@ -161,6 +161,42 @@ class SegmentDedupSpec extends AnyFunSuite {
       s"unexpected tokenization accounting: ${out.toSeq}")
   }
 
+  test("d10: a boundary-straddling duplicated passage is a merged span d08 can't see") {
+    // a 12-token passage shared by two docs at DIFFERENT offsets: the
+    // fixed 10-token segment grid (d08) slices it differently in each
+    // doc, so no segment matches — but the overlapping-window tier
+    // must merge its three duplicated 10-windows into one 12-token
+    // span in each doc
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, words((1 to 5).map(i => s"fa$i").mkString(" "), p,
+        (1 to 10).map(i => s"fb$i").mkString(" ")), "en", "s"),
+      (1L, words(p, (1 to 8).map(i => s"g$i").mkString(" ")), "en", "s")))
+    val spans = DedupModels.dupSpans(spark, dir)
+      .select($"doc_id", $"n_dup_windows", $"n_spans", $"dup_tokens",
+        $"max_span")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(spans.toSeq == Seq((0L, 3L, 1L, 12L, 12L), (1L, 3L, 1L, 12L, 12L)),
+      s"unexpected span accounting: ${spans.toSeq}")
+    // and the fixed segment grid indeed sees nothing (why d10 exists)
+    val segDups = DedupModels.segmentStatsOf(
+      DedupModels.markFirstOccurrence(DedupModels.segmentsOf(
+        graft.catalog.Tables.documents(spark, dir))))
+      .agg(sum($"dup_segments")).as[Long].head()
+    assert(segDups == 0L, "the grid must miss the straddling passage")
+  }
+
+  test("d10: a passage repeated WITHIN one document registers both spans") {
+    val p = (1 to 11).map(i => s"q$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, words(p, (1 to 10).map(i => s"mid$i").mkString(" "), p), "en", "s")))
+    val spans = DedupModels.dupSpans(spark, dir)
+      .select($"n_spans", $"dup_tokens", $"max_span")
+      .as[(Long, Long, Long)].collect()
+    assert(spans.toSeq == Seq((2L, 22L, 11L)),
+      s"within-doc repetition must yield two 11-token spans: ${spans.toSeq}")
+  }
+
   test("t14: eval-like docs outscore eval-unlike docs and fill the top slice") {
     // target slice (src0) speaks "quality prose" bigrams; doc 10 reuses
     // those exact bigrams (importance should be high), docs 11-18 share
