@@ -928,8 +928,15 @@ object TextModels {
     * (hashed features exist so the model NEVER grows with the corpus).
     */
   /** The shared DSIR estimator: per raw doc (doc_id, n_feats, sum_lr,
-    * avg_lr) — t14 ranks it deterministically, t15 Gumbel-resamples. */
-  private def dsirScored(spark: SparkSession, sfDir: String): DataFrame = {
+    * avg_lr) — t14 ranks it deterministically, t15 Gumbel-resamples.
+    * Session-materialized: the scoring pass (bigram explode + md5 +
+    * broadcast join) is the expensive leg and BOTH selectors read the
+    * same doc-grain result — the runner's materialized-model role. */
+  private def dsirScored(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("dsir_scored", spark, sfDir)(
+      dsirScoredBuild(spark, sfDir))
+
+  private def dsirScoredBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val eval = CurationModels.EvalSource
     val hexAt = (c: Column, i: Int) =>
