@@ -975,15 +975,51 @@ object TextModels {
       .drop("sum_micros")
   }
 
+  /** Exact top-⌈n/10⌉ selection by (`key` desc, doc_id asc) WITHOUT a
+    * global rank: a corpus-sized frame must never flow through an
+    * unpartitioned row_number (one-partition sort — the 100 TB trap
+    * PlanAuditSpec exists to catch). Instead:
+    *
+    *  1. histogram the key values (distributed groupBy — output is
+    *     value-cardinality-sized);
+    *  2. walk the HISTOGRAM with an unpartitioned cumulative window
+    *     (aggregate-bounded — the allowed shape) to find the cutoff
+    *     value and how many boundary ties to admit;
+    *  3. broadcast the per-value verdicts back and rank ONLY within
+    *     the boundary tie group (a KEYED window over near-singleton
+    *     partitions).
+    *
+    * Selection set is identical to `row_number() OVER (ORDER BY key
+    * DESC, doc_id) <= ceil(n/10)` — which is exactly what the DuckDB
+    * oracles keep (the oracle states semantics; the plan states the
+    * distribution strategy). */
+  private def topTenthSelected(scored: DataFrame, key: String): DataFrame = {
+    import scored.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col(key).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val verdicts = hist
+      .withColumn("n_total", sum($"c").over(wAll))
+      .withColumn("cum", sum($"c").over(wv))
+      .withColumn("k", expr("(n_total + 9) div 10"))
+      .withColumn("admit_all", $"cum" <= $"k")
+      .withColumn("admit_r",
+        when($"cum" - $"c" < $"k" && $"cum" > $"k", $"k" - ($"cum" - $"c"))
+          .otherwise(lit(0L)))
+      .select(col(key), $"admit_all", $"admit_r")
+    val wTie = Window.partitionBy(col(key)).orderBy($"doc_id")
+    scored.join(broadcast(verdicts), Seq(key))
+      .withColumn("tie_rk", row_number().over(wTie))
+      .withColumn("selected",
+        $"admit_all" || $"tie_rk" <= $"admit_r")
+      .drop("admit_all", "admit_r", "tie_rk")
+  }
+
   def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"avg_lr".desc, $"doc_id")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    dsirScored(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(wAll))
-      .withColumn("selected", $"rk" <= expr("(n_docs + 9) div 10"))
+    topTenthSelected(dsirScored(spark, sfDir), "avg_lr")
       .select($"doc_id", $"n_feats", $"sum_lr", $"avg_lr", $"selected")
   }
 
@@ -1060,10 +1096,7 @@ object TextModels {
     val hexAt = (c: Column, i: Int) =>
       (instr(lit("0123456789abcdef"), substring(c, i, 1)) - 1)
         .cast(LongType)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"sel_key".desc, $"doc_id")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    dsirScored(spark, sfDir)
+    val keyed = dsirScored(spark, sfDir)
       .withColumn("hd", md5($"doc_id".cast(StringType)))
       .withColumn("h16",
         hexAt($"hd", 1) * 4096 + hexAt($"hd", 2) * 256 +
@@ -1075,9 +1108,8 @@ object TextModels {
       // flip the key across a 6dp rounding boundary (t11's convention)
       .withColumn("sel_key",
         round($"sum_lr".cast(DoubleType) + $"gumbel", 6))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(wAll))
-      .withColumn("resampled", $"rk" <= expr("(n_docs + 9) div 10"))
+    topTenthSelected(keyed, "sel_key")
+      .withColumnRenamed("selected", "resampled")
       .select($"doc_id", $"sum_lr", $"gumbel", $"sel_key", $"resampled")
   }
 
