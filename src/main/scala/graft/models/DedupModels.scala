@@ -541,10 +541,16 @@ object DedupModels {
         transform(sequence(lit(0), size($"ts") - SpanL),
           j => md5(concat_ws(" ", slice($"ts", j + 1, lit(SpanL))))))
         .as(Seq("i", "g")))
-    val dupG = grams.groupBy($"g").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" >= 2).select($"g")
+    // one keyed window instead of groupBy + semi-join: the count-and-
+    // filter shape would scan + md5 the corpus TWICE (the agg side and
+    // the probe side are different subplans, so no exchange reuse);
+    // counting over the g-partitioned window pays one scan and one
+    // shuffle of the same gram stream
+    val wg = Window.partitionBy($"g")
     val w = Window.partitionBy($"doc_id").orderBy($"i")
-    val hits = grams.join(dupG, Seq("g"), "left_semi")
+    val hits = grams
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .filter($"cnt" >= 2).drop("cnt")
       .withColumn("prev", lag($"i", 1).over(w))
       .withColumn("newi",
         when($"prev".isNull || $"i" > $"prev" + (SpanL - 1), 1L)
