@@ -457,12 +457,28 @@ object DedupModels {
   }
 
   /** Corpus-wide first-occurrence marking: a segment copy drops unless
-    * it is the globally first (doc_id, seg_idx) holder of its hash. */
+    * it is the globally first (doc_id, seg_idx) holder of its hash.
+    *
+    * Skew-safe shape (NOT a `row_number` over a seg_hash window): a
+    * window has no partial aggregation, so a boilerplate segment with
+    * 10⁹ corpus copies would funnel every copy through ONE task. The
+    * `min(struct(doc_id, g))` aggregate is algebraic — map-side combine
+    * reduces each hot hash to one row per map task before the shuffle —
+    * and the join back is a plain seg_hash equi-join, where AQE's
+    * skew-join split absorbs a hot probe side. `cacheOnce` keeps the
+    * corpus scan + segment explode single-pass across the aggregate and
+    * probe branches (at warehouse scale this frame is the materialized
+    * segment table — `CurationPipeline` persists it explicitly).
+    * SkewBench measures the two shapes head-to-head on a hot-key
+    * fixture (`skew_bench.json`). */
   private[graft] def markFirstOccurrence(segs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import segs.sparkSession.implicits._
-    segs.withColumn("dup", row_number().over(
-      Window.partitionBy($"seg_hash").orderBy($"doc_id", $"g")) > 1)
+    val segsOnce = Shared.cacheOnce(segs)
+    val firsts = segsOnce.groupBy($"seg_hash")
+      .agg(min(struct($"doc_id", $"g")).as("first_occ"))
+    segsOnce.join(firsts, Seq("seg_hash"))
+      .withColumn("dup", struct($"doc_id", $"g") =!= $"first_occ")
+      .drop("first_occ")
   }
 
   def segmentDedupFrom(docs: DataFrame): DataFrame =
@@ -541,16 +557,25 @@ object DedupModels {
         transform(sequence(lit(0), size($"ts") - SpanL),
           j => md5(concat_ws(" ", slice($"ts", j + 1, lit(SpanL))))))
         .as(Seq("i", "g")))
-    // one keyed window instead of groupBy + semi-join: the count-and-
-    // filter shape would scan + md5 the corpus TWICE (the agg side and
-    // the probe side are different subplans, so no exchange reuse);
-    // counting over the g-partitioned window pays one scan and one
-    // shuffle of the same gram stream
-    val wg = Window.partitionBy($"g")
+    // skew-safe dup-gram detection (NOT `count().over(partitionBy(g))`:
+    // WindowExec has no partial aggregation, so a boilerplate 10-gram
+    // with 10⁹ corpus occurrences — license headers, cookie banners —
+    // would sort every occurrence on ONE task). The groupBy count
+    // combines map-side (each hot gram collapses to one row per map
+    // task before the shuffle), and the semi-join probe is a plain
+    // equi-join AQE's skew split can subdivide. `cacheOnce` keeps the
+    // corpus scan + gram explode single-pass across the count and probe
+    // branches (the agg and probe subplans differ, so exchange reuse
+    // alone would re-scan + re-md5). SkewBench pits both shapes against
+    // a hot-key fixture (`skew_bench.json`).
+    val gramsOnce = Shared.cacheOnce(grams)
+    val dupg = gramsOnce.groupBy($"g")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2)
+      .select($"g")
     val w = Window.partitionBy($"doc_id").orderBy($"i")
-    val hits = grams
-      .withColumn("cnt", count(lit(1)).over(wg))
-      .filter($"cnt" >= 2).drop("cnt")
+    val hits = gramsOnce
+      .join(dupg, Seq("g"), "left_semi")
       .withColumn("prev", lag($"i", 1).over(w))
       .withColumn("newi",
         when($"prev".isNull || $"i" > $"prev" + (SpanL - 1), 1L)

@@ -102,6 +102,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("keyed windows never partition a corpus-grain frame by a content hash") {
+    // the round-10 lesson (d08's seg_hash row_number, d10's gram-count
+    // window): WindowExec has NO partial aggregation, so partitioning a
+    // corpus-sized frame by a CONTENT hash serializes every copy of a
+    // hot value (a boilerplate segment/gram with 10⁹ occurrences) onto
+    // one task. First-occurrence/count questions over content keys must
+    // use algebraic aggregates (min(struct)/count with map-side combine)
+    // + a join back — windows over content-hash keys are allowed only on
+    // aggregate-bounded inputs (one row per key, nothing to combine).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LogicalPlan, Window => LWindow}
+    def aggBounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: Aggregate => true }.isDefined
+    val hashish = "(?i)(hash|gram|fingerprint|digest|^fp$|^g$|^h$)".r
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+              !aggBounded(w.child) &&
+              w.partitionSpec.forall(_.references.forall(
+                a => hashish.findFirstIn(a.name).isDefined)) =>
+            s"$name: window partitioned only by content-hash key(s) " +
+              w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+                .distinct.mkString("(", ",", ")") +
+              " over a non-aggregated input (no partial agg — hot-key serial)"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   import org.apache.spark.sql.execution.ExplainMode
   private def formatted(name: String): String =
     SparkEntry.queries(name)(spark, sfDir)
@@ -231,6 +261,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val m08 = formatted("m08_audio_energy")
     assert(!readsColumn(m08, "text") && !readsColumn(m08, "lang"),
       "m08 scan reads corpus columns it never uses")
+    // d10 slides windows over (doc_id, text) alone — the other corpus
+    // columns stay in the reader
+    val d10 = formatted("d10_dup_spans")
+    assert(!readsColumn(d10, "lang") && !readsColumn(d10, "source") &&
+      !readsColumn(d10, "n_chars"),
+      "d10 scan reads corpus columns it never uses")
+    // t15 perturbs the session-materialized dsir_scored frame — no
+    // corpus payload beyond (doc_id, source, text) is ever read
+    val t15 = formatted("t15_gumbel_resample")
+    assert(!readsColumn(t15, "n_chars") && !readsColumn(t15, "lang"),
+      "t15 scan reads corpus columns it never uses")
   }
 
   test("round-9 families: pruned scans") {
