@@ -110,6 +110,7 @@ object SparkEntry {
     "d08_segment_dedup" -> (DedupModels.segmentDedup _),
     "d09_semantic_dedup" -> (SimilarityModels.semanticDedup _),
     "d10_dup_spans" -> (DedupModels.dupSpans _),
+    "d11_span_trim" -> (DedupModels.spanTrim _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "m06_pixel_pool_summary" -> (graft.multimodal.MultimodalOps.pixelPoolSummary _),
     "m07_phash_image_dedup" -> (graft.multimodal.MultimodalOps.phashImageDedup _),
     "m08_audio_energy" -> (graft.multimodal.MultimodalOps.audioEnergySummary _),
+    "m09_video_phash_dedup" -> (graft.multimodal.MultimodalOps.videoKeyframePhash _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -296,6 +298,7 @@ object SparkEntry {
     "d08_segment_dedup" -> DedupModels.segmentDedupOracle,
     "d09_semantic_dedup" -> SimilarityModels.semanticDedupOracle,
     "d10_dup_spans" -> DedupModels.dupSpansOracle,
+    "d11_span_trim" -> DedupModels.spanTrimOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
@@ -338,5 +341,6 @@ object SparkEntry {
     "m06_pixel_pool_summary" -> graft.multimodal.MultimodalOps.pixelPoolSummaryOracle,
     "m07_phash_image_dedup" -> graft.multimodal.MultimodalOps.phashImageDedupOracle,
     "m08_audio_energy" -> graft.multimodal.MultimodalOps.audioEnergySummaryOracle,
+    "m09_video_phash_dedup" -> graft.multimodal.MultimodalOps.videoKeyframePhashOracle,
   )
 }

@@ -357,12 +357,15 @@ object CurationModels {
   private[graft] val PackShard = 200L
 
   /** c05: sequence-packing index — the GPT-pretraining packing stage as
-    * a deterministic index. Documents are concatenated in stable
-    * doc_id order within each (lang, shard) stream; each doc gets its
-    * token-offset interval [start_offset, start_offset + n_tokens) and
-    * the fixed-budget sequences it lands in (`first_seq`/`last_seq` =
-    * offset div budget). `boundary_split` marks docs a packer would
-    * split across two training sequences.
+    * a deterministic index, over the SPAN-TRIMMED corpus (d11): the
+    * duplicated token mass d10 measures is removed before packing, so
+    * offsets count only tokens a training run would actually see.
+    * Documents are concatenated in stable doc_id order within each
+    * (lang, shard) stream; each doc gets its token-offset interval
+    * [start_offset, start_offset + n_tokens) and the fixed-budget
+    * sequences it lands in (`first_seq`/`last_seq` = offset div
+    * budget). `boundary_split` marks docs a packer would split across
+    * two training sequences.
     *
     * Scale: one running-sum window partitioned on (lang, shard). The
     * shard key bounds every partition at `PackShard` docs, so the sort
@@ -372,7 +375,18 @@ object CurationModels {
     * how a production packer shards work anyway).
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame =
-    packSequencesFrom(Tables.documents(spark, sfDir))
+    packSequencesFrom(trimmedDocs(spark, sfDir))
+
+  /** The span-trimmed corpus (d11) packing reads — duplicated spans
+    * are REMOVED before sequences are packed, so the duplicated token
+    * mass d10 measures never reaches the training stream (Lee et al.
+    * 2022's point). Session-materialized once per (session, sfDir), the
+    * in-JVM analog of the pipeline's `span_trimmed_corpus` table; every
+    * packing consumer (c05/c08/c12) reads the same parquet. */
+  private def trimmedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("span_trimmed_docs", spark, sfDir) {
+      DedupModels.spanTrimmedFrom(Tables.documents(spark, sfDir))
+    }
 
   /** Frame-parameterized variant — incremental packing re-runs this
     * over ONLY the (lang, shard) streams new documents touched
@@ -397,9 +411,10 @@ object CurationModels {
   }
 
   val packSequencesOracle: String =
-    s"""WITH d AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
-       |                  len(string_split($normSqlDuck, ' ')) AS n_tokens
-       |           FROM documents),
+    s"""WITH ${DedupModels.spanTrimSqlCtes},
+       |d AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
+       |             len(string_split(text, ' ')) AS n_tokens
+       |      FROM trimmed),
        |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
        |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
        |              AND CURRENT ROW) AS end_offset
@@ -773,13 +788,19 @@ object CurationModels {
   def trainSplitPacking(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // split labels key on the ORIGINAL text's content hash (stable no
+    // matter what the trimmer later removes); the packed stream itself
+    // reads the span-trimmed corpus — trim is corpus-global (dups
+    // across split boundaries still trim), selection is train-only
     val train = splitLabelsFrom(docs).filter($"split" === "train")
       .select($"doc_id")
-    packSequencesFrom(docs.join(train, Seq("doc_id"), "left_semi"))
+    packSequencesFrom(
+      trimmedDocs(spark, sfDir).join(train, Seq("doc_id"), "left_semi"))
   }
 
   val trainSplitPackingOracle: String =
-    s"""WITH lbl AS (
+    s"""WITH ${DedupModels.spanTrimSqlCtes},
+       |lbl AS (
        |  SELECT doc_id FROM (
        |    SELECT doc_id,
        |           (strpos('0123456789abcdef', substr(md5(fp),1,1)) - 1) * 16 +
@@ -787,8 +808,8 @@ object CurationModels {
        |    FROM (SELECT doc_id, md5($normSqlDuck) AS fp FROM documents))
        |  WHERE bucket < $TrainPer256),
        |d AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
-       |             len(string_split($normSqlDuck, ' ')) AS n_tokens
-       |      FROM documents
+       |             len(string_split(text, ' ')) AS n_tokens
+       |      FROM trimmed
        |      WHERE doc_id IN (SELECT doc_id FROM lbl)),
        |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
        |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING

@@ -547,16 +547,25 @@ object DedupModels {
     * the DUPLICATED positions (dense, doc-bounded partitions). No
     * suffix array, no global sort, nothing driver-side.
     */
-  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(spark, sfDir)
+  /** The sliding [[SpanL]]-token window stream: one row per window
+    * position, `(doc_id, i, g)` with `g` = md5 of the window's tokens.
+    * Shared by d10 (span detection) and d11 (span-trim) — the single
+    * corpus-scan explode both tiers pay. */
+  private[graft] def spanGramsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", tokens($"text").as("ts"))
       .filter(size($"ts") >= SpanL)
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), size($"ts") - SpanL),
           j => md5(concat_ws(" ", slice($"ts", j + 1, lit(SpanL))))))
         .as(Seq("i", "g")))
+  }
+
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = spanGramsOf(Tables.documents(spark, sfDir))
     // skew-safe dup-gram detection (NOT `count().over(partitionBy(g))`:
     // WindowExec has no partial aggregation, so a boilerplate 10-gram
     // with 10⁹ corpus occurrences — license headers, cookie banners —
@@ -624,4 +633,203 @@ object DedupModels {
        |       cast(sum(e - s) AS BIGINT) AS dup_tokens,
        |       cast(max(e - s) AS BIGINT) AS max_span
        |FROM spans GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // d11: SPAN-TRIM MATERIALIZATION — the cleaned corpus Lee et al. 2022
+  // actually produce. d10 MEASURES duplicated spans; d11 CONSUMES the
+  // measurement: every duplicated window occurrence except the corpus-
+  // global FIRST is removed from its document, overlapping removals
+  // merge into maximal spans, and the kept tokens re-join into the
+  // trimmed text downstream packing (c05/c08/c12 and the curation
+  // pipeline's curated_packing/train_split_packing) reads. First
+  // occurrence = lexicographic min (doc_id, window index), so the
+  // earliest copy in corpus order survives and re-running over an
+  // append (new doc_ids strictly above the watermark) can never change
+  // an already-trimmed document — the property CurationPipeline's
+  // incremental leg relies on.
+  // ------------------------------------------------------------------
+
+  /** Oracle-side packed (doc_id, i) ordinal — `doc_id * 2^21 + i`
+    * ranks identically to the engine's `min(struct(doc_id, i))` as
+    * long as every document holds < 2^21 (~2M) window positions, which
+    * the test corpus satisfies by orders of magnitude. The ENGINE uses
+    * the unpacked struct min (no bound at 100 TB); only the DuckDB
+    * replay packs, because its aggregate min over anonymous structs is
+    * not guaranteed across versions. */
+  private[models] val SpanKeyPack = 1L << 21
+
+  /** Removal positions over a window stream `(doc_id, i, g)`: every
+    * occurrence of a duplicated gram except the global first.
+    *
+    * `knownGrams` (incremental catch-up): grams already present in the
+    * processed corpus — ANY new occurrence of a known gram is non-first
+    * by the doc_id-watermark argument, so it is removed outright and
+    * the batch-internal first-occurrence rule applies only to grams the
+    * corpus has never seen. Passing the historical gram set here makes
+    * batch trim ≡ full-rebuild trim exactly (CurationPipelineSpec).
+    *
+    * Skew shape: same discipline as d08/d10 this round — the per-gram
+    * stats are ALGEBRAIC aggregates (count + min(struct), map-side
+    * combined), never a content-hash window; the join back is a plain
+    * equi-join AQE's skew split can subdivide.
+    */
+  private[graft] def removalPositionsOf(
+      grams: DataFrame,
+      knownGrams: Option[DataFrame] = None): DataFrame = {
+    import grams.sparkSession.implicits._
+    val gramsOnce = Shared.cacheOnce(grams)
+    val stats = gramsOnce.groupBy($"g")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct($"doc_id", $"i")).as("fo"))
+    val batchRemoved = gramsOnce.join(stats, Seq("g"))
+      .filter($"cnt" >= 2 && struct($"doc_id", $"i") =!= $"fo")
+      .select($"doc_id", $"i")
+    knownGrams match {
+      case None => batchRemoved
+      case Some(kg) =>
+        // occurrences of historically-known grams are non-first by
+        // construction (their first holder has a smaller doc_id)
+        val knownRemoved = gramsOnce
+          .join(kg.select($"g"), Seq("g"), "left_semi")
+          .select($"doc_id", $"i")
+        batchRemoved.unionByName(knownRemoved).distinct()
+    }
+  }
+
+  /** Island-merge removal positions into maximal half-open token spans
+    * `(doc_id, s, e)` — intervals share width [[SpanL]], so ends are
+    * monotone in starts and a span breaks exactly when the gap exceeds
+    * SpanL−1 (same doc-bounded window as d10's island merge; the
+    * partition key is doc_id, never a content hash). */
+  private[graft] def mergeRemovalSpans(rem: DataFrame): DataFrame = {
+    import rem.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"i")
+    rem
+      .withColumn("prev", lag($"i", 1).over(w))
+      .withColumn("newi",
+        when($"prev".isNull || $"i" > $"prev" + (SpanL - 1), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum($"newi").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"i").as("s"), (max($"i") + SpanL).as("e"))
+      .select($"doc_id", $"s", $"e")
+  }
+
+  /** Token-level trim: drop every token position covered by a removal
+    * span. Returns the doc frame plus `ts` (original tokens) and `kept`
+    * (surviving tokens) — doc-grain throughout: spans collect into one
+    * doc-bounded array and the filter runs inside the row (no
+    * token-grain shuffle; per-row cost is tokens × spans, both
+    * doc-bounded). */
+  private[graft] def trimFrame(docs: DataFrame, spans: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perDoc = spans.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("rm"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ts", tokens($"text"))
+      .withColumn("kept",
+        when($"rm".isNull, $"ts").otherwise(
+          filter($"ts", (t, j) =>
+            !exists($"rm", r =>
+              j >= r.getField("s") && j < r.getField("e")))))
+      .drop("rm")
+  }
+
+  /** The span-trimmed corpus, schema-identical to `documents` (so a
+    * `<dir>/documents.parquet` materialization is Tables-resolvable):
+    * `text` holds the kept tokens re-joined on single spaces (the
+    * shared normalization — re-tokenizing the trimmed text is exact),
+    * `n_chars` is refreshed to the trimmed length. Row count is
+    * preserved: a fully-duplicated document trims to empty text rather
+    * than disappearing (verdicts are the funnel's job, not the
+    * trimmer's). */
+  def spanTrimmedFrom(docs: DataFrame): DataFrame =
+    trimmedCorpusFrame(docs,
+      mergeRemovalSpans(removalPositionsOf(spanGramsOf(docs))))
+
+  /** The documents-schema tail of the trim, parameterized on the span
+    * set — the incremental pipeline leg feeds spans computed against
+    * the HISTORICAL gram table here (see
+    * [[removalPositionsOf]]'s `knownGrams`). */
+  private[graft] def trimmedCorpusFrame(
+      docs: DataFrame, spans: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    trimFrame(docs, spans)
+      .withColumn("text", concat_ws(" ", $"kept"))
+      .withColumn("n_chars", length($"text").cast(LongType))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** d11: the per-document trim audit + cleaned text the driver
+    * verifies — original token count, kept/removed token mass, and the
+    * trimmed text itself (hash-compared string-exact against the
+    * DuckDB replay). */
+  def spanTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    trimFrame(docs,
+      mergeRemovalSpans(removalPositionsOf(spanGramsOf(docs))))
+      .select($"doc_id", $"lang",
+        size($"ts").cast(LongType).as("n_tokens"),
+        size($"kept").cast(LongType).as("kept_tokens"),
+        (size($"ts") - size($"kept")).cast(LongType).as("removed_tokens"),
+        concat_ws(" ", $"kept").as("clean_text"))
+  }
+
+  /** Shared DuckDB CTE chain ending in
+    * `trimmed(doc_id, lang, source, text, n_tokens, kept_tokens)` —
+    * the span-trim replay d11/c05/c08/c12 oracles compose. Names are
+    * `st_`-prefixed so downstream oracles can add their own CTEs. */
+  private[models] val spanTrimSqlCtes: String =
+    s"""st_tok AS (SELECT doc_id, lang, source,
+       |                  string_split($normSqlDuck, ' ') AS ts
+       |           FROM documents),
+       |st_grams AS (SELECT doc_id, i,
+       |                    md5(array_to_string(ts[i+1 : i+$SpanL], ' ')) AS g
+       |             FROM (SELECT doc_id, ts,
+       |                          unnest(range(len(ts) - ${SpanL - 1})) AS i
+       |                   FROM st_tok WHERE len(ts) >= $SpanL)),
+       |st_gs AS (SELECT g, count(*) AS cnt,
+       |                 min(doc_id * $SpanKeyPack + i) AS fo
+       |          FROM st_grams GROUP BY g),
+       |st_rem AS (SELECT doc_id, i FROM st_grams JOIN st_gs USING (g)
+       |           WHERE cnt >= 2 AND doc_id * $SpanKeyPack + i <> fo),
+       |st_m AS (SELECT doc_id, i,
+       |                lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+       |         FROM st_rem),
+       |st_isl AS (SELECT doc_id, i,
+       |                  sum(CASE WHEN prev IS NULL OR i > prev + ${SpanL - 1}
+       |                           THEN 1 ELSE 0 END)
+       |                    OVER (PARTITION BY doc_id ORDER BY i
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND CURRENT ROW) AS isl
+       |           FROM st_m),
+       |st_spans AS (SELECT doc_id, min(i) AS s, max(i) + $SpanL AS e
+       |             FROM st_isl GROUP BY doc_id, isl),
+       |st_pos AS (SELECT doc_id, i, ts[i+1] AS tok
+       |           FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i
+       |                 FROM st_tok)),
+       |st_kept AS (SELECT p.doc_id, p.i, p.tok
+       |            FROM st_pos p LEFT JOIN st_spans sp
+       |              ON p.doc_id = sp.doc_id AND p.i >= sp.s AND p.i < sp.e
+       |            WHERE sp.doc_id IS NULL),
+       |st_clean AS (SELECT doc_id, count(*) AS kept_tokens,
+       |                    string_agg(tok, ' ' ORDER BY i) AS clean_text
+       |             FROM st_kept GROUP BY doc_id),
+       |trimmed AS (SELECT t.doc_id, t.lang, t.source,
+       |                   coalesce(c.clean_text, '') AS text,
+       |                   cast(len(t.ts) AS BIGINT) AS n_tokens,
+       |                   cast(coalesce(c.kept_tokens, 0) AS BIGINT)
+       |                     AS kept_tokens
+       |            FROM st_tok t LEFT JOIN st_clean c USING (doc_id))"""
+      .stripMargin
+
+  val spanTrimOracle: String =
+    s"""WITH $spanTrimSqlCtes
+       |SELECT doc_id, lang, n_tokens, kept_tokens,
+       |       n_tokens - kept_tokens AS removed_tokens,
+       |       text AS clean_text
+       |FROM trimmed""".stripMargin
 }

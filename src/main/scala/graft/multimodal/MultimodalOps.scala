@@ -1393,4 +1393,187 @@ object MultimodalOps {
        |       cast(sum((duration_units * 1000) // timescale) AS BIGINT)
        |         AS total_duration_ms
        |FROM vid GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // m09: video keyframe perceptual-hash dedup — m02's frame-sampling
+  // budget rule composed with m07's ahash16, so RE-ENCODED VIDEO
+  // duplicates (same footage re-uploaded under a new container/bitrate)
+  // are caught at the content level, the one multimodal family that
+  // had no content tier before this round.
+  // ------------------------------------------------------------------
+
+  /** A sampled video keyframe: the frame index, the video's total frame
+    * count, and the frame's REAL encoded raster. */
+  final case class VideoFrame(
+      doc_id: Long, f: Int, n_frames: Int, media: Array[Byte])
+
+  /** m09's keyframe budget: at most this many frames are decoded per
+    * video (stride = ceil(n/4) — the m02 sampling rule at video cost). */
+  val VideoMaxSampled = 4
+
+  /** m09's fixture: video CONTENT keyed on `ck = doc_id % 97` (the m07
+    * convention — ~|docs|/97 documents carry frame-identical videos
+    * under different doc_ids), `n_frames = 1 + ck % 12`, frame (w, h) =
+    * (8 + ck%16, 8 + (ck div 3)%16), and per-frame pixels from the m07
+    * formula shifted per frame index. ONLY the sampled keyframes are
+    * ever rendered (the m02 discipline: the budget rule runs BEFORE the
+    * expensive decode, so fan-out is a hard ≤[[VideoMaxSampled]]
+    * rows/doc). The keyframe EXTRACTION step stands in for a real
+    * codec's keyframe demux (no video codec ships in this container —
+    * the brief's sanctioned stub); everything downstream of the frame
+    * raster — ImageIO decode, pooling, hashing, the dedup joins — is
+    * the real pipeline, and PNG losslessness keeps the stage
+    * oracle-checkable via pixel-formula replay.
+    */
+  def videoKeyframeTable(spark: SparkSession, sfDir: String)
+      : Dataset[VideoFrame] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        val writerReady = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").hasNext
+        require(writerReady, "JDK PNG writer missing")
+        it.flatMap { id =>
+          val ck = id % 97
+          val n = 1 + (ck % 12).toInt
+          val stride = (n + VideoMaxSampled - 1) / VideoMaxSampled
+          val w = 8 + (ck % 16).toInt
+          val h = 8 + ((ck / 3) % 16).toInt
+          (0 until n by stride).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((ck + 3L * x + 7L * y + 11L * f) % 256).toInt
+                val g = ((2L * ck + 5L * x + y + 13L * f) % 256).toInt
+                val b = ((ck + x.toLong * y + 17L * f) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            VideoFrame(id, f, n, baos.toByteArray)
+          }
+        }
+      }
+  }
+
+  /** m09: VIDEO KEYFRAME PERCEPTUAL-HASH DEDUP (beyond-reference).
+    *
+    *  1. per sampled keyframe: [[ahash16]] over the REAL decoded raster
+    *     (binary dropped immediately — only (doc_id, f, 16-bit hash)
+    *     rows leave the decode stage);
+    *  2. per video: the ordered keyframe-hash sequence folds into one
+    *     md5 SIGNATURE — byte-level container differences vanish, so
+    *     re-encodes of the same footage collide;
+    *  3. exact tier (d01 idiom): signature groups with > 1 doc;
+    *  4. near tier (d03 idiom): DISTINCT signatures sharing ≥ 2
+    *     keyframe-hash values — candidate pairs come from an equi-join
+    *     on the hash value over the signature-grain table, never an
+    *     all-pairs compare.
+    *
+    * Scale: fan-out is ≤[[VideoMaxSampled]] rows/doc before the decode;
+    * everything after the per-doc fold is SIGNATURE-grain (content
+    * cardinality, not corpus cardinality). The near-tier bucket join is
+    * quadratic only within one hash value's signature list; a 16-bit
+    * hash keeps this demo-tight — at billion-video scale the same plan
+    * runs on [[ahash16]] widened to 64 bits (denser space, sparser
+    * buckets), nothing else changes.
+    */
+  def videoKeyframePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fhashes = graft.models.Shared
+      .materialized("video_frame_hashes", spark, sfDir) {
+        videoKeyframeTable(spark, sfDir)
+          .mapPartitions { it =>
+            it.flatMap(v => ahash16(v.media).map(h => (v.doc_id, v.f, h)))
+          }.toDF("doc_id", "f", "fhash")
+      }
+    val perDoc = fhashes.groupBy($"doc_id")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct($"f", $"fhash"))),
+          x => x.getField("fhash").cast(StringType)))).as("sig"))
+    val sigDocs = perDoc.groupBy($"sig").agg(count(lit(1)).as("n_docs"))
+    val sigHashes = fhashes.join(perDoc, Seq("doc_id"))
+      .select($"sig", $"fhash").distinct()
+    val sigShared = sigHashes.groupBy($"sig")
+      .agg(count(lit(1)).as("n_hashes"))
+    val selfRows = sigDocs.join(sigShared, Seq("sig"))
+      .filter($"n_docs" > 1)
+      .select($"sig".as("sig_a"), $"sig".as("sig_b"),
+        $"n_hashes".as("shared_hashes"),
+        $"n_docs".as("docs_a"), $"n_docs".as("docs_b"))
+    val near = sigHashes.as("x").join(sigHashes.as("y"),
+        col("x.fhash") === col("y.fhash") && col("x.sig") < col("y.sig"))
+      .groupBy(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .agg(count(lit(1)).as("shared_hashes"))
+      .filter($"shared_hashes" >= 2)
+      .join(broadcast(sigDocs.select($"sig".as("sig_a"),
+        $"n_docs".as("docs_a"))), Seq("sig_a"))
+      .join(broadcast(sigDocs.select($"sig".as("sig_b"),
+        $"n_docs".as("docs_b"))), Seq("sig_b"))
+      .select($"sig_a", $"sig_b", $"shared_hashes", $"docs_a", $"docs_b")
+    selfRows.unionByName(near)
+  }
+
+  /** The arithmetic twin of [[videoKeyframePhash]]: sampled frame
+    * indices, pixels, pools, hash bits, signatures, and shared-hash
+    * counts all replayed per DISTINCT content key — DuckDB never
+    * decodes a PNG (the m06/m07 convention). */
+  val videoKeyframePhashOracle: String =
+    s"""WITH ckt AS (SELECT DISTINCT doc_id % 97 AS ck FROM documents),
+      |geom AS (SELECT ck, 8 + ck % 16 AS w, 8 + (ck // 3) % 16 AS h,
+      |                1 + ck % 12 AS n,
+      |                (1 + ck % 12 + ${VideoMaxSampled - 1}) // $VideoMaxSampled AS stride
+      |         FROM ckt),
+      |fr AS (SELECT ck, w, h, unnest(range(0, n, stride)) AS f FROM geom),
+      |px AS (SELECT ck, f, w, h, unnest(range(w * h)) AS p FROM fr),
+      |vals AS (SELECT ck, f, w, h, p % w AS x, p // w AS y FROM px),
+      |cells AS (
+      |  SELECT ck, f,
+      |         ((y * 4) // h) * 4 + (x * 4) // w AS bit_idx,
+      |         sum((ck + 3 * x + 7 * y + 11 * f) % 256
+      |             + (2 * ck + 5 * x + y + 13 * f) % 256
+      |             + (ck + x * y + 17 * f) % 256) AS lum,
+      |         count(*) AS pxc
+      |  FROM vals GROUP BY 1, 2, 3),
+      |tot AS (SELECT ck, f, sum(lum) AS tl, sum(pxc) AS tp
+      |        FROM cells GROUP BY 1, 2),
+      |fhash AS (
+      |  SELECT c.ck, c.f,
+      |         cast(sum(CASE WHEN c.lum * t.tp > t.tl * c.pxc
+      |                       THEN 1 << c.bit_idx ELSE 0 END) AS BIGINT) AS fh
+      |  FROM cells c JOIN tot t ON c.ck = t.ck AND c.f = t.f
+      |  GROUP BY 1, 2),
+      |sigs AS (SELECT ck,
+      |                md5(string_agg(cast(fh AS VARCHAR), ',' ORDER BY f)) AS sig
+      |         FROM fhash GROUP BY 1),
+      |sdocs AS (SELECT s.sig, count(*) AS n_docs
+      |          FROM documents d JOIN sigs s ON d.doc_id % 97 = s.ck
+      |          GROUP BY 1),
+      |sh AS (SELECT DISTINCT s.sig, f.fh
+      |       FROM sigs s JOIN fhash f ON s.ck = f.ck),
+      |scnt AS (SELECT sig, count(*) AS n_hashes FROM sh GROUP BY 1),
+      |selfrows AS (SELECT d.sig AS sig_a, d.sig AS sig_b,
+      |                    c.n_hashes AS shared_hashes,
+      |                    d.n_docs AS docs_a, d.n_docs AS docs_b
+      |             FROM sdocs d JOIN scnt c USING (sig)
+      |             WHERE d.n_docs > 1),
+      |near AS (SELECT x.sig AS sig_a, y.sig AS sig_b,
+      |                count(*) AS shared_hashes
+      |         FROM sh x JOIN sh y ON x.fh = y.fh AND x.sig < y.sig
+      |         GROUP BY 1, 2
+      |         HAVING count(*) >= 2)
+      |SELECT * FROM selfrows
+      |UNION ALL
+      |SELECT n.sig_a, n.sig_b, n.shared_hashes,
+      |       ga.n_docs AS docs_a, gb.n_docs AS docs_b
+      |FROM near n
+      |JOIN sdocs ga ON n.sig_a = ga.sig
+      |JOIN sdocs gb ON n.sig_b = gb.sig""".stripMargin
 }

@@ -15,7 +15,15 @@ import graft.models.{CurationModels, DedupModels, SimilarityModels}
   *                        kept docs (c09's doc-grain surface) — split
   *                        is a stateless content hash, so incremental
   *                        appends ≡ full-rebuild labels
-  *   3. curated_packing   sequence-packing index over the KEPT set (c05)
+  *   2c. span_trimmed_corpus  the SPAN-TRIMMED kept docs (d11): every
+  *                        duplicated 10-token window occurrence except
+  *                        its corpus-global first removed (Lee et al.
+  *                        2022), with `curation_span_grams` (the
+  *                        distinct window-gram set) as the bookkeeping
+  *                        table incremental catch-ups verdict against
+  *   3. curated_packing   sequence-packing index over the TRIMMED kept
+  *                        set (c05) — packs only tokens a training run
+  *                        would actually see
   *   3b. train_split_packing  the split labels' downstream SAMPLER
   *                        (c12): packing over ONLY train-labeled docs —
   *                        what actually feeds a training run; val/test
@@ -183,11 +191,31 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     CurationModels
       .splitLabelsFrom(Tables.documents(spark, targetPath("curated_corpus")))
       .write.mode(SaveMode.Overwrite).parquet(targetPath("curation_splits"))
-    // --- 3. packing index over the CURATED set (offsets are positions
-    // in the curated training stream, not the raw snapshot), partitioned
-    // by the stream key so incremental runs can overwrite ONLY the
-    // streams they touch
-    CurationModels.packSequences(spark, targetPath("curated_corpus"))
+    // --- 2c. span-trimmed corpus (d11): every duplicated 10-token
+    // window occurrence except its corpus-global first is REMOVED
+    // before packing (Lee et al. 2022's exact-substring trim), so the
+    // duplicated mass d10 measures never reaches the packed training
+    // stream. Alongside it, the distinct window-gram set — the
+    // bookkeeping table incremental catch-ups verdict new windows
+    // against (the span-grain analog of curation_segments: any new
+    // occurrence of a known gram is non-first by the doc_id-watermark
+    // argument, so old trimmed docs are immutable).
+    val curatedDocs = Tables.documents(spark, targetPath("curated_corpus"))
+    DedupModels.spanTrimmedFrom(curatedDocs)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${targetPath("span_trimmed_corpus")}/documents.parquet")
+    DedupModels.spanGramsOf(curatedDocs).select($"g").distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_span_grams"))
+    // --- 3. packing index over the TRIMMED curated set (offsets are
+    // positions in the cleaned training stream, not the raw snapshot),
+    // partitioned by the stream key so incremental runs can overwrite
+    // ONLY the streams they touch. packSequencesFrom (not
+    // packSequences, which composes its own trim) — the trim is
+    // already materialized and trimming is NOT idempotent in general
+    // (removing a span can make previously-separated tokens adjacent)
+    CurationModels.packSequencesFrom(
+      Tables.documents(spark, targetPath("span_trimmed_corpus")))
       // cluster by the partition key before the partitioned write (same
       // REBALANCE rationale as IncrementalRunner.rebalanced): without
       // it every task writes a file into every (lang, shard) dir it
@@ -204,7 +232,7 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     val trainIds = spark.read.parquet(targetPath("curation_splits"))
       .filter($"split" === "train").select($"doc_id")
     CurationModels.packSequencesFrom(
-      Tables.documents(spark, targetPath("curated_corpus"))
+      Tables.documents(spark, targetPath("span_trimmed_corpus"))
         .join(trainIds, Seq("doc_id"), "left_semi"))
       .hint("rebalance", "lang", "shard")
       .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
@@ -280,9 +308,20 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       val frozenCents = spark.read
         .parquet(targetPath("curation_ivf_cents"))
       val evalVecs = spark.read.parquet(targetPath("curation_eval_vecs"))
+      // TRAIN-side vectors only, matching the batch path (which
+      // excludes source == EvalSource before comparing): the frozen-
+      // eval guard above already rejects eval-sourced appends loudly,
+      // and this anti-join makes the contract structural — even if the
+      // guard were bypassed, an eval-sourced new vector could never be
+      // scored against the eval references (it would wrongly flag
+      // itself sem_contaminated and diverge from a full rebuild)
+      val newEvalIds = newDocs
+        .filter($"source" === CurationModels.EvalSource)
+        .select($"doc_id")
       val newVecs = SimilarityModels
         .doubledEmb(Tables.embeddings(spark, sfDir))
         .filter($"vec_id" > wm)
+        .join(newEvalIds, $"vec_id" === newEvalIds("doc_id"), "left_anti")
       val sem = SimilarityModels.cellTop2(newVecs, frozenCents)
         .filter($"crk" === 1)
         .select($"cid".as("cell"), $"vec_id", $"v", $"norm")
@@ -340,6 +379,35 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         .splitLabelsFrom(newDocs.join(keptNewIds, Seq("doc_id"), "left_semi"))
         .write.mode(SaveMode.Append).parquet(targetPath("curation_splits"))
 
+      // --- 2c. span-trim catch-up: trim ONLY the new kept docs. A new
+      // window is removed if its gram is already in the historical gram
+      // table (its first holder has a smaller doc_id — old trimmed docs
+      // are therefore IMMUTABLE, the same watermark argument as the
+      // funnel verdicts) or if it repeats within this batch beyond the
+      // batch's first occurrence; removalPositionsOf encodes exactly
+      // that, so appended trims ≡ full-rebuild trims (spec-pinned).
+      // The known-gram probe streams the corpus-sized gram table once
+      // against the BROADCAST batch gram set — no shuffle of the big
+      // side; the intersection (≤ batch grams) then drives the removal
+      // semi-join. At 100 TB a bloom sidecar over the gram table would
+      // skip even that scan for definitely-new grams — the
+      // curation_segment_bloom pattern, applicable verbatim.
+      val newKept = newDocs.join(keptNewIds, Seq("doc_id"), "left_semi")
+      val newGrams = DedupModels.spanGramsOf(newKept)
+      val newGramSet = newGrams.select($"g").distinct()
+      val knownG = spark.read.parquet(targetPath("curation_span_grams"))
+        .join(newGramSet.hint("broadcast"), Seq("g"), "left_semi")
+      DedupModels.trimmedCorpusFrame(newKept,
+        DedupModels.mergeRemovalSpans(
+          DedupModels.removalPositionsOf(newGrams, Some(knownG))))
+        .write.mode(SaveMode.Append)
+        .parquet(s"${targetPath("span_trimmed_corpus")}/documents.parquet")
+      // unseen batch grams join the bookkeeping table (both sides are
+      // batch-bounded: the anti-join runs against the small known slice)
+      newGramSet.join(knownG, Seq("g"), "left_anti")
+        .write.mode(SaveMode.Append)
+        .parquet(targetPath("curation_span_grams"))
+
       // --- 3. repack ONLY the (lang, shard) streams the new kept docs
       // touched; every other stream's rows are byte-identical (offsets
       // restart per shard) and stay in place via dynamic partition
@@ -348,7 +416,8 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         .select($"lang",
           expr(s"doc_id div ${CurationModels.PackShard}").as("shard"))
         .distinct()
-      val curated = Tables.documents(spark, targetPath("curated_corpus"))
+      // repack reads the TRIMMED corpus (what a full run packs)
+      val curated = Tables.documents(spark, targetPath("span_trimmed_corpus"))
       val touchedDocs = curated
         .withColumn("shard",
           expr(s"doc_id div ${CurationModels.PackShard}"))

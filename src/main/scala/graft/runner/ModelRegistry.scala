@@ -363,14 +363,6 @@ object ModelRegistry {
       (_, resolve) => RetentionModels.weekOverWeekRetention(
         resolve("daily_wallet_theta_sketches"))))
 
-  /** The reference's 13 zero-copy clone publications
-    * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
-    * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a
-    * materialized model under a consuming mart's name. Executed by
-    * `IncrementalRunner.runAll` after the models build — clone name →
-    * source model; the `ds_`/`mb_` prefixes stand in for the target
-    * database.schema part of the 3-part Snowflake name.
-    */
   /** The document-family (curation) DAG — the registry's declaration of
     * what [[CurationPipeline]] materializes and reads, in dependency
     * order. Executed by CurationPipeline rather than the date-keyed
@@ -378,9 +370,12 @@ object ModelRegistry {
     * doc_id, not date_key — same declared-DAG discipline, different
     * incremental key. CurationDagSpec (in ModelDagSpec's suite file)
     * asserts a full pipeline run materializes exactly these targets and
-    * every declared dep is a raw source or an upstream target. The
-    * leaf, `train_split_packing`, is the split labels' downstream
-    * sampler — the consumer that makes `curation_splits` load-bearing.
+    * every declared dep is a raw source or an upstream target. Both
+    * packers read `span_trimmed_corpus` (d11's cleaned table), so the
+    * duplicated-span mass d10 measures never reaches a packed stream;
+    * the leaf, `train_split_packing`, is additionally the split labels'
+    * downstream sampler — the consumer that makes `curation_splits`
+    * load-bearing.
     */
   val curationDag: Seq[(String, Seq[String])] = Seq(
     "curation_funnel" -> Seq("documents", "embeddings"),
@@ -391,12 +386,22 @@ object ModelRegistry {
       "curation_ivf_cents"),
     "curated_corpus" -> Seq("documents", "curation_funnel"),
     "curation_splits" -> Seq("curated_corpus"),
-    "curated_packing" -> Seq("curated_corpus"),
-    "train_split_packing" -> Seq("curated_corpus", "curation_splits"),
+    "span_trimmed_corpus" -> Seq("curated_corpus"),
+    "curation_span_grams" -> Seq("curated_corpus"),
+    "curated_packing" -> Seq("span_trimmed_corpus"),
+    "train_split_packing" -> Seq("span_trimmed_corpus", "curation_splits"),
     "segment_stats" -> Seq("documents"),
     "curation_segments" -> Seq("documents"),
     "curation_segment_bloom" -> Seq("curation_segments"))
 
+  /** The reference's 13 zero-copy clone publications
+    * (`load_scripts/{data_studio_mart,kin_data,metabase_mart}/…/clones/`,
+    * each `CREATE OR REPLACE TABLE … CLONE <mart>.<model>`): republish a
+    * materialized model under a consuming mart's name. Executed by
+    * `IncrementalRunner.runAll` after the models build — clone name →
+    * source model; the `ds_`/`mb_` prefixes stand in for the target
+    * database.schema part of the 3-part Snowflake name.
+    */
   val clones: Seq[(String, String)] = Seq(
     // data_studio_mart/daily_models/reporting/clones/*
     "ds_daily_active_accounts_ecosystem" -> "daily_active_ecosystem",

@@ -91,8 +91,21 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(rInc == rFull)
     for (t <- Seq("curation_funnel", "curated_corpus/documents.parquet",
         "curation_splits", "curated_packing", "train_split_packing",
+        "span_trimmed_corpus/documents.parquet", "curation_span_grams",
         "segment_stats", "curation_segments"))
       assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
+
+    // span-trim catch-up: docs 501 and 504 share a 19-token prefix
+    // (> the 10-token window), both are kept, and 501 is the earlier
+    // id — so the FULL prefix must be trimmed out of 504 while 501
+    // survives untouched (first occurrence wins)
+    val trimmed = graft.catalog.Tables
+      .documents(spark, s"$whInc/span_trimmed_corpus")
+      .filter($"doc_id".isin(501L, 504L))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(trimmed(501L) == fresh, "first occurrence must keep its text")
+    assert(trimmed(504L) == "and then some",
+      "the duplicated prefix must be trimmed from the later copy")
 
     // the bloom sidecar an incremental run unions up is byte-identical
     // to the one a full rebuild writes (reproducible bitsets)
