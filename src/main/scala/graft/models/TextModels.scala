@@ -976,45 +976,131 @@ object TextModels {
   }
 
   /** Exact top-⌈n/10⌉ selection by (`key` desc, doc_id asc) WITHOUT a
-    * global rank: a corpus-sized frame must never flow through an
-    * unpartitioned row_number (one-partition sort — the 100 TB trap
-    * PlanAuditSpec exists to catch). Instead:
+    * global rank and WITHOUT a corpus-cardinality histogram walk: a
+    * continuous 6-dp score has ~n distinct values, so even a per-VALUE
+    * histogram pushed through one unpartitioned cumulative window is a
+    * doc-grain single-partition sort in disguise (round-10 advice).
+    * The repo's own mergeable KLL sketch finds the cutoff with a
+    * kilobyte of driver state instead:
     *
-    *  1. histogram the key values (distributed groupBy — output is
-    *     value-cardinality-sized);
-    *  2. walk the HISTOGRAM with an unpartitioned cumulative window
-    *     (aggregate-bounded — the allowed shape) to find the cutoff
-    *     value and how many boundary ties to admit;
-    *  3. broadcast the per-value verdicts back and rank ONLY within
-    *     the boundary tie group (a KEYED window over near-singleton
-    *     partitions).
+    *  1. ONE `kll_sketch_agg` pass → a ~3 KB sketch (map-side combined
+    *     TypedImperativeAggregate) + the exact row count;
+    *  2. sketch quantiles bracket the cutoff in a narrow BAND, and one
+    *     exact count VERIFIES the bracket (widening ≤3×, then the
+    *     sketch's exact min/max — KLL retains both — as the always-
+    *     valid fallback), so randomized compaction can never cost
+    *     correctness, only a retry;
+    *  3. inside the band: equal-width value buckets (≤4096) → bucket
+    *     histogram → cumulative window over the AGGREGATED bucket rows
+    *     (the plan-audit-allowed shape) locates the boundary bucket;
+    *  4. a per-value histogram over the BOUNDARY BUCKET only (band
+    *     mass / 4096 in the non-degenerate case) picks the cutoff
+    *     value, and a keyed row_number ranks ONLY the cutoff-value tie
+    *     group by doc_id.
     *
     * Selection set is identical to `row_number() OVER (ORDER BY key
     * DESC, doc_id) <= ceil(n/10)` — which is exactly what the DuckDB
     * oracles keep (the oracle states semantics; the plan states the
-    * distribution strategy). */
+    * distribution strategy). Degenerate all-ties inputs (every key
+    * equal) still serialize the tie group through one rank partition —
+    * inherent to the exact (key, doc_id) order, same as before.
+    *
+    * `key` must be a non-null DOUBLE column (both callers construct
+    * one); a value maps to exactly one bucket, so tie groups never
+    * straddle bucket or band boundaries. */
   private def topTenthSelected(scored: DataFrame, key: String): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
     import scored.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val hist = scored.groupBy(col(key)).agg(count(lit(1)).as("c"))
-    val wv = Window.orderBy(col(key).desc)
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    val kd = col(key)
+
+    // 1. kilobyte driver state: one sketch + the exact count
+    val srow = scored.agg(
+      call_function("kll_sketch_agg", kd).as("sk"),
+      count(lit(1)).as("n")).head()
+    val n = srow.getLong(1)
+    if (n == 0) return scored.withColumn("selected", lit(false))
+    val k = (n + 9) / 10
+    val sk = KllDoublesSketch.heapify(Memory.wrap(srow.getAs[Array[Byte]](0)))
+    val target = 1.0 - k.toDouble / n
+
+    // 2. sketch-guided band, exactly verified (constant-sized driver
+    // scalars; ≤4 small aggregate actions worst-case)
+    var delta = 3.0 * sk.getNormalizedRankError(false)
+    var lo = 0d; var hi = 0d; var nAbove = 0L
+    var ok = false; var attempt = 0
+    while (!ok) {
+      attempt += 1
+      if (attempt >= 4 || delta >= 1.0) {
+        lo = sk.getMinItem; hi = sk.getMaxItem // exact extremes: always brackets
+      } else {
+        lo = sk.getQuantile(math.max(0.0, target - delta),
+          QuantileSearchCriteria.INCLUSIVE)
+        hi = sk.getQuantile(math.min(1.0, target + delta),
+          QuantileSearchCriteria.INCLUSIVE)
+      }
+      val c = scored.agg(
+        sum(when(kd > lit(hi), 1L).otherwise(0L)).as("na"),
+        sum(when(kd >= lit(lo) && kd <= lit(hi), 1L).otherwise(0L)).as("nb"))
+        .head()
+      nAbove = c.getLong(0)
+      ok = nAbove <= k && nAbove + c.getLong(1) >= k
+      delta *= 4
+    }
+    val kBand = k - nAbove
+
+    // 3. boundary bucket via a ≤4096-row aggregated cumulative window
+    val nBuckets = 4096L
+    val w = (hi - lo) / nBuckets
+    val bucketOf: Column =
+      if (w > 0) least(floor((lit(hi) - kd) / lit(w)).cast(LongType),
+        lit(nBuckets - 1))
+      else lit(0L)
+    val band = scored.filter(kd >= lit(lo) && kd <= lit(hi))
+    val wB = Window.orderBy($"bkt")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(lit(1))
-    val verdicts = hist
-      .withColumn("n_total", sum($"c").over(wAll))
-      .withColumn("cum", sum($"c").over(wv))
-      .withColumn("k", expr("(n_total + 9) div 10"))
-      .withColumn("admit_all", $"cum" <= $"k")
-      .withColumn("admit_r",
-        when($"cum" - $"c" < $"k" && $"cum" > $"k", $"k" - ($"cum" - $"c"))
-          .otherwise(lit(0L)))
-      .select(col(key), $"admit_all", $"admit_r")
-    val wTie = Window.partitionBy(col(key)).orderBy($"doc_id")
-    scored.join(broadcast(verdicts), Seq(key))
+    val bVerd = band.groupBy(bucketOf.as("bkt")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wB))
+      .withColumn("b_admit", $"cum" <= kBand)
+      .withColumn("b_boundary", $"cum" > kBand && $"cum" - $"c" < kBand)
+      .withColumn("k_rem", lit(kBand) - ($"cum" - $"c"))
+      .select($"bkt", $"b_admit", $"b_boundary", $"k_rem")
+
+    // 4. cutoff value inside the boundary bucket; doc_id rank only for
+    // the cutoff-value tie group
+    val wV = Window.orderBy(kd.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vVerd = band.withColumn("bkt", bucketOf)
+      .join(broadcast(bVerd.filter($"b_boundary")), Seq("bkt"))
+      .groupBy(kd, $"k_rem").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wV))
+      .withColumn("v_admit", $"cum" <= $"k_rem")
+      .withColumn("v_r",
+        when($"cum" > $"k_rem" && $"cum" - $"c" < $"k_rem",
+          $"k_rem" - ($"cum" - $"c")).otherwise(lit(0L)))
+      .select(kd, $"v_admit", $"v_r")
+    val wTie = Window.partitionBy(kd).orderBy($"doc_id")
+    val tieSel = scored
+      .join(broadcast(vVerd.filter($"v_r" > 0).select(kd, $"v_r")), Seq(key))
+      .select(kd, $"doc_id", $"v_r")
       .withColumn("tie_rk", row_number().over(wTie))
+      .select($"doc_id", ($"tie_rk" <= $"v_r").as("tie_sel"))
+
+    scored
+      .withColumn("bkt",
+        when(kd >= lit(lo) && kd <= lit(hi), bucketOf))
+      .join(broadcast(bVerd.select($"bkt", $"b_admit")), Seq("bkt"), "left")
+      .join(broadcast(vVerd.select(kd, $"v_admit")), Seq(key), "left")
+      .join(broadcast(tieSel), Seq("doc_id"), "left")
       .withColumn("selected",
-        $"admit_all" || $"tie_rk" <= $"admit_r")
-      .drop("admit_all", "admit_r", "tie_rk")
+        kd > lit(hi) ||
+          coalesce($"b_admit", lit(false)) ||
+          coalesce($"v_admit", lit(false)) ||
+          coalesce($"tie_sel", lit(false)))
+      .drop("bkt", "b_admit", "v_admit", "tie_sel")
   }
 
   def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
