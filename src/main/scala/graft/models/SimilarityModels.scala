@@ -36,6 +36,23 @@ object SimilarityModels {
   /** Fixed Lloyd iteration count — unrolled in the DuckDB oracles. */
   private[graft] val KmIters = 2
 
+  /** PQ geometry (s05/s06/s07 + AnnIndexPipeline + StreamingAnnEncode):
+    * [[PqM]] subspaces of [[PqSub]] dims (PqM·PqSub = 64), [[PqK]]
+    * centroids per subspace — PqM·log2(PqK) = 192 bits = 24 bytes per
+    * vector against 256 float bytes (~10.7×). Round 10 shipped 8×4-bit
+    * codes (32 bits) and measured recall@5 of 0.22 (s05) / 0.30 (s06);
+    * the public fix for weak PQ recall is finer sub-quantizers (Jégou
+    * et al. 2011 §V: recall rises with both M and k*; Ge et al. 2013
+    * add rotation), and 32×2-dim subspaces with 64 centroids measure
+    * 0.78 / 0.66 / 0.72 (s05/s06/s07, `ann_bench.json`) — s06 within
+    * 0.04 of its 0.70 coarse-probe ceiling (s03's recall with exact
+    * in-cell scoring). The codebook stays tiny (PqM·PqK = 2048 rows,
+    * broadcast) and the code table linear. PqK must stay ≤
+    * [[AnnTrainCap]] (Lloyd seeds are the id < PqK training prefix). */
+  private[graft] val PqM = 32
+  private[graft] val PqSub = 2
+  private[graft] val PqK = 64
+
   /** Dot product via the native codegen'd expression
     * (graft.functions.FloatDotProduct) — identical fold order and double
     * arithmetic to the builtin `aggregate(zip_with(...))` formulation it
@@ -332,10 +349,12 @@ object SimilarityModels {
   /** s05: product-quantized (PQ) ANN with ADC lookup-table scoring —
     * the deepest memory tier of the family: s02 prunes the COMPARE
     * space (LSH buckets), s03 prunes the SCAN (IVF cells), s04 shrinks
-    * each vector 4× (SQ8); PQ shrinks it 64×. The 64-dim vector splits
-    * into M=8 subspaces of 8 dims; each subvector is replaced by the id
-    * of its nearest (L2) per-subspace centroid — 8 codes of 4 bits =
-    * 4 bytes per vector against 256 float bytes. The codebook is a REAL
+    * each vector 4× (SQ8); PQ shrinks it ~26×. The 64-dim vector splits
+    * into [[PqM]] subspaces of [[PqSub]] dims; each subvector is
+    * replaced by the id of its nearest (L2) per-subspace centroid —
+    * PqM codes of log2([[PqK]]) bits = 24 bytes per vector against 256
+    * float bytes (see [[PqM]]'s scaladoc for the recall-driven
+    * geometry choice). The codebook is a REAL
     * per-subspace k-means codebook ([[pqCodebook]]: deterministic
     * fixed-iteration Lloyd under L2 over the [[AnnTrainCap]] training
     * prefix, replayed exactly by the oracle via [[KMeans.oracleCtes]];
@@ -365,9 +384,10 @@ object SimilarityModels {
     import spark.implicits._
     val emb = doubledEmb(Tables.embeddings(spark, sfDir))
     val subs = emb
-      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"), $"v")
+      .select($"vec_id",
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), $"v")
       .select($"vec_id", $"m",
-        slice($"v", $"m" * 8 + 1, lit(8)).as("sub"))
+        slice($"v", $"m" * PqSub + 1, lit(PqSub)).as("sub"))
     // materialized, not cached: the codes/lut branches each reference
     // the codebook, and a cache clear would re-run training per branch
     val cents = Shared.materialized("pq_cents", spark, sfDir) {
@@ -417,18 +437,18 @@ object SimilarityModels {
 
   val pqAnnTopKOracle: String = {
     def dot8(a: String, b: String): String =
-      s"list_sum(list_transform(range(8), i -> $a[i+1] * $b[i+1]))"
+      s"list_sum(list_transform(range($PqSub), i -> $a[i+1] * $b[i+1]))"
     def l2sq(a: String, b: String): String =
-      s"list_sum(list_transform(range(8), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+      s"list_sum(list_transform(range($PqSub), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
     def dot64(a: String, b: String): String =
       s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
     val head =
       s"""WITH base AS (SELECT vec_id,
          |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
          |              FROM embeddings),
-         |ms AS (SELECT unnest(range(8)) AS m),
+         |ms AS (SELECT unnest(range($PqM)) AS m),
          |subs AS (SELECT b.vec_id, ms.m,
-         |                list_slice(b.v, ms.m*8+1, ms.m*8+8) AS sub
+         |                list_slice(b.v, ms.m*$PqSub+1, ms.m*$PqSub+$PqSub) AS sub
          |         FROM base b CROSS JOIN ms),
          |km5_train AS (SELECT m AS grp, vec_id AS id, sub AS v FROM subs
          |              WHERE vec_id < $AnnTrainCap),
@@ -466,7 +486,8 @@ object SimilarityModels {
        |              ORDER BY pq_sim DESC, cand_id) AS BIGINT) AS sim_rank
        |FROM final
        |QUALIFY sim_rank <= 5""".stripMargin
-    head + KMeans.oracleCtes("km5", "km5_train", 16, KmIters, 8, cosine = false) + tail
+    head + KMeans.oracleCtes("km5", "km5_train", PqK, KmIters, PqSub,
+      cosine = false) + tail
   }
 
   /** s06: IVF-PQ — the composed 100 TB ANN architecture: s03's coarse
@@ -542,18 +563,19 @@ object SimilarityModels {
       .select($"cid", $"cv", $"cnorm")
   }
 
-  /** Full-vector PQ codebook (s05): per-subspace k=16 L2 k-means over
-    * the training prefix's subvectors. Output (m, cid, cent). */
+  /** Full-vector PQ codebook (s05): per-subspace k=[[PqK]] L2 k-means
+    * over the training prefix's subvectors. Output (m, cid, cent). */
   private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
     import subs.sparkSession.implicits._
     KMeans.lloyd(
       subs.filter($"vec_id" < AnnTrainCap)
         .select($"m".as("grp"), $"vec_id".as("id"), $"sub".as("v")),
-      k = 16, iters = KmIters, cosine = false)
+      k = PqK, iters = KmIters, cosine = false)
       .select($"grp".as("m"), $"cid", $"cv".as("cent"))
   }
 
-  /** Residual PQ codebook (s06/IVF-PQ): per-subspace k=16 L2 k-means
+  /** Residual PQ codebook (s06/IVF-PQ): per-subspace k=[[PqK]] L2
+    * k-means
     * over the training prefix's RESIDUAL subvectors (v − assigned coarse
     * centroid) — what makes the composition IVF-PQ rather than
     * IVF-then-PQ. A vector's cell rank depends only on itself and the
@@ -565,7 +587,7 @@ object SimilarityModels {
       cellTop2(base.filter($"vec_id" < AnnTrainCap), cents), cents)
     KMeans.lloyd(
       rs.select($"m".as("grp"), $"vec_id".as("id"), $"rsub".as("v")),
-      k = 16, iters = KmIters, cosine = false)
+      k = PqK, iters = KmIters, cosine = false)
       .select($"grp".as("m"), $"cid".as("pcid"), $"cv".as("pcent"))
   }
 
@@ -591,9 +613,9 @@ object SimilarityModels {
       .select($"vec_id", $"cid".as("cell"),
         zip_with($"v", $"cv", (x, y) => x - y).as("r"))
       .select($"vec_id", $"cell",
-        explode(sequence(lit(0), lit(7))).as("m"), $"r")
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), $"r")
       .select($"vec_id", $"cell", $"m",
-        slice($"r", $"m" * 8 + 1, lit(8)).as("rsub"))
+        slice($"r", $"m" * PqSub + 1, lit(PqSub)).as("rsub"))
   }
 
   /** Code each residual subvector against a (pcid, m, pcent) codebook:
@@ -620,13 +642,14 @@ object SimilarityModels {
       pqCents: DataFrame, codes: DataFrame, k: Int): DataFrame = {
     import queries.sparkSession.implicits._
     val dotA = dotArr _
-    val ms = explode(sequence(lit(0), lit(7))).as("m")
+    val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
     val dec = (c: Column) => c.cast(DecimalType(28, 9))
-    // constant-side lookup tables (sizes 128 / 2048 / 16)
+    // constant-side lookup tables (sizes PqM·PqK / cells·PqM·PqK / cells)
     val rsq = pqCents.select($"m", $"pcid".as("code"),
       dec(round(dotA($"pcent", $"pcent"), 9)).as("rsq"))
     val cross = cents.select($"cid".as("cell"), ms, $"cv")
-      .select($"cell", $"m", slice($"cv", $"m" * 8 + 1, lit(8)).as("csub"))
+      .select($"cell", $"m",
+        slice($"cv", $"m" * PqSub + 1, lit(PqSub)).as("csub"))
       .join(pqCents, Seq("m"))
       .select($"cell", $"m", $"pcid".as("code"),
         dec(round(dotA($"csub", $"pcent"), 9)).as("cross"))
@@ -640,7 +663,8 @@ object SimilarityModels {
         $"norm".as("q_norm"), dec(round(dotA($"v", $"cv"), 9)).as("qc_dot"))
     val qlut = queries
       .select($"vec_id".as("query_id"), ms, $"v")
-      .select($"query_id", $"m", slice($"v", $"m" * 8 + 1, lit(8)).as("qsub"))
+      .select($"query_id", $"m",
+        slice($"v", $"m" * PqSub + 1, lit(PqSub)).as("qsub"))
       .join(broadcast(pqCents), Seq("m"))
       .select($"query_id", $"m", $"pcid".as("code"),
         dec(round(dotA($"qsub", $"pcent"), 9)).as("partial"))
@@ -689,8 +713,8 @@ object SimilarityModels {
     import spark.implicits._
     val base = doubledEmb(Tables.embeddings(spark, sfDir))
     // REAL trained codebooks over the fixed training prefix: coarse
-    // cells from cosine k-means, then a 128-row residual codebook from
-    // per-subspace L2 k-means over the sample's residuals — both
+    // cells from cosine k-means, then a PqM·PqK-row residual codebook
+    // from per-subspace L2 k-means over the sample's residuals — both
     // replayed exactly by the oracle's unrolled KMeans.oracleCtes
     val cents = Shared.materialized("ivfpq_cents", spark, sfDir) {
       coarseCodebook(base)
@@ -782,7 +806,7 @@ object SimilarityModels {
     def dotN(a: String, b: String, n: Int): String =
       s"list_sum(list_transform(range($n), i -> $a[i+1] * $b[i+1]))"
     def l2sq(a: String, b: String): String =
-      s"list_sum(list_transform(range(8), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+      s"list_sum(list_transform(range($PqSub), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
     val head =
       s"""WITH base AS (SELECT vec_id,
        |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
@@ -802,9 +826,9 @@ object SimilarityModels {
        |assigned AS (SELECT vec_id, cid AS cell,
        |                    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
        |             FROM t2 WHERE crk = 1),
-       |ms AS (SELECT unnest(range(8)) AS m),
+       |ms AS (SELECT unnest(range($PqM)) AS m),
        |rsubs AS (SELECT a.vec_id, a.cell, ms.m,
-       |                 list_slice(a.r, ms.m*8+1, ms.m*8+8) AS rsub
+       |                 list_slice(a.r, ms.m*$PqSub+1, ms.m*$PqSub+$PqSub) AS rsub
        |          FROM assigned a CROSS JOIN ms),
        |km6r_train AS (SELECT m AS grp, vec_id AS id, rsub AS v FROM rsubs
        |               WHERE vec_id < $AnnTrainCap),
@@ -819,10 +843,10 @@ object SimilarityModels {
        |    FROM rsubs s JOIN pq p ON s.m = p.m)
        |  WHERE rk = 1),
        |rsq AS (SELECT m, pcid AS code,
-       |               cast(round(${dotN("pcent", "pcent", 8)}, 9) AS DECIMAL(28,9)) AS rsq
+       |               cast(round(${dotN("pcent", "pcent", PqSub)}, 9) AS DECIMAL(28,9)) AS rsq
        |        FROM pq),
        |crs AS (SELECT c.cid AS cell, p.m, p.pcid AS code,
-       |               cast(round(${dotN("list_slice(c.cv, p.m*8+1, p.m*8+8)", "p.pcent", 8)}, 9)
+       |               cast(round(${dotN(s"list_slice(c.cv, p.m*$PqSub+1, p.m*$PqSub+$PqSub)", "p.pcent", PqSub)}, 9)
        |                    AS DECIMAL(28,9)) AS cross_d
        |        FROM cents c CROSS JOIN pq p),
        |cellsq AS (SELECT cid AS cell,
@@ -832,7 +856,7 @@ object SimilarityModels {
        |                  cast(round(${dotN("t.v", "t.cv", 64)}, 9) AS DECIMAL(28,9)) AS qc_dot
        |           FROM t2 t WHERE t.vec_id < 10 AND t.crk <= 2),
        |qlut AS (SELECT b.vec_id AS query_id, p.m, p.pcid AS code,
-       |                cast(round(${dotN("list_slice(b.v, p.m*8+1, p.m*8+8)", "p.pcent", 8)}, 9)
+       |                cast(round(${dotN(s"list_slice(b.v, p.m*$PqSub+1, p.m*$PqSub+$PqSub)", "p.pcent", PqSub)}, 9)
        |                     AS DECIMAL(28,9)) AS partial
        |         FROM base b CROSS JOIN pq p WHERE b.vec_id < 10),
        |scored AS (SELECT q.query_id, k.cell, k.vec_id AS cand_id,
@@ -854,7 +878,8 @@ object SimilarityModels {
        |  JOIN cellsq c ON c.cell = s.cell
        |  WHERE s.query_id <> s.cand_id)""".stripMargin
     head + KMeans.oracleCtes("km6", "km6_train", 16, KmIters, 64, cosine = true) +
-      mid + KMeans.oracleCtes("km6r", "km6r_train", 16, KmIters, 8, cosine = false) +
+      mid + KMeans.oracleCtes("km6r", "km6r_train", PqK, KmIters, PqSub,
+        cosine = false) +
       tail
   }
 

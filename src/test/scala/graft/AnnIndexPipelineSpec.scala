@@ -50,22 +50,25 @@ class AnnIndexPipelineSpec extends AnyFunSuite {
       assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
 
     // the append is additive: every pre-existing code row survives
-    // byte-identical, and exactly 8 new rows per appended vector landed
+    // byte-identical, and exactly PqM new rows per appended vector
+    // landed
+    import graft.models.SimilarityModels.{PqK, PqM}
     val postCodes = tableRows(s"$whInc/ann_codes")
     assert(preCodes.toSet.subsetOf(postCodes.toSet))
-    assert(postCodes.size == preCodes.size + 20 * 8)
+    assert(postCodes.size == preCodes.size + 20 * PqM)
     assert(rInc.codedVectors == r0.codedVectors + 20)
 
-    // appended rows: valid 4-bit codes, cells from the frozen codebook
+    // appended rows: codes within the PqK codebook, cells from the
+    // frozen coarse codebook
     val appended = spark.read.parquet(s"$whInc/ann_codes")
       .filter($"vec_id" > maxId)
-    assert(appended.filter($"code" < 0 || $"code" > 15).count() == 0)
+    assert(appended.filter($"code" < 0 || $"code" > PqK - 1).count() == 0)
     assert(appended.filter($"cell" < 0 || $"cell" > 15).count() == 0)
 
     // frozen-codebook contract: the incremental run left both codebook
     // tables untouched (the union's deterministic derivation re-selects
     // the snapshot's source vectors, so full-rebuild matches too)
-    assert(rInc.codebookCells == 16 && rInc.pqCentroids == 128)
+    assert(rInc.codebookCells == 16 && rInc.pqCentroids == PqM.toLong * PqK)
   }
 
   test("incremental over an empty index encodes without throwing (null watermark)") {
