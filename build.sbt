@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench prints ONE machine-parsed JSON line; LoggedOutput (the default)
+// would re-emit the forked JVM's stdout under sbt's `[info] ` prefix,
+// which defeats bare-JSON-line parsers. StdoutOutput passes the forked
+// process's streams through untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,13 +87,11 @@ object Bench {
     // in bench_out.json and the timestamped bench_runs/ archive.
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_run":${results.size},"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
-    println(line)
-    // hedge: sbt prefixes stdout with [info], which can defeat a driver
-    // parser expecting a bare JSON line — also drop the metric in a file
-    // (cwd-relative: lands in the repo root under `sbt runMain`), PLUS a
-    // timestamped archive copy under bench_runs/ so a driver run's full
-    // per-query map survives later dev-loop overwrites of bench_out.json
-    // (a round-6 audit lost exactly that artifact)
+    // hedge: also drop the metric in a file (cwd-relative: lands in the
+    // repo root under `sbt runMain`), PLUS a timestamped archive copy
+    // under bench_runs/ so a driver run's full per-query map survives
+    // later dev-loop overwrites of bench_out.json (a round-6 audit lost
+    // exactly that artifact)
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_out.json"), json + "\n")
@@ -105,6 +103,14 @@ object Bench {
       System.err.println(s"[bench] could not write bench_out.json: $e")
     }
     spark.stop()
+    // the compact line is the FINAL stdout act — after spark.stop(), so
+    // no executor shutdown chatter can land after it, and mirrored to
+    // stderr for parsers that capture that stream instead. build.sbt
+    // sets `run / outputStrategy := StdoutOutput`, so the forked JVM's
+    // stdout reaches the driver bare (no sbt `[info] ` prefix); only
+    // sbt's own `[success]` trailer can follow this line.
+    println(line)
+    System.err.println(line)
     // fail loudly: a regression that breaks a query must not look like a
     // (faster) successful bench
     if (errors.nonEmpty) sys.exit(1)
