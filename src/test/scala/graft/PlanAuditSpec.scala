@@ -274,6 +274,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "t15 scan reads corpus columns it never uses")
   }
 
+  test("round-11 families: pruned scans") {
+    // d11 trims (doc_id, lang, text) — source/n_chars stay in the reader
+    val d11 = formatted("d11_span_trim")
+    assert(!readsColumn(d11, "source") && !readsColumn(d11, "n_chars"),
+      "d11 scan reads corpus columns it never uses")
+    // m09 renders keyframes from doc_id alone — no corpus payload
+    val m09 = formatted("m09_video_phash_dedup")
+    assert(!readsColumn(m09, "text") && !readsColumn(m09, "lang"),
+      "m09 scan reads corpus columns it never uses")
+    // c05 packs the session-materialized trimmed corpus: (doc_id, lang,
+    // text) only — source/n_chars never leave any reader
+    val c05 = formatted("c05_pack_sequences")
+    assert(!readsColumn(c05, "source") && !readsColumn(c05, "n_chars"),
+      "c05 scan reads corpus columns it never uses")
+  }
+
   test("round-9 families: pruned scans") {
     // d09 clusters (vec_id, embedding) via the shared IVF index — the
     // label column never leaves any reader

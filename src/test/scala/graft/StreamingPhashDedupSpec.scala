@@ -60,9 +60,14 @@ class StreamingPhashDedupSpec extends AnyFunSuite {
     // one identity row per hash: doc 147's content (ck 50) must NOT
     // appear as a second row beside doc 50's
     assert(streamed.length == expected.size)
-    // doc 30's hash was known — it must not re-register
-    assert(!streamed.map(_._1).contains(hashes(30L)) ||
-      !known.contains(hashes(30L)))
+    // doc 30's hash was known — it must not re-register. Precondition
+    // and behavior asserted SEPARATELY (a disjunction would silently
+    // stop checking if a fixture shift dropped hash(30) from the known
+    // set — round-10 advice)
+    assert(known.contains(hashes(30L)),
+      "fixture precondition: doc 30's hash must be in the known set")
+    assert(!streamed.map(_._1).contains(hashes(30L)),
+      "a known hash must not re-register through the stream")
     media.unpersist()
   }
 }
