@@ -130,6 +130,7 @@ object SparkEntry {
     "c10_neardup_safe_split" -> (CurationModels.nearDupSafeSplit _),
     "c11_semantic_decontam" -> (SimilarityModels.semanticDecontamination _),
     "c12_train_packing" -> (CurationModels.trainSplitPacking _),
+    "c13_bpe_packing" -> (CurationModels.bpePackSequences _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "c10_neardup_safe_split" -> CurationModels.nearDupSafeSplitOracle,
     "c11_semantic_decontam" -> SimilarityModels.semanticDecontaminationOracle,
     "c12_train_packing" -> CurationModels.trainSplitPackingOracle,
+    "c13_bpe_packing" -> CurationModels.bpePackSequencesOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -825,6 +825,93 @@ object CurationModels {
        |       (end_offset - n_tokens) // $PackBudget AS boundary_split
        |FROM o""".stripMargin
 
+  /** c13: BPE-BUDGET PACKING (beyond-reference) — packing under the
+    * TRAINED TOKENIZER's budget, the composition every production
+    * pretraining build actually runs: c05 counts whitespace words, but
+    * a training sequence's capacity is measured in the tokenizer's
+    * tokens, so the packer that feeds a GPU packs by the t12-trained
+    * BPE segmentation's per-doc token count. Three trained/materialized
+    * artifacts compose here without new machinery: t12's merge table
+    * (vocabulary-sized, broadcast), d11's span-trimmed corpus (what
+    * c05/c12 also pack), and c05's shard-bounded offset geometry.
+    *
+    * A document's token count is the sum of its words' segment counts
+    * under the trained merges — the exact number t13's accounting
+    * aggregates per language, here kept at doc grain and fed to the
+    * packer. Documents whose trimmed text is empty pack as zero-token
+    * rows (their interval is a point; `greatest` clamps `last_seq` so
+    * the point lands in its own sequence on both engines — Spark `div`
+    * truncates toward zero while DuckDB `//` floors, and
+    * `end_offset − 1` is the one place a −1 could appear).
+    *
+    * Scale: one trimmed-corpus scan + a broadcast join against the
+    * vocabulary dim + a doc-grain rollup, then c05's per-(lang, shard)
+    * bounded running sum — applying a tokenizer budget at 100 TB adds
+    * NO shuffle beyond the rollup to the packing plan.
+    */
+  def bpePackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seg = TextModels.bpeSegmentation(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val counts = trimmedDocs(spark, sfDir)
+      .select($"doc_id", $"lang", explode(TextModels.toks($"text")).as("w"))
+      .join(broadcast(seg), Seq("w"), "left")
+      .groupBy($"doc_id", $"lang")
+      .agg(coalesce(sum($"n_syms"), lit(0L)).as("n_tokens"))
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("shard", expr(s"doc_id div $PackShard"))
+      .withColumn("end_offset", sum($"n_tokens").over(w))
+      .withColumn("start_offset", $"end_offset" - $"n_tokens")
+      .withColumn("first_seq", expr(s"start_offset div $PackBudget"))
+      .withColumn("last_seq",
+        greatest($"first_seq", expr(s"(end_offset - 1) div $PackBudget")))
+      .select($"doc_id", $"lang", $"shard", $"n_tokens", $"start_offset",
+        $"first_seq", $"last_seq",
+        ($"last_seq" > $"first_seq").as("boundary_split"))
+  }
+
+  /** lazy: TextModels ↔ CurationModels initialize mutually (its
+    * nbQualityScore/dsir oracles read [[EvalSource]]); an eager val
+    * here would call `bpeOracleCtes` while TextModels' own `<clinit>`
+    * is still in flight and read `BpeRounds` as 0 — the merge-round
+    * CTEs would silently vanish from the oracle (the
+    * nearDupSafeSplitOracle precedent). */
+  lazy val bpePackSequencesOracle: String =
+    "WITH " + TextModels.bpeOracleCtes + DedupModels.spanTrimSqlCtes +
+      s""",
+         |bseg AS (SELECT w,
+         |                cast(len(string_split(trim(s), ' ')) AS BIGINT)
+         |                  AS n_syms
+         |         FROM w${TextModels.BpeRounds}),
+         |bcnt AS (SELECT t.doc_id, t.lang,
+         |                coalesce(sum(g.n_syms), 0) AS n_tokens
+         |         FROM (SELECT doc_id, lang,
+         |                      unnest(string_split(text, ' ')) AS w
+         |               FROM trimmed) t
+         |         LEFT JOIN bseg g ON t.w = g.w
+         |         GROUP BY 1, 2),
+         |bd AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
+         |              n_tokens
+         |       FROM bcnt),
+         |bo AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+         |            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND CURRENT ROW) AS end_offset
+         |       FROM bd)
+         |SELECT doc_id, lang, cast(shard AS BIGINT) AS shard,
+         |       cast(n_tokens AS BIGINT) AS n_tokens,
+         |       cast(end_offset - n_tokens AS BIGINT) AS start_offset,
+         |       cast((end_offset - n_tokens) // $PackBudget AS BIGINT)
+         |         AS first_seq,
+         |       cast(greatest((end_offset - n_tokens) // $PackBudget,
+         |                     (end_offset - 1) // $PackBudget) AS BIGINT)
+         |         AS last_seq,
+         |       greatest((end_offset - n_tokens) // $PackBudget,
+         |                (end_offset - 1) // $PackBudget) >
+         |       (end_offset - n_tokens) // $PackBudget AS boundary_split
+         |FROM bo""".stripMargin
+
   /** c10: NEAR-DUP-SAFE SPLIT (beyond-reference) — c09 closed the
     * byte-equal leak; this closes the REPHRASING leak: the split is
     * keyed on the near-dup CLUSTER's representative content (d07's

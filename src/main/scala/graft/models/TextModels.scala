@@ -810,11 +810,21 @@ object TextModels {
     * encoder's merge table), so applying the tokenizer at 100 TB is
     * one scan + broadcast join + rollup.
     */
-  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The trained segmentation as a `(w, n_syms)` dim table — the
+    * encoder's merge table applied per distinct word, shared by t13's
+    * compression accounting and the packing tier's token-budget
+    * variant (c13). Vocabulary-sized, broadcastable. */
+  private[models] def bpeSegmentation(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val (_, segmented) = bpeTrainLoop(spark, sfDir)
-    val seg = segmented.select($"w",
+    segmented.select($"w",
       size(split(trim($"s"), " ")).cast(LongType).as("n_syms"))
+  }
+
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seg = bpeSegmentation(spark, sfDir)
     Tables.documents(spark, sfDir)
       .select($"lang", explode(toks($"text")).as("w"))
       .join(broadcast(seg), Seq("w"))
@@ -830,7 +840,7 @@ object TextModels {
 
   /** The unrolled training chain (CTE list `tok, vocab, w0 … w{R}`,
     * trailing comma) — shared by the t12 and t13 oracles. */
-  private def bpeOracleCtes: String = {
+  private[models] def bpeOracleCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""tok AS (SELECT unnest(string_split($normSqlDuck, ' ')) AS w
               |        FROM documents),

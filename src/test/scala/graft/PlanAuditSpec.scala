@@ -288,6 +288,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val c05 = formatted("c05_pack_sequences")
     assert(!readsColumn(c05, "source") && !readsColumn(c05, "n_chars"),
       "c05 scan reads corpus columns it never uses")
+    // c13 joins the trimmed corpus against the vocabulary dim — no
+    // corpus payload beyond (doc_id, lang, text) is ever read
+    val c13 = formatted("c13_bpe_packing")
+    assert(!readsColumn(c13, "source") && !readsColumn(c13, "n_chars"),
+      "c13 scan reads corpus columns it never uses")
   }
 
   test("round-9 families: pruned scans") {
