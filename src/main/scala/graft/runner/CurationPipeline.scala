@@ -21,6 +21,9 @@ import graft.models.{CurationModels, DedupModels, SimilarityModels}
   *                        2022), with `curation_span_grams` (the
   *                        distinct window-gram set) as the bookkeeping
   *                        table incremental catch-ups verdict against
+  *                        and `curation_span_bloom` as its megabyte
+  *                        sidecar (definitely-new grams skip the exact
+  *                        keeper probe — the segment-bloom pattern)
   *   3. curated_packing   sequence-packing index over the TRIMMED kept
   *                        set (c05) — packs only tokens a training run
   *                        would actually see
@@ -111,16 +114,37 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .parquet(targetPath("curation_segment_bloom"))
   }
 
+  /** Bloom sidecar over the distinct span-gram table — the span-trim
+    * analog of [[rebuildSegmentBloom]]: lets incremental trims answer
+    * "definitely never seen" for the bulk of a fresh batch's grams
+    * in-row (no keeper-table scan at all when nothing collides; FP rate
+    * degrades gracefully past the filter's ~800k-key design point but
+    * never loses the no-false-negative guarantee — positives just pay
+    * the exact join they would have paid without the sidecar). */
+  private def rebuildSpanGramBloom(): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(targetPath("curation_span_grams"))
+      .agg(org.apache.spark.sql.functions.expr("bloom_agg(g)").as("bloom"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_span_bloom"))
+  }
+
   /** A leftover `.tmp` dir means a prior incremental crashed between the
     * tmp write and the final sidecar rewrite — the sidecar may be STALE
-    * relative to already-appended `curation_segments` keepers (a stale
-    * sidecar loses the no-false-negative guarantee). Rebuild it from the
-    * keeper table (the source of truth), then clear the marker. */
-  private def recoverInterruptedBloomSwap(): Unit =
+    * relative to already-appended keepers (a stale sidecar loses the
+    * no-false-negative guarantee). Rebuild it from its keeper table
+    * (the source of truth), then clear the marker — independently for
+    * the segment and span-gram sidecars. */
+  private def recoverInterruptedBloomSwap(): Unit = {
     if (pathExists(targetPath("curation_segment_bloom.tmp"))) {
       rebuildSegmentBloom()
       deletePath(targetPath("curation_segment_bloom.tmp"))
     }
+    if (pathExists(targetPath("curation_span_bloom.tmp"))) {
+      rebuildSpanGramBloom()
+      deletePath(targetPath("curation_span_bloom.tmp"))
+    }
+  }
 
   private def report(): CurationPipeline.Report = {
     val funnel = spark.read.parquet(targetPath("curation_funnel"))
@@ -207,6 +231,8 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     DedupModels.spanGramsOf(curatedDocs).select($"g").distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("curation_span_grams"))
+    rebuildSpanGramBloom()
+    deletePath(targetPath("curation_span_bloom.tmp"))
     // --- 3. packing index over the TRIMMED curated set (offsets are
     // positions in the cleaned training stream, not the raw snapshot),
     // partitioned by the stream key so incremental runs can overwrite
@@ -386,27 +412,61 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       // funnel verdicts) or if it repeats within this batch beyond the
       // batch's first occurrence; removalPositionsOf encodes exactly
       // that, so appended trims ≡ full-rebuild trims (spec-pinned).
-      // The known-gram probe streams the corpus-sized gram table once
-      // against the BROADCAST batch gram set — no shuffle of the big
-      // side; the intersection (≤ batch grams) then drives the removal
-      // semi-join. At 100 TB a bloom sidecar over the gram table would
-      // skip even that scan for definitely-new grams — the
-      // curation_segment_bloom pattern, applicable verbatim.
+      //
+      // The known-gram probe is two-tier, mirroring the segment stage:
+      // the megabyte BLOOM SIDECAR answers "definitely new" in-row (a
+      // constant-folded plan literal — no false negatives), so the
+      // exact semi-join against the CORPUS-sized gram table sees only
+      // the maybe-known slice, BROADCAST against the streamed keeper
+      // scan; when a fresh batch shares nothing with the corpus the
+      // maybe-known set is empty and AQE's empty-relation propagation
+      // eliminates the keeper scan outright. At 100 TB that is the
+      // difference between re-reading a multi-TB gram table every
+      // catch-up and reading nothing.
+      graft.functions.GraftFunctions.register(spark)
       val newKept = newDocs.join(keptNewIds, Seq("doc_id"), "left_semi")
       val newGrams = DedupModels.spanGramsOf(newKept)
+      val spanBloom = spark.read
+        .parquet(targetPath("curation_span_bloom"))
+        .head().getAs[Array[Byte]]("bloom")
       val newGramSet = newGrams.select($"g").distinct()
-      val knownG = spark.read.parquet(targetPath("curation_span_grams"))
-        .join(newGramSet.hint("broadcast"), Seq("g"), "left_semi")
-      DedupModels.trimmedCorpusFrame(newKept,
-        DedupModels.mergeRemovalSpans(
-          DedupModels.removalPositionsOf(newGrams, Some(knownG))))
-        .write.mode(SaveMode.Append)
-        .parquet(s"${targetPath("span_trimmed_corpus")}/documents.parquet")
-      // unseen batch grams join the bookkeeping table (both sides are
-      // batch-bounded: the anti-join runs against the small known slice)
-      newGramSet.join(knownG, Seq("g"), "left_anti")
-        .write.mode(SaveMode.Append)
-        .parquet(targetPath("curation_span_grams"))
+        .withColumn("maybe_known",
+          call_function("bloom_contains", lit(spanBloom), $"g"))
+        .persist()
+      try {
+        val knownG = spark.read.parquet(targetPath("curation_span_grams"))
+          .join(newGramSet.filter($"maybe_known").select($"g")
+            .hint("broadcast"), Seq("g"), "left_semi")
+        DedupModels.trimmedCorpusFrame(newKept,
+          DedupModels.mergeRemovalSpans(
+            DedupModels.removalPositionsOf(newGrams, Some(knownG))))
+          .write.mode(SaveMode.Append)
+          .parquet(s"${targetPath("span_trimmed_corpus")}/documents.parquet")
+        // unseen batch grams join the bookkeeping table: bloom-negative
+        // grams are PROVABLY unseen and skip the exact check; the
+        // maybe-known slice anti-joins the (small) confirmed set
+        val unseen = newGramSet.filter(!$"maybe_known").select($"g")
+          .unionByName(newGramSet.filter($"maybe_known").select($"g")
+            .join(knownG, Seq("g"), "left_anti"))
+          .persist()
+        try {
+          unseen.write.mode(SaveMode.Append)
+            .parquet(targetPath("curation_span_grams"))
+          // fold the unseen grams into the sidecar (reproducible
+          // bitsets: OR ≡ full rebuild), two-step tmp swap as for the
+          // segment sidecar — a leftover tmp marks an interrupted swap
+          spark.read.parquet(targetPath("curation_span_bloom"))
+            .select($"bloom")
+            .unionByName(unseen.agg(expr("bloom_agg(g)").as("bloom")))
+            .agg(expr("bloom_merge_agg(bloom)").as("bloom"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(targetPath("curation_span_bloom.tmp"))
+          spark.read.parquet(targetPath("curation_span_bloom.tmp"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(targetPath("curation_span_bloom"))
+          deletePath(targetPath("curation_span_bloom.tmp"))
+        } finally unseen.unpersist()
+      } finally newGramSet.unpersist()
 
       // --- 3. repack ONLY the (lang, shard) streams the new kept docs
       // touched; every other stream's rows are byte-identical (offsets

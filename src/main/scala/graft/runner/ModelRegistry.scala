@@ -388,6 +388,7 @@ object ModelRegistry {
     "curation_splits" -> Seq("curated_corpus"),
     "span_trimmed_corpus" -> Seq("curated_corpus"),
     "curation_span_grams" -> Seq("curated_corpus"),
+    "curation_span_bloom" -> Seq("curation_span_grams"),
     "curated_packing" -> Seq("span_trimmed_corpus"),
     "train_split_packing" -> Seq("span_trimmed_corpus", "curation_splits"),
     "segment_stats" -> Seq("documents"),

@@ -107,13 +107,14 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(trimmed(504L) == "and then some",
       "the duplicated prefix must be trimmed from the later copy")
 
-    // the bloom sidecar an incremental run unions up is byte-identical
+    // each bloom sidecar an incremental run unions up is byte-identical
     // to the one a full rebuild writes (reproducible bitsets)
-    def bloomMd5(wh: String): String = spark.read
-      .parquet(s"$wh/curation_segment_bloom")
+    def bloomMd5(wh: String, table: String): String = spark.read
+      .parquet(s"$wh/$table")
       .select(md5($"bloom")).as[String].head()
-    assert(bloomMd5(whInc) == bloomMd5(whFull),
-      "incremental bloom sidecar diverged from the full rebuild's")
+    for (t <- Seq("curation_segment_bloom", "curation_span_bloom"))
+      assert(bloomMd5(whInc, t) == bloomMd5(whFull, t),
+        s"incremental $t sidecar diverged from the full rebuild's")
 
     // segment stage: the exact-duplicate append (doc 500 copies doc 3's
     // text, so every segment hash is already held by a snapshot keeper)
@@ -178,6 +179,14 @@ class CurationPipelineSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$wh/curation_segment_bloom")
     Seq("marker").toDF("x")
       .write.parquet(s"$wh/curation_segment_bloom.tmp")
+    // same crash simulated for the span-gram sidecar: a stale filter
+    // would read every known window gram as definitely-new and the
+    // duplicate doc's spans would wrongly survive the trim
+    Seq("bogus").toDF("x")
+      .agg(org.apache.spark.sql.functions.expr("bloom_agg(x)").as("bloom"))
+      .write.mode("overwrite").parquet(s"$wh/curation_span_bloom")
+    Seq("marker").toDF("x")
+      .write.parquet(s"$wh/curation_span_bloom.tmp")
 
     val rInc = pipe.runIncremental(unionDir)
     // recovery must have rebuilt the sidecar from curation_segments
@@ -191,16 +200,19 @@ class CurationPipelineSpec extends AnyFunSuite {
       df.select(df.columns.sorted.map(c => col(c).cast("string")): _*)
         .collect().map(_.mkString("|")).sorted.toSeq
     }
-    for (t <- Seq("segment_stats", "curation_segments"))
+    for (t <- Seq("segment_stats", "curation_segments",
+        "span_trimmed_corpus/documents.parquet", "curation_span_grams"))
       assert(rows(s"$wh/$t") == rows(s"$whFull/$t"), t)
-    // the marker is cleared and the sidecar matches a full rebuild's
-    val hadoopTmp = new org.apache.hadoop.fs.Path(
-      s"$wh/curation_segment_bloom.tmp")
-    assert(!hadoopTmp.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(hadoopTmp))
-    def bloomMd5(dir: String): String = spark.read
-      .parquet(s"$dir/curation_segment_bloom")
+    // the markers are cleared and each sidecar matches a full rebuild's
+    for (tmp <- Seq("curation_segment_bloom.tmp", "curation_span_bloom.tmp")) {
+      val hadoopTmp = new org.apache.hadoop.fs.Path(s"$wh/$tmp")
+      assert(!hadoopTmp.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(hadoopTmp), tmp)
+    }
+    def bloomMd5(dir: String, table: String): String = spark.read
+      .parquet(s"$dir/$table")
       .select(md5($"bloom")).as[String].head()
-    assert(bloomMd5(wh) == bloomMd5(whFull))
+    for (t <- Seq("curation_segment_bloom", "curation_span_bloom"))
+      assert(bloomMd5(wh, t) == bloomMd5(whFull, t), t)
   }
 }
