@@ -562,6 +562,23 @@ object DedupModels {
         .as(Seq("i", "g")))
   }
 
+  /** In-row window-gram structs `(i, g)` over a token array — the
+    * STREAMING span-trim twin builds its grams without an
+    * explode-then-window shape (everything per-doc happens inside the
+    * row). Docs shorter than [[SpanL]] yield one `(0, null)` sentinel
+    * so they flow through joins without producing removals. */
+  private[graft] def spanGramArr(ts: Column): Column =
+    when(size(ts) >= SpanL,
+      transform(sequence(lit(0), size(ts) - SpanL),
+        j => struct(j.as("i"),
+          md5(concat_ws(" ", slice(ts, j + 1, lit(SpanL)))).as("g"))))
+      .otherwise(array(struct(lit(0).as("i"),
+        lit(null).cast(StringType).as("g"))))
+
+  /** The shared text normalization, exposed for the streaming twin
+    * (one tokenizer across dedup / curation / streaming). */
+  private[graft] def normTokens(c: Column): Column = tokens(c)
+
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
