@@ -94,12 +94,19 @@ class CurationSpec extends AnyFunSuite {
     // doc 3 sits wholly in seq 1 → not split;
     // then 150 + 120: [356,506) spans seqs 1..1? 506/256 → first=1 last=1 no;
     // add 20-token doc at [506,526): first=1, last=2? 525 div 256 = 2 → split
+    //
+    // Geometry is pinned on packSequencesFrom — the RAW packer every
+    // surface composes. (The published c05 query trims first, and a
+    // fixture of identical repeated tokens is exactly what a span
+    // trimmer eats; trim semantics have their own specs — d11 /
+    // CurationPipelineSpec.)
     val sizes = Seq(200, 56, 100, 150, 20)
-    def doc(n: Int) = (1 to n).map(_ => "x").mkString(" ")
-    val dir = docsDir(sizes.zipWithIndex.map { case (n, i) =>
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
       (i.toLong, doc(n), "en", "s")
-    })
-    val out = CurationModels.packSequences(spark, dir)
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val out = CurationModels.packSequencesFrom(docs)
       .orderBy($"doc_id")
       .select($"start_offset", $"n_tokens", $"first_seq", $"last_seq",
         $"boundary_split")
@@ -208,11 +215,15 @@ class CurationSpec extends AnyFunSuite {
 
   test("c05: streams pack independently per (lang, shard)") {
     // same doc sizes in two languages: offsets restart per stream
-    def doc(n: Int) = (1 to n).map(_ => "x").mkString(" ")
-    val dir = docsDir(Seq(
-      (1L, doc(10), "en", "s"), (2L, doc(10), "en", "s"),
-      (3L, doc(10), "zh", "s"), (4L, doc(10), "zh", "s")))
-    val out = CurationModels.packSequences(spark, dir)
+    // (raw packer, same rationale as the geometry test above; per-doc
+    // token vocabularies are disjoint so nothing could trim anyway)
+    def doc(id: Long, n: Int) = (1 to n).map(i => s"d${id}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(1, 10), "en", "s"), (2L, doc(2, 10), "en", "s"),
+      (3L, doc(3, 10), "zh", "s"), (4L, doc(4, 10), "zh", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val out = CurationModels.packSequencesFrom(docs)
       .select($"lang", $"doc_id", $"start_offset")
       .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(out == Seq(("en", 1L, 0L), ("en", 2L, 10L),

@@ -32,7 +32,8 @@ class PqAnnSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@5 = $recall")
   }
 
-  test("the code table is 8 codes per vector, each a valid centroid id") {
+  test("the code table is PqM codes per vector, each a valid centroid id") {
+    import SimilarityModels.{PqK, PqM, PqSub}
     val emb = graft.catalog.Tables.embeddings(spark, sfDir)
     val n = emb.count()
     // re-derive the code table exactly as the model does (subspace
@@ -40,9 +41,10 @@ class PqAnnSpec extends AnyFunSuite {
     // helpers, and pin its shape invariants
     import org.apache.spark.sql.functions._
     val subs = SimilarityModels.doubledEmb(emb)
-      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"), $"v")
+      .select($"vec_id",
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), $"v")
       .select($"vec_id", $"m",
-        slice($"v", $"m" * 8 + 1, lit(8)).as("sub"))
+        slice($"v", $"m" * PqSub + 1, lit(PqSub)).as("sub"))
     val cents = SimilarityModels.pqCodebook(subs)
     val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -54,15 +56,15 @@ class PqAnnSpec extends AnyFunSuite {
           .partitionBy($"vec_id", $"m").orderBy(round($"d2", 6), $"cid")))
       .filter($"rk" === 1)
       .select($"vec_id", $"m", $"cid".as("code"), $"d2")
-    assert(codes.count() === n * 8)
-    val badCodes = codes.filter($"code" < 0 || $"code" > 15).count()
+    assert(codes.count() === n * PqM)
+    val badCodes = codes.filter($"code" < 0 || $"code" > PqK - 1).count()
     assert(badCodes === 0)
-    // the codebook is the promised 8 subspaces × 16 centroids
-    assert(cents.count() === 128)
+    // the codebook is the promised PqM subspaces × PqK centroids
+    assert(cents.count() === PqM.toLong * PqK)
 
     // Lloyd's defining property: the trained codebook's quantization
     // error must beat the deterministic seeds it started from
-    val seeds = subs.filter($"vec_id" < 16)
+    val seeds = subs.filter($"vec_id" < PqK)
       .select($"m", $"vec_id".as("cid"), $"sub".as("cent"))
     def sse(book: org.apache.spark.sql.DataFrame): Double =
       subs.join(broadcast(book), Seq("m"))
