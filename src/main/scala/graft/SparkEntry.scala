@@ -118,6 +118,7 @@ object SparkEntry {
     "s05_pq_ann_topk" -> (SimilarityModels.pqAnnTopK _),
     "s06_ivfpq_ann_topk" -> (SimilarityModels.ivfPqAnnTopK _),
     "s07_ivfpq_refined_topk" -> (SimilarityModels.ivfPqRefinedTopK _),
+    "s08_hard_negatives" -> (SimilarityModels.hardNegativeMining _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -213,6 +214,7 @@ object SparkEntry {
     "s05_pq_ann_topk" -> Seq("pq_sim"),
     "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
     "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
+    "s08_hard_negatives" -> Seq("neg_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "d09_semantic_dedup" -> Seq("max_pair_sim"),
     "c11_semantic_decontam" -> Seq("max_eval_sim"),
@@ -307,6 +309,7 @@ object SparkEntry {
     "s05_pq_ann_topk" -> SimilarityModels.pqAnnTopKOracle,
     "s06_ivfpq_ann_topk" -> SimilarityModels.ivfPqAnnTopKOracle,
     "s07_ivfpq_refined_topk" -> SimilarityModels.ivfPqRefinedTopKOracle,
+    "s08_hard_negatives" -> SimilarityModels.hardNegativeMiningOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,

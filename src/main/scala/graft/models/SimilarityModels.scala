@@ -892,6 +892,101 @@ object SimilarityModels {
         |FROM final
         |QUALIFY sim_rank <= 5""".stripMargin
 
+  /** s08: HARD-NEGATIVE MINING (beyond-reference) — contrastive
+    * training-pair generation, the selection step a
+    * contrastive/embedding training build runs over its corpus (e.g.
+    * DPR, Karpukhin et al. 2020 §3.2: the best negatives are the most
+    * SIMILAR examples with a different label): for every anchor
+    * vector, the top-3 most-cosine-similar vectors carrying a
+    * DIFFERENT label inside the anchor's own IVF cell.
+    *
+    * This is the ANN index pointed at pair MINING instead of serving:
+    * candidates come from the trained coarse quantizer's cells (the
+    * same materialized `ivf_cents`/`ivf_top2` tables s03/d09/c11
+    * read), so the compare space is Σ|cell|² — corpus-quadratic never
+    * happens, and raising the cell count tightens the bound the same
+    * way it does for search. Label filtering happens INSIDE the
+    * cell join (no all-pairs label compare), ranking is s03's rounded
+    * cosine with id tie-breaks, and every anchor is mined in one pass
+    * (this is a corpus-wide build step, not a 10-query probe).
+    *
+    * Scale: one cell-keyed self-join of the assignment table + a
+    * per-anchor keyed window (≤|cell| rows per partition). At 100 TB
+    * the assignment table is the materialized IVF index, the label
+    * column rides it, and mining cost is the index's Σ|cell|² — the
+    * bound SemDeDup (d09) already operates under.
+    */
+  def hardNegativeMining(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = doubledEmb(emb)
+    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+      cellTop2(base, cents)
+    }
+    val assigned = top2.filter($"crk" === 1)
+      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
+      .select($"vec_id", $"v", $"norm", $"cid".as("cell"), $"label")
+    val anchors = assigned.select($"vec_id".as("anchor_id"),
+      $"v".as("a_v"), $"norm".as("a_norm"), $"cell",
+      $"label".as("anchor_label"))
+    val negs = assigned.select($"vec_id".as("neg_id"),
+      $"v".as("n_v"), $"norm".as("n_norm"), $"cell",
+      $"label".as("neg_label"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"neg_sim".desc, $"neg_id")
+    anchors.join(negs, Seq("cell"))
+      .filter($"anchor_label" =!= $"neg_label")
+      .withColumn("neg_sim",
+        round(dotArr($"a_v", $"n_v") / ($"a_norm" * $"n_norm"), 6)
+          .cast(DecimalType(24, 6)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"anchor_id", $"anchor_label", $"neg_id", $"neg_label",
+        $"cell", $"neg_sim", $"rk".cast(LongType).as("neg_rank"))
+  }
+
+  val hardNegativeMiningOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+    val head =
+      s"""WITH base AS (SELECT vec_id, label,
+         |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         |              FROM embeddings),
+         |bn AS (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) AS norm
+         |       FROM base),
+         |km_train AS (SELECT 0 AS grp, vec_id AS id, v FROM base
+         |             WHERE vec_id < $AnnTrainCap),
+         |""".stripMargin
+    val tail =
+      s"""cents AS (SELECT cid, cv, cnorm FROM km_cents),
+         |ranked AS (
+         |  SELECT b.vec_id, b.label, b.v, b.norm, c.cid,
+         |         row_number() OVER (PARTITION BY b.vec_id
+         |           ORDER BY round(${dot("b.v", "c.cv")} / (b.norm * c.cnorm), 6) DESC,
+         |                    c.cid) AS crk
+         |  FROM bn b CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, label, v, norm, cid AS cell
+         |        FROM ranked WHERE crk = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         |         b.vec_id AS neg_id, b.label AS neg_label, a.cell,
+         |         cast(round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6)
+         |              AS DECIMAL(24,6)) AS neg_sim
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.label <> b.label)
+         |SELECT anchor_id, anchor_label, neg_id, neg_label, cell, neg_sim,
+         |       cast(row_number() OVER (PARTITION BY anchor_id
+         |              ORDER BY neg_sim DESC, neg_id) AS BIGINT) AS neg_rank
+         |FROM pairs
+         |QUALIFY neg_rank <= 3""".stripMargin
+    head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64,
+      cosine = true) + tail
+  }
+
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */
