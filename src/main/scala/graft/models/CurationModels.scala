@@ -385,7 +385,10 @@ object CurationModels {
     * packing consumer (c05/c08/c12) reads the same parquet. */
   private def trimmedDocs(spark: SparkSession, sfDir: String): DataFrame =
     Shared.materialized("span_trimmed_docs", spark, sfDir) {
-      DedupModels.spanTrimmedFrom(Tables.documents(spark, sfDir))
+      // builds from the session-materialized span-gram stream (shared
+      // with d10/d11) — the corpus explode runs once per session and
+      // nothing token-grain is ever executor-cached
+      DedupModels.spanTrimmed(spark, sfDir)
     }
 
   /** Frame-parameterized variant — incremental packing re-runs this

@@ -441,6 +441,21 @@ object DedupModels {
         md5(concat_ws(" ", $"seg")).as("seg_hash"))
   }
 
+  /** The segment stream materialized to session-temp parquet — NOT an
+    * executor cache. The stream is corpus-TOKEN-grain (one row per
+    * 10-token segment), so `.cache()` would pin several times the
+    * corpus in block-manager memory/disk per executor at warehouse
+    * scale; a zstd parquet round-trip costs one extra scan's worth of
+    * IO instead and both consumers (the first-occurrence aggregate and
+    * the probe side of [[markFirstOccurrence]]) read the compact
+    * columnar copy. The warehouse analog is the pipeline's
+    * `curation_segments` table. */
+  private[graft] def segmentStream(
+      spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("segment_stream", spark, sfDir) {
+      segmentsOf(Tables.documents(spark, sfDir))
+    }
+
   /** Per-doc rollup of an occurrence-marked segment frame (`dup` =
     * this copy of the segment drops). */
   private[graft] def segmentStatsOf(marked: DataFrame): DataFrame = {
@@ -465,18 +480,21 @@ object DedupModels {
     * `min(struct(doc_id, g))` aggregate is algebraic — map-side combine
     * reduces each hot hash to one row per map task before the shuffle —
     * and the join back is a plain seg_hash equi-join, where AQE's
-    * skew-join split absorbs a hot probe side. `cacheOnce` keeps the
-    * corpus scan + segment explode single-pass across the aggregate and
-    * probe branches (at warehouse scale this frame is the materialized
-    * segment table — `CurationPipeline` persists it explicitly).
+    * skew-join split absorbs a hot probe side. Both branches consume
+    * `segs` as-is — NO executor cache here (the stream is corpus-token
+    * grain; pinning it in block-manager memory would hold several
+    * corpus-sizes per session at warehouse scale). The sfDir entry
+    * point feeds the parquet-materialized [[segmentStream]] so the
+    * explode+md5 runs once; frame-parameterized callers (specs, the
+    * pipeline's batch-grain incremental leg) pay a second scan of
+    * their — batch-sized or already-persisted — input instead.
     * SkewBench measures the two shapes head-to-head on a hot-key
     * fixture (`skew_bench.json`). */
   private[graft] def markFirstOccurrence(segs: DataFrame): DataFrame = {
     import segs.sparkSession.implicits._
-    val segsOnce = Shared.cacheOnce(segs)
-    val firsts = segsOnce.groupBy($"seg_hash")
+    val firsts = segs.groupBy($"seg_hash")
       .agg(min(struct($"doc_id", $"g")).as("first_occ"))
-    segsOnce.join(firsts, Seq("seg_hash"))
+    segs.join(firsts, Seq("seg_hash"))
       .withColumn("dup", struct($"doc_id", $"g") =!= $"first_occ")
       .drop("first_occ")
   }
@@ -485,7 +503,7 @@ object DedupModels {
     segmentStatsOf(markFirstOccurrence(segmentsOf(docs)))
 
   def segmentDedup(spark: SparkSession, sfDir: String): DataFrame =
-    segmentDedupFrom(Tables.documents(spark, sfDir))
+    segmentStatsOf(markFirstOccurrence(segmentStream(spark, sfDir)))
 
   val segmentDedupOracle: String =
     s"""WITH docs AS (SELECT doc_id, string_split($normSqlDuck, ' ') AS toks
@@ -562,6 +580,21 @@ object DedupModels {
         .as(Seq("i", "g")))
   }
 
+  /** The sliding window-gram stream materialized to session-temp
+    * parquet — shared by d10 (span detection) and d11 (span trim), so
+    * the one corpus scan + SpanL-dense md5 explode runs ONCE per
+    * session and every consumer (per-gram stats, the position probe,
+    * both queries) reads the compact columnar copy. Parquet, not
+    * `.cache()`: the stream is corpus-TOKEN grain (~n_tokens rows), so
+    * an executor cache would pin several corpus-sizes of block-manager
+    * state; the warehouse analog is the pipeline's
+    * `curation_span_grams` bookkeeping table. */
+  private[graft] def spanGramStream(
+      spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("span_gram_stream", spark, sfDir) {
+      spanGramsOf(Tables.documents(spark, sfDir))
+    }
+
   /** In-row window-gram structs `(i, g)` over a token array — the
     * STREAMING span-trim twin builds its grams without an
     * explode-then-window shape (everything per-doc happens inside the
@@ -582,25 +615,25 @@ object DedupModels {
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val grams = spanGramsOf(Tables.documents(spark, sfDir))
     // skew-safe dup-gram detection (NOT `count().over(partitionBy(g))`:
     // WindowExec has no partial aggregation, so a boilerplate 10-gram
     // with 10⁹ corpus occurrences — license headers, cookie banners —
     // would sort every occurrence on ONE task). The groupBy count
     // combines map-side (each hot gram collapses to one row per map
     // task before the shuffle), and the semi-join probe is a plain
-    // equi-join AQE's skew split can subdivide. `cacheOnce` keeps the
-    // corpus scan + gram explode single-pass across the count and probe
-    // branches (the agg and probe subplans differ, so exchange reuse
-    // alone would re-scan + re-md5). SkewBench pits both shapes against
-    // a hot-key fixture (`skew_bench.json`).
-    val gramsOnce = Shared.cacheOnce(grams)
-    val dupg = gramsOnce.groupBy($"g")
+    // equi-join AQE's skew split can subdivide. [[spanGramStream]]
+    // (session-temp parquet, shared with d11) keeps the corpus scan +
+    // gram explode single-pass across the count and probe branches
+    // without executor-cache state (the agg and probe subplans differ,
+    // so exchange reuse alone would re-scan + re-md5). SkewBench pits
+    // both shapes against a hot-key fixture (`skew_bench.json`).
+    val grams = spanGramStream(spark, sfDir)
+    val dupg = grams.groupBy($"g")
       .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2)
       .select($"g")
     val w = Window.partitionBy($"doc_id").orderBy($"i")
-    val hits = gramsOnce
+    val hits = grams
       .join(dupg, Seq("g"), "left_semi")
       .withColumn("prev", lag($"i", 1).over(w))
       .withColumn("newi",
@@ -688,17 +721,21 @@ object DedupModels {
     * Skew shape: same discipline as d08/d10 this round — the per-gram
     * stats are ALGEBRAIC aggregates (count + min(struct), map-side
     * combined), never a content-hash window; the join back is a plain
-    * equi-join AQE's skew split can subdivide.
+    * equi-join AQE's skew split can subdivide. The stream is consumed
+    * by two (with `knownGrams`, three) branches but NEVER executor-
+    * cached here — it is corpus-token grain; corpus-scale callers pass
+    * the parquet-materialized [[spanGramStream]] and batch-scale
+    * callers (the pipeline's incremental leg) derive it from an
+    * already-persisted batch frame.
     */
   private[graft] def removalPositionsOf(
       grams: DataFrame,
       knownGrams: Option[DataFrame] = None): DataFrame = {
     import grams.sparkSession.implicits._
-    val gramsOnce = Shared.cacheOnce(grams)
-    val stats = gramsOnce.groupBy($"g")
+    val stats = grams.groupBy($"g")
       .agg(count(lit(1)).as("cnt"),
         min(struct($"doc_id", $"i")).as("fo"))
-    val batchRemoved = gramsOnce.join(stats, Seq("g"))
+    val batchRemoved = grams.join(stats, Seq("g"))
       .filter($"cnt" >= 2 && struct($"doc_id", $"i") =!= $"fo")
       .select($"doc_id", $"i")
     knownGrams match {
@@ -706,7 +743,7 @@ object DedupModels {
       case Some(kg) =>
         // occurrences of historically-known grams are non-first by
         // construction (their first holder has a smaller doc_id)
-        val knownRemoved = gramsOnce
+        val knownRemoved = grams
           .join(kg.select($"g"), Seq("g"), "left_semi")
           .select($"doc_id", $"i")
         batchRemoved.unionByName(knownRemoved).distinct()
@@ -766,6 +803,15 @@ object DedupModels {
     trimmedCorpusFrame(docs,
       mergeRemovalSpans(removalPositionsOf(spanGramsOf(docs))))
 
+  /** sfDir entry point of the trim: the gram stream comes from the
+    * session-materialized [[spanGramStream]] parquet (shared with
+    * d10/d11), so repeated trim consumers never re-explode the corpus
+    * and nothing corpus-token-grain is executor-cached. */
+  private[graft] def spanTrimmed(
+      spark: SparkSession, sfDir: String): DataFrame =
+    trimmedCorpusFrame(Tables.documents(spark, sfDir),
+      mergeRemovalSpans(removalPositionsOf(spanGramStream(spark, sfDir))))
+
   /** The documents-schema tail of the trim, parameterized on the span
     * set — the incremental pipeline leg feeds spans computed against
     * the HISTORICAL gram table here (see
@@ -787,7 +833,7 @@ object DedupModels {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     trimFrame(docs,
-      mergeRemovalSpans(removalPositionsOf(spanGramsOf(docs))))
+      mergeRemovalSpans(removalPositionsOf(spanGramStream(spark, sfDir))))
       .select($"doc_id", $"lang",
         size($"ts").cast(LongType).as("n_tokens"),
         size($"kept").cast(LongType).as("kept_tokens"),

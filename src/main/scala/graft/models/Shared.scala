@@ -39,6 +39,20 @@ object Shared {
     out.toSeq
   }
 
+  // build-scoped caches: frames a builder caches for multi-branch
+  // reuse WITHIN its one materializing action. Once the outermost
+  // materialized() write lands, every consumer reads parquet, so the
+  // cache is dead weight — holding it would accumulate block-manager
+  // state across a whole session of builds (the 100×-scale hazard: an
+  // executor cache several corpus-sizes deep). Thread-local because a
+  // build runs on the caller's thread and builders nest (a builder may
+  // invoke another materialized model); only the OUTERMOST frame
+  // drains, so caches registered before a nested build survive it.
+  private val buildDepth = ThreadLocal.withInitial[Integer](() => 0)
+  private val buildCaches =
+    ThreadLocal.withInitial(() =>
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+
   /** Build-once-per-(session, sfDir) materialized view of `build`. */
   def materialized(name: String, spark: SparkSession, sfDir: String)(
       build: => DataFrame): DataFrame =
@@ -46,7 +60,15 @@ object Shared {
       (System.identityHashCode(spark), sfDir, name), {
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft-shared-$name-").toString
-        build.write.mode("overwrite").parquet(dir)
+        buildDepth.set(buildDepth.get + 1)
+        try build.write.mode("overwrite").parquet(dir)
+        finally {
+          buildDepth.set(buildDepth.get - 1)
+          if (buildDepth.get == 0) {
+            buildCaches.get.foreach(_.unpersist(blocking = false))
+            buildCaches.get.clear()
+          }
+        }
         builtLog.add(name)
         spark.read.parquet(dir)
       })
@@ -57,8 +79,14 @@ object Shared {
     * while registering nothing new. `Dataset.storageLevel` does the
     * same plan-equality lookup the CacheManager uses, so skipping the
     * call when a level is already set is behavior-identical minus the
-    * noise. */
+    * noise. Caches taken inside a [[materialized]] build are released
+    * when the outermost build's parquet lands (see `buildCaches`);
+    * outside a build the cache lives for the session as before. */
   private[graft] def cacheOnce(df: DataFrame): DataFrame =
     if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-    else df.cache()
+    else {
+      val cached = df.cache()
+      if (buildDepth.get > 0) buildCaches.get += cached
+      cached
+    }
 }

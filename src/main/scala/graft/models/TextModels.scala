@@ -786,7 +786,17 @@ object TextModels {
           cur = next
       }
     }
-    (merges.toSeq, cur)
+    // land the final segmentation to session-temp parquet and drop the
+    // loop's cache: the frame is memoized for the whole session (t13's
+    // tokenizer, c13's budget counts read it), and steady-state query
+    // plans must read columnar storage, not executor block-manager
+    // state (PlanAuditSpec's InMemoryRelation sweep). The loop-internal
+    // caches above are round-scoped and unpersisted as they roll.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-segmented-").toString
+    cur.write.mode("overwrite").parquet(dir)
+    cur.unpersist(blocking = false)
+    (merges.toSeq, spark.read.parquet(dir))
   }
 
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {

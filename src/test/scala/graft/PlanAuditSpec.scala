@@ -132,6 +132,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no steady-state query plan holds executor-cached (InMemoryRelation) state") {
+    // the round-11 lesson (d08/d10/d11's gram/segment cacheOnce): an
+    // executor cache over a corpus-TOKEN-grain stream pins several
+    // corpus-sizes of block-manager memory/disk per session — eviction
+    // thrash or recompute storms at 100 TB. Shared intermediates go
+    // through Shared.materialized (session-temp parquet) instead, so no
+    // published query's plan may reference an InMemoryRelation. One
+    // documented exception: q46 caches its (type, hour) AGGREGATE —
+    // output-grain by construction — for the spine + fill branches of a
+    // single action.
+    val allowed = Set("q46_hourly_gapfill")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed(name) =>
+        val exec = fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (exec.contains("InMemoryTableScan") ||
+          exec.contains("TableCacheQueryStage"))
+          Seq(s"$name: plan reads executor-cached state")
+        else Nil
+      case _ => Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   import org.apache.spark.sql.execution.ExplainMode
   private def formatted(name: String): String =
     SparkEntry.queries(name)(spark, sfDir)
