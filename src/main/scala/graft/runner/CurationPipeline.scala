@@ -101,6 +101,15 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
   private def pathExists(p: String): Boolean = {
     val (path, fs) = hadoopPath(p); fs.exists(path)
   }
+  /** Create an empty in-progress marker dir (idempotent). Laid down
+    * BEFORE a keeper-table append begins, so a crash anywhere in the
+    * append+fold+swap sequence leaves the marker and
+    * [[recoverInterruptedBloomSwap]] rebuilds the sidecar from the
+    * keeper table — the marker's presence, not its content, is the
+    * signal (recovery never reads it; the later fold overwrites it). */
+  private def touchMarker(p: String): Unit = {
+    val (path, fs) = hadoopPath(p); fs.mkdirs(path); ()
+  }
 
   /** Rebuild the bloom sidecar from the keeper table (used by [[run]]
     * and by interrupted-swap recovery — bitsets are reproducible, so a
@@ -144,6 +153,56 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       rebuildSpanGramBloom()
       deletePath(targetPath("curation_span_bloom.tmp"))
     }
+  }
+
+  /** The span-trim stage tables built from the CURRENT curated corpus:
+    * the trimmed corpus, the distinct window-gram bookkeeping table,
+    * and its bloom sidecar. Shared by a full [[run]] (step 2c) and the
+    * pre-span-warehouse bootstrap in [[runIncremental]]. The gram
+    * stream is consumed by three branches (trim stats, trim probe,
+    * distinct-gram set) — three pushed-down scans of the curated
+    * parquet, never an executor cache (corpus-token grain). */
+  private def buildSpanTables(): Unit = {
+    val curatedDocs = Tables.documents(spark, targetPath("curated_corpus"))
+    DedupModels.spanTrimmedFrom(curatedDocs)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${targetPath("span_trimmed_corpus")}/documents.parquet")
+    DedupModels.spanGramsOf(curatedDocs).select($"g").distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(targetPath("curation_span_grams"))
+    rebuildSpanGramBloom()
+    deletePath(targetPath("curation_span_bloom.tmp"))
+  }
+
+  /** Packing index (step 3) + train-split sampler (step 3b) over the
+    * TRIMMED corpus — offsets are positions in the cleaned training
+    * stream, not the raw snapshot. packSequencesFrom (not
+    * packSequences, which composes its own trim): the trim is already
+    * materialized and trimming is NOT idempotent in general (removing
+    * a span can make previously-separated tokens adjacent). The
+    * rebalance hint clusters by the partition key before the
+    * partitioned write (same rationale as IncrementalRunner
+    * .rebalanced): without it every task writes a file into every
+    * (lang, shard) dir it touches — tasks×streams tiny files at corpus
+    * scale. The train sampler packs ONLY train-labeled docs (semi-join
+    * against curation_splits), so val/test text can never enter the
+    * packed training stream; offsets re-base over the train stream,
+    * which is why it is a distinct table, not a filter of
+    * curated_packing. */
+  private def packTrimmedCorpus(): Unit = {
+    CurationModels.packSequencesFrom(
+      Tables.documents(spark, targetPath("span_trimmed_corpus")))
+      .hint("rebalance", "lang", "shard")
+      .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
+      .parquet(targetPath("curated_packing"))
+    val trainIds = spark.read.parquet(targetPath("curation_splits"))
+      .filter($"split" === "train").select($"doc_id")
+    CurationModels.packSequencesFrom(
+      Tables.documents(spark, targetPath("span_trimmed_corpus"))
+        .join(trainIds, Seq("doc_id"), "left_semi"))
+      .hint("rebalance", "lang", "shard")
+      .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
+      .parquet(targetPath("train_split_packing"))
   }
 
   private def report(): CurationPipeline.Report = {
@@ -224,45 +283,9 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // against (the span-grain analog of curation_segments: any new
     // occurrence of a known gram is non-first by the doc_id-watermark
     // argument, so old trimmed docs are immutable).
-    val curatedDocs = Tables.documents(spark, targetPath("curated_corpus"))
-    DedupModels.spanTrimmedFrom(curatedDocs)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"${targetPath("span_trimmed_corpus")}/documents.parquet")
-    DedupModels.spanGramsOf(curatedDocs).select($"g").distinct()
-      .write.mode(SaveMode.Overwrite)
-      .parquet(targetPath("curation_span_grams"))
-    rebuildSpanGramBloom()
-    deletePath(targetPath("curation_span_bloom.tmp"))
-    // --- 3. packing index over the TRIMMED curated set (offsets are
-    // positions in the cleaned training stream, not the raw snapshot),
-    // partitioned by the stream key so incremental runs can overwrite
-    // ONLY the streams they touch. packSequencesFrom (not
-    // packSequences, which composes its own trim) — the trim is
-    // already materialized and trimming is NOT idempotent in general
-    // (removing a span can make previously-separated tokens adjacent)
-    CurationModels.packSequencesFrom(
-      Tables.documents(spark, targetPath("span_trimmed_corpus")))
-      // cluster by the partition key before the partitioned write (same
-      // REBALANCE rationale as IncrementalRunner.rebalanced): without
-      // it every task writes a file into every (lang, shard) dir it
-      // touches — tasks×streams tiny files at corpus scale
-      .hint("rebalance", "lang", "shard")
-      .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
-      .parquet(targetPath("curated_packing"))
-    // --- 3b. the split labels' downstream SAMPLER: what feeds a
-    // training run packs ONLY train-labeled docs (semi-join against
-    // curation_splits), so val/test text can never enter the packed
-    // training stream — the labels are load-bearing in the DAG, not
-    // just materialized. Offsets re-base over the train stream, which
-    // is why this is a distinct table, not a filter of curated_packing.
-    val trainIds = spark.read.parquet(targetPath("curation_splits"))
-      .filter($"split" === "train").select($"doc_id")
-    CurationModels.packSequencesFrom(
-      Tables.documents(spark, targetPath("span_trimmed_corpus"))
-        .join(trainIds, Seq("doc_id"), "left_semi"))
-      .hint("rebalance", "lang", "shard")
-      .write.mode(SaveMode.Overwrite).partitionBy("lang", "shard")
-      .parquet(targetPath("train_split_packing"))
+    buildSpanTables()
+    // --- 3/3b. packing index + train sampler over the TRIMMED set
+    packTrimmedCorpus()
     // --- 4. sub-document segment stage (d08): per-doc retained-token
     // stats over the RAW snapshot, plus the bookkeeping table an
     // incremental run needs — the first-occurrence holder of every
@@ -294,6 +317,21 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // the session, so registration can't be assumed)
     graft.functions.GraftFunctions.register(spark)
     recoverInterruptedBloomSwap()
+    // MIGRATION: a warehouse built before the span-trim stage existed
+    // carries no span tables, and its packing tables were packed over
+    // the UNtrimmed curated corpus. Bootstrap the span stage from the
+    // already-curated corpus (old docs only at this point — nothing has
+    // been appended yet) and repack both packing tables over the
+    // trimmed corpus, exactly what a full run would have produced; the
+    // normal catch-up then applies. One-time cost proportional to the
+    // existing corpus — the alternative is a raw path-not-found
+    // AnalysisException mid-catch-up.
+    if (!pathExists(targetPath("curation_span_grams")) ||
+      !pathExists(targetPath("span_trimmed_corpus")) ||
+      !pathExists(targetPath("curation_span_bloom"))) {
+      buildSpanTables()
+      packTrimmedCorpus()
+    }
     val funnelOld = spark.read.parquet(targetPath("curation_funnel"))
     val wm = funnelOld.agg(org.apache.spark.sql.functions.max($"doc_id"))
       .head().getLong(0)
@@ -450,6 +488,12 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
             .join(knownG, Seq("g"), "left_anti"))
           .persist()
         try {
+          // marker BEFORE the keeper append: a crash between the append
+          // and the sidecar swap would otherwise leave a stale bloom
+          // with no recovery signal — later catch-ups would read the
+          // appended grams as definitely-new and duplicated spans would
+          // silently survive
+          touchMarker(targetPath("curation_span_bloom.tmp"))
           unseen.write.mode(SaveMode.Append)
             .parquet(targetPath("curation_span_grams"))
           // fold the unseen grams into the sidecar (reproducible
@@ -554,6 +598,10 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
           .write.mode(SaveMode.Append).parquet(targetPath("segment_stats"))
         val newKeepers = markedNew.filter(!$"dup")
           .select($"seg_hash", $"doc_id", $"g")
+        // marker BEFORE the keeper append (same ordering contract as the
+        // span sidecar): the whole append+fold+swap sequence is covered
+        // by recoverInterruptedBloomSwap
+        touchMarker(targetPath("curation_segment_bloom.tmp"))
         newKeepers.write.mode(SaveMode.Append)
           .parquet(targetPath("curation_segments"))
         // fold the new keepers into the sidecar: OR of reproducible

@@ -148,6 +148,62 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental over a pre-span-stage warehouse bootstraps the span tables first") {
+    // MIGRATION path: a warehouse built before the span-trim stage
+    // existed has no span tables and its packing tables were packed
+    // over the UNtrimmed curated corpus. runIncremental must bootstrap
+    // (build span tables from the existing curated corpus, repack over
+    // the trimmed corpus) and then catch up — ending identical to a
+    // full rebuild over the union, never an AnalysisException.
+    val snapDir = Files.createTempDirectory("graft-cur-m-snap").toString
+    val unionDir = Files.createTempDirectory("graft-cur-m-union").toString
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs0.write.parquet(s"$snapDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, snapDir)
+    val fresh = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen violet umbrellas drift quietly past the harbor wall"
+    val maxId = docs0.agg(max($"doc_id")).as[Long].head()
+    val newRows = Seq(
+      (maxId + 1, fresh, "fr", "src2"),
+      (maxId + 2, fresh + " and then some", "fr", "src5"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    docs0.unionByName(newRows).write.parquet(s"$unionDir/documents.parquet")
+    TestFixtures.embeddingsFor(spark, unionDir)
+
+    val wh = Files.createTempDirectory("graft-cur-m-wh").toString
+    val pipe = new CurationPipeline(spark, wh)
+    pipe.run(snapDir)
+    // devolve the warehouse to the pre-span vintage: drop the three
+    // span tables and overwrite both packing tables with legacy packs
+    // over the UNtrimmed curated corpus
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("span_trimmed_corpus", "curation_span_grams",
+        "curation_span_bloom"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$wh/$t"), true)
+    for (t <- Seq("curated_packing", "train_split_packing"))
+      graft.models.CurationModels.packSequencesFrom(
+        graft.catalog.Tables.documents(spark, s"$wh/curated_corpus"))
+        .write.mode("overwrite").partitionBy("lang", "shard")
+        .parquet(s"$wh/$t")
+
+    val rInc = pipe.runIncremental(unionDir)
+    val whFull = Files.createTempDirectory("graft-cur-m-full").toString
+    val rFull = new CurationPipeline(spark, whFull).run(unionDir)
+    assert(rInc == rFull)
+    for (t <- Seq("curation_funnel", "curated_corpus/documents.parquet",
+        "span_trimmed_corpus/documents.parquet", "curation_span_grams",
+        "curated_packing", "train_split_packing",
+        "segment_stats", "curation_segments"))
+      assert(tableRows(s"$wh/$t") == tableRows(s"$whFull/$t"), t)
+    def bloomMd5(dir: String, table: String): String = spark.read
+      .parquet(s"$dir/$table")
+      .select(md5($"bloom")).as[String].head()
+    assert(bloomMd5(wh, "curation_span_bloom")
+      == bloomMd5(whFull, "curation_span_bloom"))
+  }
+
   test("an interrupted bloom swap recovers before the next incremental (stale sidecar)") {
     graft.functions.GraftFunctions.register(spark)
     val snapDir = Files.createTempDirectory("graft-cur-r-snap").toString
