@@ -15,6 +15,19 @@ object Bench {
     spark.range(2000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // contention sentinel: the SAME fixed probe timed right after
+    // warmup and again after the last query. The plan never changes, so
+    // any drift between the two samples measures the BOX (shared-tenancy
+    // load), not the code — r10/r11 both carried 3-20x phantom
+    // regressions that were transient host contention; the sentinel
+    // pair lets a reader mechanically discount such runs.
+    def sentinelProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelStart = sentinelProbe()
     // dev aid: SPARK_GRAFT_ONLY=q27_x,q28_y restricts the run (the driver
     // doesn't set it, so driver benches always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -74,11 +87,14 @@ object Bench {
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val sentinelEnd = sentinelProbe()
+    val sentinelJson =
+      s"[${r3(sentinelStart)},${r3(sentinelEnd)}]"
     // the FULL artifact: per-query min + both samples + materialization
     // attribution, full float precision — written to bench_out.json and
     // the bench_runs/ archive
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"materialized":$mats,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"materialized":$mats,"errors":$errJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     // the STDOUT line must fit the driver's 2000-char tail capture.
     // Even the compact short-key map overflowed at 91 queries
     // (BENCH_r09 cut off mid-map at t05 → "parsed": null), so the
@@ -86,7 +102,7 @@ object Bench {
     // errors + a pointer to the full artifact. Per-query numbers live
     // in bench_out.json and the timestamped bench_runs/ archive.
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_run":${results.size},"errors":$errJson,"sf":"$sfDir","detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_run":${results.size},"errors":$errJson,"sentinel":$sentinelJson,"sf":"$sfDir","detail":"bench_out.json"}"""
     // hedge: also drop the metric in a file (cwd-relative: lands in the
     // repo root under `sbt runMain`), PLUS a timestamped archive copy
     // under bench_runs/ so a driver run's full per-query map survives
@@ -104,13 +120,13 @@ object Bench {
     }
     spark.stop()
     // the compact line is the FINAL stdout act — after spark.stop(), so
-    // no executor shutdown chatter can land after it, and mirrored to
-    // stderr for parsers that capture that stream instead. build.sbt
-    // sets `run / outputStrategy := StdoutOutput`, so the forked JVM's
+    // no executor shutdown chatter can land after it. build.sbt sets
+    // `run / outputStrategy := StdoutOutput`, so the forked JVM's
     // stdout reaches the driver bare (no sbt `[info] ` prefix); only
-    // sbt's own `[success]` trailer can follow this line.
+    // sbt's own `[success]` trailer can follow this line. Emitted ONCE
+    // (no stderr mirror): a tail capture that merges both streams
+    // would otherwise see the line twice.
     println(line)
-    System.err.println(line)
     // fail loudly: a regression that breaks a query must not look like a
     // (faster) successful bench
     if (errors.nonEmpty) sys.exit(1)
