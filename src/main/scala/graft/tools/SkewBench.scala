@@ -33,11 +33,14 @@ object SkewBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val hot = "ffffffffffffffffffffffffffffffff"
-    // `hotMod` of every `hotMod` rows share ONE hash; the rest are
-    // uniform. The two scales bracket the crossover: at 10⁶ hot copies
-    // a single-task sort is still cheap and the window's one-shuffle
-    // plan wins; at 10⁷ the hot task IS the wall-clock while the
-    // partial-agg shape stays flat — the 100 TB trend line.
+    // one of every `hotMod` rows shares ONE hash; the rest are
+    // uniform. Three scales (10⁶/1.2·10⁷/2.4·10⁷ hot copies): on a
+    // single box the window's one-shuffle plan stays ahead at every
+    // measured scale, but its RELATIVE lead shrinks monotonically as
+    // the hot key grows (the hot task scales with total copies, the
+    // partial-agg shape stays flat) — the trend line toward the
+    // cluster-scale crossover a local box can't exhibit directly
+    // (COVERAGE.md §skew reports the numbers and the argument).
     def segsOf(nSegs: Long, hotMod: Int) = spark.range(nSegs).select(
       ($"id" % 500000L).as("doc_id"),
       ($"id" / 500000L).cast("int").as("g"),
@@ -84,9 +87,10 @@ object SkewBench {
           Window.partitionBy($"seg_hash").orderBy($"doc_id", $"g")) > 1)
           .filter($"dup").count()
       }
-      // the agg shapes cache the stream — markFirstOccurrence/dupSpans
-      // cacheOnce their input so the agg and probe branches share one
-      // scan (min-of-2 reports the cached steady state)
+      // the agg shapes read the stream once for both branches — in the
+      // models the gram/segment stream is session-materialized parquet
+      // (Shared.materialized); the bench's cache is the local stand-in
+      // for that single-scan input (min-of-2 reports the steady state)
       val segsC = segsOf(nSegs, hotMod).cache()
       val firstAgg = withSkewSplit(time(s"first-occ-agg-join-$tag") {
         val firsts = segsC.groupBy($"seg_hash")
@@ -112,10 +116,11 @@ object SkewBench {
     }
 
     val results = scale("1m", 4000000L, 4) ++
-      scale("12m", 24000000L, 2)
+      scale("12m", 24000000L, 2) ++
+      scale("24m", 48000000L, 2)
     val json = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",",
-        ""","hot_1m":1000000,"hot_12m":12000000}""")
+        ""","hot_1m":1000000,"hot_12m":12000000,"hot_24m":24000000}""")
     println(s"[skew-bench] $json")
     try {
       val dir = java.nio.file.Paths.get("bench_runs")
