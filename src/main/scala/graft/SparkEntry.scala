@@ -119,6 +119,7 @@ object SparkEntry {
     "s06_ivfpq_ann_topk" -> (SimilarityModels.ivfPqAnnTopK _),
     "s07_ivfpq_refined_topk" -> (SimilarityModels.ivfPqRefinedTopK _),
     "s08_hard_negatives" -> (SimilarityModels.hardNegativeMining _),
+    "s09_contrastive_triplets" -> (SimilarityModels.contrastiveTriplets _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "s06_ivfpq_ann_topk" -> Seq("ivfpq_sim"),
     "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
     "s08_hard_negatives" -> Seq("neg_sim"),
+    "s09_contrastive_triplets" -> Seq("pos_sim", "neg_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "d09_semantic_dedup" -> Seq("max_pair_sim"),
     "c11_semantic_decontam" -> Seq("max_eval_sim"),
@@ -310,6 +312,7 @@ object SparkEntry {
     "s06_ivfpq_ann_topk" -> SimilarityModels.ivfPqAnnTopKOracle,
     "s07_ivfpq_refined_topk" -> SimilarityModels.ivfPqRefinedTopKOracle,
     "s08_hard_negatives" -> SimilarityModels.hardNegativeMiningOracle,
+    "s09_contrastive_triplets" -> SimilarityModels.contrastiveTripletsOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,

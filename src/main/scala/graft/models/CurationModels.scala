@@ -598,7 +598,13 @@ object CurationModels {
         $"sample_kept", $"verdict")
   }
 
-  val curationFunnelOracle: String =
+  // LAZY: embeds SimilarityModels.semanticDecontaminationOracle while
+  // that object's oracle reads back CurationModels.EvalSource — an
+  // eager val here turns object init into a cycle and whichever side
+  // initializes second reads null (the nearDupSafeSplitOracle /
+  // bpePackSequencesOracle precedent; surfaced when a Map-order change
+  // flipped which object <clinit>s first)
+  lazy val curationFunnelOracle: String =
     s"""WITH canon AS (${DedupModels.dedupExactOracle}),
        |rep AS ($repetitionSignalsOracle),
        |cont AS ($decontaminationOracle),

@@ -987,6 +987,118 @@ object SimilarityModels {
       cosine = true) + tail
   }
 
+  /** s09: CONTRASTIVE TRIPLETS (beyond-reference) — s08 completed with
+    * its POSITIVE side: the (anchor, positive, hard-negative) triples a
+    * contrastive loss actually consumes (DPR, Karpukhin et al. 2020
+    * §3.1: one positive + mined hard negatives per anchor). Positive =
+    * the single most-cosine-similar SAME-label vector in the anchor's
+    * IVF cell (rounded cosine, id tie-break — the s03 ranking
+    * convention); negatives = s08's top-3 different-label in-cell
+    * neighbors. Anchors with no same-label cell-mate drop (no positive
+    * exists to contrast against — DPR discards such questions too).
+    *
+    * Same Σ|cell|² bound as s08: ONE cell-keyed self-join feeds both
+    * sides; the label split happens on the joined stream (no second
+    * pair enumeration), each side ranks under its own anchor-keyed
+    * window (≤|cell| rows per partition), and the final positive ⋈
+    * negatives join is anchor-keyed and output-sized. Nothing here is
+    * executor-cached — the pair stream derives from the materialized
+    * IVF assignment table both branches read.
+    */
+  def contrastiveTriplets(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = doubledEmb(emb)
+    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+      cellTop2(base, cents)
+    }
+    val assigned = top2.filter($"crk" === 1)
+      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
+      .select($"vec_id", $"v", $"norm", $"cid".as("cell"), $"label")
+    val anchors = assigned.select($"vec_id".as("anchor_id"),
+      $"v".as("a_v"), $"norm".as("a_norm"), $"cell",
+      $"label".as("anchor_label"))
+    val others = assigned.select($"vec_id".as("other_id"),
+      $"v".as("o_v"), $"norm".as("o_norm"), $"cell",
+      $"label".as("other_label"))
+    val pairs = anchors.join(others, Seq("cell"))
+      .filter($"anchor_id" =!= $"other_id")
+      .withColumn("sim",
+        round(dotArr($"a_v", $"o_v") / ($"a_norm" * $"o_norm"), 6)
+          .cast(DecimalType(24, 6)))
+      .select($"anchor_id", $"anchor_label", $"cell",
+        $"other_id", $"other_label", $"sim")
+    val wAnchor = Window.partitionBy($"anchor_id")
+      .orderBy($"sim".desc, $"other_id")
+    val positives = pairs.filter($"anchor_label" === $"other_label")
+      .withColumn("rk", row_number().over(wAnchor))
+      .filter($"rk" === 1)
+      .select($"anchor_id", $"other_id".as("pos_id"),
+        $"sim".as("pos_sim"))
+    val negatives = pairs.filter($"anchor_label" =!= $"other_label")
+      .withColumn("rk", row_number().over(wAnchor))
+      .filter($"rk" <= 3)
+      .select($"anchor_id", $"anchor_label", $"cell",
+        $"other_id".as("neg_id"), $"other_label".as("neg_label"),
+        $"sim".as("neg_sim"), $"rk".cast(LongType).as("neg_rank"))
+    negatives.join(positives, Seq("anchor_id"))
+      .select($"anchor_id", $"anchor_label", $"cell",
+        $"pos_id", $"pos_sim",
+        $"neg_id", $"neg_label", $"neg_sim", $"neg_rank")
+  }
+
+  val contrastiveTripletsOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+    val head =
+      s"""WITH base AS (SELECT vec_id, label,
+         |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         |              FROM embeddings),
+         |bn AS (SELECT vec_id, label, v, sqrt(${dot("v", "v")}) AS norm
+         |       FROM base),
+         |km_train AS (SELECT 0 AS grp, vec_id AS id, v FROM base
+         |             WHERE vec_id < $AnnTrainCap),
+         |""".stripMargin
+    val tail =
+      s"""cents AS (SELECT cid, cv, cnorm FROM km_cents),
+         |ranked AS (
+         |  SELECT b.vec_id, b.label, b.v, b.norm, c.cid,
+         |         row_number() OVER (PARTITION BY b.vec_id
+         |           ORDER BY round(${dot("b.v", "c.cv")} / (b.norm * c.cnorm), 6) DESC,
+         |                    c.cid) AS crk
+         |  FROM bn b CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, label, v, norm, cid AS cell
+         |        FROM ranked WHERE crk = 1),
+         |prs AS (
+         |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label, a.cell,
+         |         b.vec_id AS other_id, b.label AS other_label,
+         |         cast(round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6)
+         |              AS DECIMAL(24,6)) AS sim
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |pos AS (SELECT anchor_id, other_id AS pos_id, sim AS pos_sim
+         |        FROM prs WHERE anchor_label = other_label
+         |        QUALIFY row_number() OVER (PARTITION BY anchor_id
+         |                  ORDER BY sim DESC, other_id) = 1),
+         |neg AS (SELECT anchor_id, anchor_label, cell,
+         |               other_id AS neg_id, other_label AS neg_label,
+         |               sim AS neg_sim,
+         |               cast(row_number() OVER (PARTITION BY anchor_id
+         |                      ORDER BY sim DESC, other_id) AS BIGINT)
+         |                 AS neg_rank
+         |        FROM prs WHERE anchor_label <> other_label
+         |        QUALIFY neg_rank <= 3)
+         |SELECT n.anchor_id, n.anchor_label, n.cell, p.pos_id, p.pos_sim,
+         |       n.neg_id, n.neg_label, n.neg_sim, n.neg_rank
+         |FROM neg n JOIN pos p USING (anchor_id)""".stripMargin
+    head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64,
+      cosine = true) + tail
+  }
+
   /** Embeddings with their 8-bit hyperplane bucket and norm — the shared
     * input of the ANN histogram (s02) and near-dup pair search (d05).
     */
@@ -1262,7 +1374,10 @@ object SimilarityModels {
         concat_ws(",", sort_array(collect_list($"eval_id"))).as("eval_ids"))
   }
 
-  val semanticDecontaminationOracle: String = {
+  // LAZY: reads CurationModels.EvalSource while CurationModels'
+  // funnel oracle embeds THIS string — see curationFunnelOracle's
+  // cycle note; lazy on both sides breaks init-order dependence
+  lazy val semanticDecontaminationOracle: String = {
     def dot(a: String, b: String): String =
       s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
     val head =
