@@ -533,7 +533,7 @@ object DedupModels {
     * many tokens to register (Lee et al. use 50 BPE tokens; 10 words
     * is the comparable grain on this corpus — and d08's segment
     * width, so the two tiers are directly comparable). */
-  private[models] val SpanL = 10
+  private[graft] val SpanL = 10
 
   /** d10: DUPLICATE-SPAN DETECTION (beyond-reference) — the
     * exact-substring dedup of Lee et al. 2022 (arXiv:2107.06499,

@@ -1242,20 +1242,38 @@ object MultimodalOps {
     * (the DataFrame form needs a per-doc window, which streams can't
     * run). MultimodalSpec pins hash equality between the two paths
     * over the m07 fixture. */
-  def ahash16(bytes: Array[Byte]): Option[Long] = {
+  def ahash16(bytes: Array[Byte]): Option[Long] = ahashGrid(bytes, 4)
+
+  /** 64-bit aHash — the SAME pooling/bit rule on an 8×8 grid. The
+    * 16-bit hash is demo-tight (65k values: band buckets stay readable
+    * at sf fixtures); at billion-image scale 2¹⁶ values would make
+    * every near-tier bucket corpus-sized, so the production path keys
+    * on this widening — denser pixel evidence per bit boundary, 2⁶⁴
+    * value space, sparser buckets. MultimodalSpec pins the sparsity
+    * contrast on a synthetic fixture and the dedup plan's behavior on
+    * 64-bit keys. */
+  def ahash64(bytes: Array[Byte]): Option[Long] = ahashGrid(bytes, 8)
+
+  /** Shared g×g average-hash fold: integer luminance sums per cell,
+    * bit(cell) = 1 iff `cell_lum · total_px > total_lum · cell_px`
+    * (exact cross-multiplication — no division, no float). g=4
+    * reproduces [[ahash16]] bit-for-bit (spec-pinned against the
+    * DataFrame path); g=8 is [[ahash64]]. */
+  private def ahashGrid(bytes: Array[Byte], g: Int): Option[Long] = {
+    require(g * g <= 64, s"ahash grid $g x $g exceeds 64 bits")
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
-      val lum = Array.ofDim[Long](16)
-      val cnt = Array.ofDim[Long](16)
+      val lum = Array.ofDim[Long](g * g)
+      val cnt = Array.ofDim[Long](g * g)
       var y = 0
       while (y < h) {
-        val cy = y * 4 / h
+        val cy = y * g / h
         var x = 0
         while (x < w) {
-          val cell = cy * 4 + x * 4 / w
+          val cell = cy * g + x * g / w
           val rgb = img.getRGB(x, y)
           lum(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
             (rgb & 0xff)
@@ -1268,7 +1286,7 @@ object MultimodalOps {
       val totPx = cnt.sum
       var hash = 0L
       var i = 0
-      while (i < 16) {
+      while (i < g * g) {
         if (cnt(i) > 0 && lum(i) * totPx > totLum * cnt(i))
           hash |= 1L << i
         i += 1
@@ -1494,6 +1512,16 @@ object MultimodalOps {
             it.flatMap(v => ahash16(v.media).map(h => (v.doc_id, v.f, h)))
           }.toDF("doc_id", "f", "fhash")
       }
+    videoSignatureDedup(fhashes)
+  }
+
+  /** Steps 2–4 of m09 parameterized on the frame-hash table
+    * `(doc_id, f, fhash)` — the SAME signature-grain plan runs on
+    * [[ahash16]] (the oracle-replayable demo grain) and on [[ahash64]]
+    * (the billion-scale grain: wider hash, sparser near-tier buckets,
+    * nothing else changes). MultimodalSpec drives the 64-bit path. */
+  def videoSignatureDedup(fhashes: DataFrame): DataFrame = {
+    import fhashes.sparkSession.implicits._
     val perDoc = fhashes.groupBy($"doc_id")
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct($"f", $"fhash"))),

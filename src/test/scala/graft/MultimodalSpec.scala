@@ -405,6 +405,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes(1L) != 0L && hashes(1L) != 0xffffL)
   }
 
+  test("ahash64 splits 16-bit collisions and sparsifies the near-tier buckets") {
+    // DESIGNED 16-bit collision: swap two pixels WITHIN one 4×4-grid
+    // cell (cell sums unchanged ⇒ ahash16 identical) but ACROSS the
+    // 8×8-grid boundary inside that cell (sub-cell sums change ⇒
+    // ahash64 differs) — the exact failure mode that makes a 2¹⁶ value
+    // space bucket-heavy at billion-image scale and the widening's
+    // whole point.
+    val (w, h) = (16, 16) // 4-grid cell = 4×4 px, 8-grid cell = 2×2 px
+    // a bright 2×2 block inside 4-grid cell (0,0), placed in two
+    // different 2×2 sub-cells of that SAME cell: the 4×4 cell sum is
+    // identical either way (ahash16 can't tell), but the bright 8-grid
+    // sub-cell moves from bit 0 to bit 9 (ahash64 must tell)
+    def img(ox: Int, oy: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bright = x >= ox && x < ox + 2 && y >= oy && y < oy + 2
+        val v = if (bright) 200 else 0
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", baos); baos.toByteArray
+    }
+    val (pA, pB) = (img(0, 0), img(2, 2))
+    assert(MultimodalOps.ahash16(pA) == MultimodalOps.ahash16(pB),
+      "in-cell swap must not move the 16-bit hash")
+    assert(MultimodalOps.ahash64(pA) != MultimodalOps.ahash64(pB),
+      "the 8x8 grid must see the sub-cell difference")
+
+    // plan-level: the SAME signature-grain dedup runs on 64-bit frame
+    // hashes. Equal content ⇒ equal hash sequence under ANY width, so
+    // every true duplicate group survives the widening; but the 16-bit
+    // exact tier ALSO merges distinct contents whose frame-hash
+    // sequences collide in the 2¹⁶ space (measured here: its largest
+    // "exact" group is far bigger than any content group the % 97
+    // fixture contains) — the widening REFINES those groups apart,
+    // which is its whole point. Refinement ⇒ more, smaller groups.
+    def fhashes(hash: Array[Byte] => Option[Long]) =
+      MultimodalOps.videoKeyframeTable(spark, "/root/testdata/sf0.001")
+        .mapPartitions(it =>
+          it.flatMap(v => hash(v.media).map(h => (v.doc_id, v.f, h))))
+        .toDF("doc_id", "f", "fhash")
+    val via16 = MultimodalOps.videoSignatureDedup(
+      fhashes(MultimodalOps.ahash16)).cache()
+    val via64 = MultimodalOps.videoSignatureDedup(
+      fhashes(MultimodalOps.ahash64)).cache()
+    def exactGroupSizes(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"sig_a" === $"sig_b").select($"docs_a")
+      .as[Long].collect().sorted.toSeq
+    val (g16, g64) = (exactGroupSizes(via16), exactGroupSizes(via64))
+    assert(g64.nonEmpty, "the % 97 fixture must produce duplicate groups")
+    assert(g64.length >= g16.length && g64.max <= g16.max,
+      s"widening must refine exact groups (16-bit sizes $g16 vs $g64)")
+    // true duplicates survive: every content key with >1 doc still
+    // groups, so the smallest plausible content-group size is present
+    assert(g64.max >= 500 / 97,
+      "content-identical docs must still share a 64-bit signature")
+    def nearPairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"sig_a" =!= $"sig_b").count()
+    assert(nearPairs(via64) <= nearPairs(via16),
+      "a wider hash must never densify near-tier buckets")
+    // and the widened space is no coarser: at least as many distinct
+    // frame-hash values over the same frames
+    val d16 = fhashes(MultimodalOps.ahash16)
+      .select($"fhash").distinct().count()
+    val d64 = fhashes(MultimodalOps.ahash64)
+      .select($"fhash").distinct().count()
+    assert(d64 >= d16)
+    via16.unpersist(); via64.unpersist()
+  }
+
   test("m07: pixel-identical images under different doc_ids share an exact group") {
     // the fixture keys content on doc_id % 97 — doc 5 and doc 102
     // carry byte-identical PNGs, so their hashes must collide exactly,

@@ -84,6 +84,32 @@ class StreamingSpanTrimSpec extends AnyFunSuite {
         DedupModels.removalPositionsOf(newGrams, Some(knownG))))
       .collect().toSet
     assert(viaStream == viaBatch)
+
+    // the TRIMMED-corpus stream emits those same documents-schema rows
+    // DIRECTLY (in-row trim + doc-keyed reassembly — no batch job in
+    // the loop): row-for-row equality with trimmedCorpusFrame on the
+    // same no-new-vs-new contract
+    val ckpt2 = Files.createTempDirectory("graft-spantrim-ckpt2").toString
+    val out2 = Files.createTempDirectory("graft-spantrim-out2").toString
+    val q2 = StreamingSpanTrim.runTrimAvailableNow(
+      spark, inDir, knownGrams, ckpt2, out2)
+    q2.awaitTermination()
+    val streamedDocs = spark.read.parquet(out2)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .collect().toSet
+    val batchDocs = DedupModels.trimmedCorpusFrame(newRows,
+      DedupModels.mergeRemovalSpans(
+        DedupModels.removalPositionsOf(newGrams, Some(knownG))))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .collect().toSet
+    assert(streamedDocs == batchDocs,
+      s"only-streamed=${(streamedDocs -- batchDocs).take(3)}, " +
+        s"only-batch=${(batchDocs -- streamedDocs).take(3)}")
+    // the fully-known historical copy must stream out EMPTY, the fresh
+    // doc byte-identical
+    val byId = streamedDocs.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(9001L) == "")
+    assert(byId(9002L) == fresh)
     knownGrams.unpersist()
   }
 }
