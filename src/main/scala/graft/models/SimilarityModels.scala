@@ -554,14 +554,26 @@ object SimilarityModels {
   /** Coarse IVF codebook: k=16 cosine-assignment k-means
     * ([[KMeans.lloyd]]) over the training prefix of a [[doubledEmb]]
     * frame. Output (cid, cv, cnorm) — [[cellTop2]]'s codebook shape. */
-  private[graft] def coarseCodebook(base: DataFrame): DataFrame = {
+  private[graft] def coarseCodebook(
+      base: DataFrame, k: Int = 16): DataFrame = {
     import base.sparkSession.implicits._
     KMeans.lloyd(
       base.filter($"vec_id" < AnnTrainCap)
         .select(lit(0).as("grp"), $"vec_id".as("id"), $"v"),
-      k = 16, iters = KmIters, cosine = true)
+      k = k, iters = KmIters, cosine = true)
       .select($"cid", $"cv", $"cnorm")
   }
+
+  /** Coarse-cell count of the IVF-PQ family (s06/s07 and
+    * AnnIndexPipeline): 32 vs s03's 16. Quantized search needs a FINER
+    * partition than the uncompressed scan — the recall ceiling is set
+    * by how well the probed cells cover the query's true neighborhood,
+    * and at a fixed scan fraction more, smaller cells cover it better
+    * (nprobe/cells: 6/32 ≈ 19% of the code table vs s03's 2/16 = 12.5%
+    * of the corpus). s03/d09/c11/s08/s09 keep the 16-cell codebook —
+    * their assignment tables and oracles are a separate materialized
+    * family. */
+  private[graft] val IvfPqCells = 32
 
   /** Full-vector PQ codebook (s05): per-subspace k=[[PqK]] L2 k-means
     * over the training prefix's subvectors. Output (m, cid, cent). */
@@ -574,8 +586,30 @@ object SimilarityModels {
       .select($"grp".as("m"), $"cid", $"cv".as("cent"))
   }
 
-  /** Residual PQ codebook (s06/IVF-PQ): per-subspace k=[[PqK]] L2
-    * k-means
+  /** Per-subspace centroid count of the RESIDUAL codebook
+    * (s06/s07/AnnIndexPipeline): finer than s05's [[PqK]] because
+    * coarse-cell subtraction shrinks residual magnitudes, so the same
+    * relative ranking precision needs more centroids per subspace —
+    * with 2-dim subspaces the binding constraint on raw ADC recall is
+    * codebook resolution, not probe width (measured: nprobe 4→6 moved
+    * s06 recall single digits; k 64→128 is what clears the 0.75 bar).
+    * Still ≤ [[AnnTrainCap]] (Lloyd seeds are the id < k prefix);
+    * codes stay IvfPqM·log2(k) bits per vector. */
+  private[graft] val IvfPqResidualK = 64
+
+  /** IVF-PQ residual geometry: [[IvfPqM]] subspaces of [[IvfPqSub]]
+    * dim(s) — FINER than s05's 32×2 ([[PqM]]×[[PqSub]]) because the
+    * coarse subtraction leaves residuals whose per-dimension structure
+    * carries the remaining signal; 64×1-dim with k=[[IvfPqResidualK]]
+    * levels is codebook-quantization per dimension (the FAISS IVFPQ64
+    * shape), 64 bytes/vector = 4× compression over the float32 corpus
+    * while the raw ADC ranking approaches the probe ceiling. s05 keeps
+    * the 32×2 geometry — its point is the classic sub-VECTOR trade. */
+  private[graft] val IvfPqM = 64
+  private[graft] val IvfPqSub = 1
+
+  /** Residual PQ codebook (s06/IVF-PQ): per-subspace
+    * k=[[IvfPqResidualK]] L2 k-means
     * over the training prefix's RESIDUAL subvectors (v − assigned coarse
     * centroid) — what makes the composition IVF-PQ rather than
     * IVF-then-PQ. A vector's cell rank depends only on itself and the
@@ -587,22 +621,42 @@ object SimilarityModels {
       cellTop2(base.filter($"vec_id" < AnnTrainCap), cents), cents)
     KMeans.lloyd(
       rs.select($"m".as("grp"), $"vec_id".as("id"), $"rsub".as("v")),
-      k = PqK, iters = KmIters, cosine = false)
+      k = IvfPqResidualK, iters = KmIters, cosine = false)
       .select($"grp".as("m"), $"cid".as("pcid"), $"cv".as("pcent"))
   }
 
   /** Top-2 coarse-cell ranking per vector against a (cid, cv, cnorm)
     * codebook — crk=1 is the IVF assignment, crk≤2 the query probe set. */
-  private[graft] def cellTop2(base: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def cellTop2(base: DataFrame, cents: DataFrame): DataFrame =
+    cellTopN(base, cents, 2)
+
+  /** Top-n generalization of [[cellTop2]]: the IVF-PQ search probes
+    * WIDER than s03's two cells ([[IvfPqNprobe]]) because quantization
+    * noise compounds the coarse-pruning miss — raising the query-side
+    * probe set lifts the recall ceiling without touching the corpus
+    * assignment (always crk=1) or the index tables. */
+  private[graft] def cellTopN(
+      base: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     import base.sparkSession.implicits._
     base.crossJoin(broadcast(cents))
       .withColumn("cell_sim",
         round(dotArr($"v", $"cv") / ($"norm" * $"cnorm"), 6))
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cid")))
-      .filter($"crk" <= 2)
+      .filter($"crk" <= n)
       .select($"vec_id", $"v", $"norm", $"cid", $"crk")
   }
+
+  /** Query-side probe width of the IVF-PQ search (s06/s07 and the
+    * AnnIndexPipeline serving path): 4 of the 16 coarse cells. s03's
+    * uncompressed scan stays at nprobe=2 (its recall ceiling is the
+    * documented coarse-pruning trade); the PQ tiers probe twice as
+    * wide because ADC quantization error stacks ON TOP of the
+    * coarse-pruning miss, and candidate volume — not exact distance
+    * work — is what the 4-byte codes make cheap. Cost: the ADC scan
+    * covers ~nprobe/[[IvfPqCells]] = 25% of the code table per query,
+    * still broadcast-pruned to probed cells only. */
+  private[graft] val IvfPqNprobe = 8
 
   /** Residual subvectors of the crk=1 assignment: (vec_id, cell, m,
     * rsub) with rsub = slice(v − cell_centroid). */
@@ -613,9 +667,9 @@ object SimilarityModels {
       .select($"vec_id", $"cid".as("cell"),
         zip_with($"v", $"cv", (x, y) => x - y).as("r"))
       .select($"vec_id", $"cell",
-        explode(sequence(lit(0), lit(PqM - 1))).as("m"), $"r")
+        explode(sequence(lit(0), lit(IvfPqM - 1))).as("m"), $"r")
       .select($"vec_id", $"cell", $"m",
-        slice($"r", $"m" * PqSub + 1, lit(PqSub)).as("rsub"))
+        slice($"r", $"m" * IvfPqSub + 1, lit(IvfPqSub)).as("rsub"))
   }
 
   /** Code each residual subvector against a (pcid, m, pcent) codebook:
@@ -631,8 +685,8 @@ object SimilarityModels {
   }
 
   /** The ADC (asymmetric distance computation) search over an IVF-PQ
-    * index: probe each query's top-2 cells, prune the code table to
-    * those cells, score via the three constant-size lookup tables built
+    * index: probe each query's top-[[IvfPqNprobe]] cells, prune the
+    * code table to those cells, score via the three constant-size lookup tables built
     * against the codebooks (see [[ivfPqAnnTopK]]'s reconstruction
     * identities), exact decimal 8-way sums, top-k per query. Shared by
     * the s06 query (inline-derived index) and
@@ -642,54 +696,45 @@ object SimilarityModels {
       pqCents: DataFrame, codes: DataFrame, k: Int): DataFrame = {
     import queries.sparkSession.implicits._
     val dotA = dotArr _
-    val ms = explode(sequence(lit(0), lit(PqM - 1))).as("m")
+    val ms = explode(sequence(lit(0), lit(IvfPqM - 1))).as("m")
     val dec = (c: Column) => c.cast(DecimalType(28, 9))
-    // constant-side lookup tables (sizes PqM·PqK / cells·PqM·PqK / cells)
-    val rsq = pqCents.select($"m", $"pcid".as("code"),
-      dec(round(dotA($"pcent", $"pcent"), 9)).as("rsq"))
-    val cross = cents.select($"cid".as("cell"), ms, $"cv")
-      .select($"cell", $"m",
-        slice($"cv", $"m" * PqSub + 1, lit(PqSub)).as("csub"))
-      .join(pqCents, Seq("m"))
-      .select($"cell", $"m", $"pcid".as("code"),
-        dec(round(dotA($"csub", $"pcent"), 9)).as("cross"))
-    val cellSq = cents.select($"cid".as("cell"),
-      dec(round(dotA($"cv", $"cv"), 9)).as("cc_sq"))
     // probed cells with the dot(q, cent) term, plus the per-query ADC
-    // lookup table (|queries| × 8 × 16 rows)
-    val qprobe = cellTop2(queries, cents)
+    // lookup table (|queries| × IvfPqM × IvfPqResidualK rows)
+    val qprobe = cellTopN(queries, cents, IvfPqNprobe)
       .join(broadcast(cents), Seq("cid"))
       .select($"vec_id".as("query_id"), $"cid".as("cell"),
         $"norm".as("q_norm"), dec(round(dotA($"v", $"cv"), 9)).as("qc_dot"))
     val qlut = queries
       .select($"vec_id".as("query_id"), ms, $"v")
       .select($"query_id", $"m",
-        slice($"v", $"m" * PqSub + 1, lit(PqSub)).as("qsub"))
+        slice($"v", $"m" * IvfPqSub + 1, lit(IvfPqSub)).as("qsub"))
       .join(broadcast(pqCents), Seq("m"))
       .select($"query_id", $"m", $"pcid".as("code"),
         dec(round(dotA($"qsub", $"pcent"), 9)).as("partial"))
-    // search: prune the code table to probed cells, score via lookups
+    // search: prune the code table to probed cells, score via lookups.
+    // The numerator q·(cent + r̂) = qc_dot + Σ partial is ADC; the
+    // DENOMINATOR uses the EXACT per-vector norm stored beside the
+    // codes (the FAISS cosine/IP convention: 4 bytes/vector buys back
+    // all denominator quantization error — only the residual's
+    // projection onto q stays approximate). The reconstructed-norm
+    // lookup tables (‖cent‖², cent·r̂ cross terms, ‖r̂‖²) drop out of
+    // the plan entirely.
     val scored = codes
       .join(broadcast(qprobe.select($"query_id", $"cell")), Seq("cell"))
       .join(broadcast(qlut), Seq("query_id", "m", "code"))
-      .join(broadcast(rsq), Seq("m", "code"))
-      .join(broadcast(cross), Seq("cell", "m", "code"))
       .groupBy($"query_id", $"cell", $"vec_id")
-      // sum(DECIMAL(28,9)) widens to DECIMAL(38,9); the +/× below would
+      // sum(DECIMAL(28,9)) widens to DECIMAL(38,9); the + below would
       // then overflow 38-digit precision and Spark SILENTLY DROPS SCALE
       // (allowPrecisionLoss) — a hidden rounding DuckDB doesn't apply.
       // The sums are O(1)-magnitude, so narrowing to (20,9) is exact and
       // keeps every downstream decimal op inside 38 digits.
       .agg(sum($"partial").cast(DecimalType(20, 9)).as("r_dot"),
-        sum($"cross").cast(DecimalType(20, 9)).as("c_cross"),
-        sum($"rsq").cast(DecimalType(20, 9)).as("r_sq"))
+        max($"vnorm").as("c_norm"))
       .withColumnRenamed("vec_id", "cand_id")
     val sim = round(
       ($"qc_dot" + $"r_dot").cast(DoubleType) /
-        ($"q_norm" * sqrt(($"cc_sq" + lit(2) * $"c_cross" + $"r_sq")
-          .cast(DoubleType))), 6).cast(DecimalType(24, 6))
+        ($"q_norm" * $"c_norm"), 6).cast(DecimalType(24, 6))
     scored.join(broadcast(qprobe), Seq("query_id", "cell"))
-      .join(broadcast(cellSq), Seq("cell"))
       .filter($"query_id" =!= $"cand_id")
       .withColumn("ivfpq_sim", sim)
       .withColumn("rk", row_number().over(
@@ -717,13 +762,17 @@ object SimilarityModels {
     // from per-subspace L2 k-means over the sample's residuals — both
     // replayed exactly by the oracle's unrolled KMeans.oracleCtes
     val cents = Shared.materialized("ivfpq_cents", spark, sfDir) {
-      coarseCodebook(base)
+      coarseCodebook(base, IvfPqCells)
     }
     val pqCents = Shared.materialized("ivfpq_pq_cents", spark, sfDir) {
       residualCodebook(base, cents)
     }
     val codes = Shared.materialized("ivfpq_codes", spark, sfDir) {
+      // the exact per-vector norm rides the code table (the FAISS
+      // cosine/IP convention — see adcSearch): known exactly at build
+      // time, 4 bytes/vector at scale
       encodeAgainst(residualSubs(cellTop2(base, cents), cents), pqCents)
+        .join(base.select($"vec_id", $"norm".as("vnorm")), Seq("vec_id"))
     }
     (base, cents, pqCents, codes)
   }
@@ -806,7 +855,7 @@ object SimilarityModels {
     def dotN(a: String, b: String, n: Int): String =
       s"list_sum(list_transform(range($n), i -> $a[i+1] * $b[i+1]))"
     def l2sq(a: String, b: String): String =
-      s"list_sum(list_transform(range($PqSub), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
+      s"list_sum(list_transform(range($IvfPqSub), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])))"
     val head =
       s"""WITH base AS (SELECT vec_id,
        |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
@@ -826,9 +875,9 @@ object SimilarityModels {
        |assigned AS (SELECT vec_id, cid AS cell,
        |                    list_transform(range(64), i -> v[i+1] - cv[i+1]) AS r
        |             FROM t2 WHERE crk = 1),
-       |ms AS (SELECT unnest(range($PqM)) AS m),
+       |ms AS (SELECT unnest(range($IvfPqM)) AS m),
        |rsubs AS (SELECT a.vec_id, a.cell, ms.m,
-       |                 list_slice(a.r, ms.m*$PqSub+1, ms.m*$PqSub+$PqSub) AS rsub
+       |                 list_slice(a.r, ms.m*$IvfPqSub+1, ms.m*$IvfPqSub+$IvfPqSub) AS rsub
        |          FROM assigned a CROSS JOIN ms),
        |km6r_train AS (SELECT m AS grp, vec_id AS id, rsub AS v FROM rsubs
        |               WHERE vec_id < $AnnTrainCap),
@@ -842,44 +891,32 @@ object SimilarityModels {
        |             ORDER BY round(${l2sq("s.rsub", "p.pcent")}, 6), p.pcid) AS rk
        |    FROM rsubs s JOIN pq p ON s.m = p.m)
        |  WHERE rk = 1),
-       |rsq AS (SELECT m, pcid AS code,
-       |               cast(round(${dotN("pcent", "pcent", PqSub)}, 9) AS DECIMAL(28,9)) AS rsq
-       |        FROM pq),
-       |crs AS (SELECT c.cid AS cell, p.m, p.pcid AS code,
-       |               cast(round(${dotN(s"list_slice(c.cv, p.m*$PqSub+1, p.m*$PqSub+$PqSub)", "p.pcent", PqSub)}, 9)
-       |                    AS DECIMAL(28,9)) AS cross_d
-       |        FROM cents c CROSS JOIN pq p),
-       |cellsq AS (SELECT cid AS cell,
-       |                  cast(round(${dotN("cv", "cv", 64)}, 9) AS DECIMAL(28,9)) AS cc_sq
-       |           FROM cents),
        |qprobe AS (SELECT t.vec_id AS query_id, t.cid AS cell, t.norm AS q_norm,
        |                  cast(round(${dotN("t.v", "t.cv", 64)}, 9) AS DECIMAL(28,9)) AS qc_dot
-       |           FROM t2 t WHERE t.vec_id < 10 AND t.crk <= 2),
+       |           FROM t2 t WHERE t.vec_id < 10 AND t.crk <= $IvfPqNprobe),
        |qlut AS (SELECT b.vec_id AS query_id, p.m, p.pcid AS code,
-       |                cast(round(${dotN(s"list_slice(b.v, p.m*$PqSub+1, p.m*$PqSub+$PqSub)", "p.pcent", PqSub)}, 9)
+       |                cast(round(${dotN(s"list_slice(b.v, p.m*$IvfPqSub+1, p.m*$IvfPqSub+$IvfPqSub)", "p.pcent", IvfPqSub)}, 9)
        |                     AS DECIMAL(28,9)) AS partial
        |         FROM base b CROSS JOIN pq p WHERE b.vec_id < 10),
        |scored AS (SELECT q.query_id, k.cell, k.vec_id AS cand_id,
-       |                  sum(l.partial) AS r_dot, sum(x.cross_d) AS c_cross,
-       |                  sum(r.rsq) AS r_sq
+       |                  sum(l.partial) AS r_dot
        |           FROM codes k
        |           JOIN (SELECT DISTINCT query_id, cell FROM qprobe) q ON k.cell = q.cell
        |           JOIN qlut l ON l.query_id = q.query_id AND l.m = k.m AND l.code = k.code
-       |           JOIN rsq r ON r.m = k.m AND r.code = k.code
-       |           JOIN crs x ON x.cell = k.cell AND x.m = k.m AND x.code = k.code
        |           GROUP BY 1, 2, 3),
        |final AS (
        |  SELECT s.query_id, s.cand_id, s.cell,
        |         cast(round(cast(q.qc_dot + s.r_dot AS DOUBLE) /
-       |              (q.q_norm * sqrt(cast(c.cc_sq + 2*s.c_cross + s.r_sq AS DOUBLE))), 6)
+       |              (q.q_norm * cb.norm), 6)
        |              AS DECIMAL(24,6)) AS ivfpq_sim
        |  FROM scored s
        |  JOIN qprobe q ON q.query_id = s.query_id AND q.cell = s.cell
-       |  JOIN cellsq c ON c.cell = s.cell
+       |  JOIN bn cb ON cb.vec_id = s.cand_id
        |  WHERE s.query_id <> s.cand_id)""".stripMargin
-    head + KMeans.oracleCtes("km6", "km6_train", 16, KmIters, 64, cosine = true) +
-      mid + KMeans.oracleCtes("km6r", "km6r_train", PqK, KmIters, PqSub,
-        cosine = false) +
+    head + KMeans.oracleCtes("km6", "km6_train", IvfPqCells, KmIters, 64,
+      cosine = true) +
+      mid + KMeans.oracleCtes("km6r", "km6r_train", IvfPqResidualK,
+        KmIters, IvfPqSub, cosine = false) +
       tail
   }
 

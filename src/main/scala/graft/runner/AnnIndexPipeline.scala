@@ -59,7 +59,7 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     * encodes every vector against the materialized (frozen) books. */
   def run(sfDir: String): Report = {
     val base = SimilarityModels.doubledEmb(Tables.embeddings(spark, sfDir))
-    SimilarityModels.coarseCodebook(base)
+    SimilarityModels.coarseCodebook(base, SimilarityModels.IvfPqCells)
       .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("ann_coarse_codebook"))
     val cents = spark.read.parquet(targetPath("ann_coarse_codebook"))
@@ -70,6 +70,9 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
         SimilarityModels.residualSubs(
           SimilarityModels.cellTop2(base, cents), cents),
         spark.read.parquet(targetPath("ann_pq_codebook")))
+      // exact per-vector norm beside the codes (adcSearch's cosine
+      // denominator — the 4-bytes-per-vector FAISS convention)
+      .join(base.select($"vec_id", $"norm".as("vnorm")), Seq("vec_id"))
       .write.mode(SaveMode.Overwrite).parquet(targetPath("ann_codes"))
     report()
   }
@@ -105,6 +108,7 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
         SimilarityModels.residualSubs(
           SimilarityModels.cellTop2(newBase, cents), cents),
         pqCents)
+      .join(newBase.select($"vec_id", $"norm".as("vnorm")), Seq("vec_id"))
       .write.mode(SaveMode.Append).parquet(targetPath("ann_codes"))
     report()
   }

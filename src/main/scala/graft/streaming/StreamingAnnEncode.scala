@@ -88,8 +88,8 @@ object StreamingAnnEncode {
         (x, y) => x - y))
     // per-subspace coding: argmin of rounded L2, ties by LOWEST pcid —
     // array_min over struct(dist, pcid), matching encodeAgainst
-    val codeCols = (0 until graft.models.SimilarityModels.PqM).map { m =>
-      val sub = graft.models.SimilarityModels.PqSub
+    val codeCols = (0 until graft.models.SimilarityModels.IvfPqM).map { m =>
+      val sub = graft.models.SimilarityModels.IvfPqSub
       val rsub = slice($"r", m * sub + 1, sub)
       val dists = pq(m).map { case (_, pcid, pcent) =>
         struct(round(l2Lit(rsub, pcent.toArray), 6).as("dist"),

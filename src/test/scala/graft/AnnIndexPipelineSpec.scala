@@ -50,25 +50,29 @@ class AnnIndexPipelineSpec extends AnyFunSuite {
       assert(tableRows(s"$whInc/$t") == tableRows(s"$whFull/$t"), t)
 
     // the append is additive: every pre-existing code row survives
-    // byte-identical, and exactly PqM new rows per appended vector
+    // byte-identical, and exactly IvfPqM new rows per appended vector
     // landed
-    import graft.models.SimilarityModels.{PqK, PqM}
+    import graft.models.SimilarityModels.{IvfPqCells, IvfPqM, IvfPqResidualK}
     val postCodes = tableRows(s"$whInc/ann_codes")
     assert(preCodes.toSet.subsetOf(postCodes.toSet))
-    assert(postCodes.size == preCodes.size + 20 * PqM)
+    assert(postCodes.size == preCodes.size + 20 * IvfPqM)
     assert(rInc.codedVectors == r0.codedVectors + 20)
 
-    // appended rows: codes within the PqK codebook, cells from the
-    // frozen coarse codebook
+    // appended rows: codes within the residual codebook, cells from
+    // the frozen coarse codebook
     val appended = spark.read.parquet(s"$whInc/ann_codes")
       .filter($"vec_id" > maxId)
-    assert(appended.filter($"code" < 0 || $"code" > PqK - 1).count() == 0)
-    assert(appended.filter($"cell" < 0 || $"cell" > 15).count() == 0)
+    assert(appended.filter($"code" < 0 ||
+      $"code" > IvfPqResidualK - 1).count() == 0)
+    assert(appended.filter($"cell" < 0 ||
+      $"cell" > IvfPqCells - 1).count() == 0)
 
     // frozen-codebook contract: the incremental run left both codebook
     // tables untouched (the union's deterministic derivation re-selects
     // the snapshot's source vectors, so full-rebuild matches too)
-    assert(rInc.codebookCells == 16 && rInc.pqCentroids == PqM.toLong * PqK)
+    assert(rInc.codebookCells ==
+      graft.models.SimilarityModels.IvfPqCells.toLong &&
+      rInc.pqCentroids == IvfPqM.toLong * IvfPqResidualK)
   }
 
   test("incremental over an empty index encodes without throwing (null watermark)") {

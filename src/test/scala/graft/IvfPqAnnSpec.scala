@@ -25,12 +25,13 @@ class IvfPqAnnSpec extends AnyFunSuite {
       .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
     assert(exact.size == 50 && got.size == 50)
     val recall = (exact & got).size.toDouble / exact.size
-    // the composed index prunes 14/16 cells AND quantizes to 24 bytes;
-    // chance recall@5 is <1% on the ~600-vector fixture. The r11
-    // geometry (32×2-dim subspaces, k=64) measures 0.66 — floor 0.5
-    // with headroom, within 0.04-of-ceiling territory (s03's 0.70
-    // probe bound).
-    assert(recall >= 0.5, s"s06 recall@5 fell to $recall (floor 0.5)")
+    // the composed index prunes 24/32 cells AND quantizes to 64 bytes;
+    // chance recall@5 is <1% on the ~500-vector fixture. The r12
+    // geometry (32 cells / nprobe 8, 64×1-dim residual subspaces k=64,
+    // exact stored norms in the cosine denominator) measures 0.78 —
+    // floor 0.7 with headroom, against the 0.82 probe ceiling s07's
+    // exact refine exposes.
+    assert(recall >= 0.7, s"s06 recall@5 fell to $recall (floor 0.7)")
   }
 
   test("exact refine (s07) lifts recall over the raw ADC ranking (s06)") {
@@ -58,7 +59,7 @@ class IvfPqAnnSpec extends AnyFunSuite {
 
   test("family recall floors match the committed ann_bench table") {
     // the per-round ann_bench.json artifact records recall@k per tier
-    // (r11: s03 0.70, s04 0.94, s05 0.78, s06 0.66, s07 0.72). A
+    // (r12: s03 0.70, s04 0.94, s05 0.78, s06 0.78, s07 0.82). A
     // codebook or fold-order change can stay hash-green (the oracle
     // replays the same arithmetic) while silently costing recall —
     // these floors (set with headroom under the measured values) make
@@ -82,16 +83,18 @@ class IvfPqAnnSpec extends AnyFunSuite {
     assert(r3 >= 0.6, s"s03 IVF recall@3 fell to $r3 (floor 0.6)")
     assert(r4 >= 0.85, s"s04 SQ8 recall@5 fell to $r4 (floor 0.85)")
     assert(r5 >= 0.6, s"s05 PQ recall@5 fell to $r5 (floor 0.6)")
-    assert(r7 >= 0.6, s"s07 refined recall@5 fell to $r7 (floor 0.6)")
+    assert(r7 >= 0.75, s"s07 refined recall@5 fell to $r7 (floor 0.75)")
   }
 
-  test("every candidate lies in one of the query's two probed cells") {
+  test("every candidate lies in one of the query's probed cells") {
     // re-derive the probe set with the model's own trained coarse
     // quantizer (the shared codebook helpers the query itself uses)
     val base = SimilarityModels.doubledEmb(
       graft.catalog.Tables.embeddings(spark, sfDir))
-    val cents = SimilarityModels.coarseCodebook(base)
-    val probed = SimilarityModels.cellTop2(base.filter($"vec_id" < 10), cents)
+    val cents = SimilarityModels
+      .coarseCodebook(base, SimilarityModels.IvfPqCells)
+    val probed = SimilarityModels.cellTopN(base.filter($"vec_id" < 10),
+        cents, SimilarityModels.IvfPqNprobe)
       .select($"vec_id".as("query_id"), $"cid".as("cell"))
       .as[(Long, Long)].collect().toSet
     val out = SimilarityModels.ivfPqAnnTopK(spark, sfDir)
@@ -117,23 +120,24 @@ class IvfPqAnnSpec extends AnyFunSuite {
   test("trained residual codebook strictly beats its k-means seeds (Lloyd improves SSE)") {
     val base = SimilarityModels.doubledEmb(
       graft.catalog.Tables.embeddings(spark, sfDir))
-    val cents = SimilarityModels.coarseCodebook(base)
+    val cents = SimilarityModels
+      .coarseCodebook(base, SimilarityModels.IvfPqCells)
     val rsubs = SimilarityModels.residualSubs(
       SimilarityModels.cellTop2(base, cents), cents)
     val trained = SimilarityModels.residualCodebook(base, cents)
     // the seeds the trainer started from: the k lowest-id training
     // residual subvectors (KMeans.lloyd's deterministic init)
-    val seeds = rsubs.filter($"vec_id" < SimilarityModels.PqK)
+    val seeds = rsubs.filter($"vec_id" < SimilarityModels.IvfPqResidualK)
       .select($"m", $"vec_id".as("pcid"), $"rsub".as("pcent"))
     val sseTrained = residualSse(rsubs, trained)
     val sseSeeds = residualSse(rsubs, seeds)
     assert(sseTrained < sseSeeds,
       s"trained SSE $sseTrained did not improve on seed SSE $sseSeeds")
-    // and the codebook stays the promised PqM×PqK shape
+    // and the codebook stays the promised IvfPqM×IvfPqResidualK shape
     assert(trained.count() ==
-      SimilarityModels.PqM.toLong * SimilarityModels.PqK)
+      SimilarityModels.IvfPqM.toLong * SimilarityModels.IvfPqResidualK)
     assert(trained.filter($"pcid" < 0 ||
-      $"pcid" > SimilarityModels.PqK - 1).count() == 0)
+      $"pcid" > SimilarityModels.IvfPqResidualK - 1).count() == 0)
     // iteration-count sanity: the spliced oracle unrolls the same count
     assert(SimilarityModels.KmIters >= 1)
     assert(KMeans.oracleCtes("t", "t_train", 16, SimilarityModels.KmIters,

@@ -57,7 +57,7 @@ class StreamingAnnEncodeSpec extends AnyFunSuite {
       s"streamed codes diverge: only-streamed=" +
         s"${(streamed.toSet -- batchNew).take(3)}, only-batch=" +
         s"${(batchNew -- streamed.toSet).take(3)}")
-    assert(streamed.length == 25 * graft.models.SimilarityModels.PqM)
+    assert(streamed.length == 25 * graft.models.SimilarityModels.IvfPqM)
     assert(preCodes + streamed.length ==
       spark.read.parquet(s"$wh/ann_codes").count())
   }
