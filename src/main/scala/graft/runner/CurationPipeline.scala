@@ -205,6 +205,27 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .parquet(targetPath("train_split_packing"))
   }
 
+  /** Compaction sweep over every flat append table this pipeline
+    * writes — each incremental catch-up appends a task-count of small
+    * part files, so periodic compaction (the runner's post-pipeline
+    * sweep idiom) keeps reader file counts bounded. Row content is
+    * untouched; the dot-tmp/swap contract makes an interrupted sweep
+    * recoverable from either side ([[Compaction.compactFlat]]). */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, Int] = {
+    val flatTables = Seq(
+      "curation_funnel",
+      "curated_corpus/documents.parquet",
+      "curation_splits",
+      "span_trimmed_corpus/documents.parquet",
+      "curation_span_grams",
+      "segment_stats",
+      "curation_segments")
+    flatTables.flatMap(t =>
+      Compaction.compactFlat(spark, targetPath(t), targetFileBytes)
+        .map(t -> _)).toMap
+  }
+
   private def report(): CurationPipeline.Report = {
     val funnel = spark.read.parquet(targetPath("curation_funnel"))
     val packed = spark.read.parquet(targetPath("curated_packing"))

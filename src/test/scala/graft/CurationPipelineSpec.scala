@@ -137,6 +137,22 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(v(504L) == "kept") // founded the new group
     assert(v(505L) == "duplicate") // within-batch duplicate
 
+    // COMPACTION: the incremental appends left small part files behind;
+    // a compaction sweep must bound file counts WITHOUT changing a row
+    // (the 128MB default dwarfs these KB tables ⇒ each folds to 1 file)
+    val preCompact = Seq("curation_funnel", "curation_span_grams",
+      "span_trimmed_corpus/documents.parquet", "segment_stats")
+      .map(t => t -> tableRows(s"$whInc/$t")).toMap
+    val compacted = inc.compact()
+    assert(compacted.nonEmpty, "appends must leave something to compact")
+    for ((t, rows) <- preCompact)
+      assert(tableRows(s"$whInc/$t") == rows, s"compaction changed $t")
+    for ((t, n) <- compacted) {
+      val files = new java.io.File(s"$whInc/$t").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files == n && n == 1, s"$t not folded ($files files)")
+    }
+
     // frozen-eval guard: a new eval-source doc must be rejected loudly
     val badDir = Files.createTempDirectory("graft-cur-bad").toString
     docs0.unionByName(Seq((600L, "new benchmark item", "en", "src0"))
@@ -146,6 +162,54 @@ class CurationPipelineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       inc.runIncremental(badDir)
     }
+  }
+
+  test("flat-dir compaction recovers an interrupted swap from either side") {
+    import graft.runner.Compaction
+    def freshDir(tag: String): String =
+      Files.createTempDirectory(s"graft-compact-$tag").toString
+    def rows(p: String): Set[Long] =
+      spark.read.parquet(p).as[Long].collect().toSet
+    def write(dir: String, vals: Range): Unit =
+      vals.map(_.toLong).toDF("v").coalesce(1)
+        .write.mode("append").parquet(dir)
+
+    // normal fold: 4 appends → 4 files → 1 file, rows identical
+    val d0 = freshDir("fold")
+    for (i <- 0 until 4) write(d0, i * 10 until i * 10 + 10)
+    val before = rows(d0)
+    assert(Compaction.compactFlat(spark, d0).contains(1))
+    assert(rows(d0) == before)
+    assert(new java.io.File(d0).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")) == 1)
+
+    // branch (a): crash BEFORE the old files were deleted — the tmp is
+    // a dead duplicate and must be dropped; the live files win
+    val dA = freshDir("pre-delete")
+    for (i <- 0 until 3) write(dA, i * 10 until i * 10 + 10)
+    val liveA = rows(dA)
+    val tmpA = s"$dA/.compact-flat"
+    spark.read.parquet(dA).coalesce(1)
+      .write.mode("overwrite").parquet(tmpA)
+    assert(Compaction.compactFlat(spark, dA).contains(1))
+    assert(rows(dA) == liveA)
+    assert(!new java.io.File(tmpA).exists())
+
+    // branch (b): crash AFTER the delete — the tmp holds the ONLY
+    // copy; recovery must finish the move before anything else
+    val dB = freshDir("post-delete")
+    for (i <- 0 until 3) write(dB, i * 10 until i * 10 + 10)
+    val liveB = rows(dB)
+    val tmpB = s"$dB/.compact-flat"
+    spark.read.parquet(dB).coalesce(1)
+      .write.mode("overwrite").parquet(tmpB)
+    new java.io.File(dB).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    // recovery runs even when no further rewrite is needed (None)
+    assert(Compaction.compactFlat(spark, dB).isEmpty)
+    assert(rows(dB) == liveB)
+    assert(!new java.io.File(tmpB).exists())
   }
 
   test("incremental over a pre-span-stage warehouse bootstraps the span tables first") {
