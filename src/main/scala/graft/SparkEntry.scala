@@ -157,6 +157,7 @@ object SparkEntry {
     "m07_phash_image_dedup" -> (graft.multimodal.MultimodalOps.phashImageDedup _),
     "m08_audio_energy" -> (graft.multimodal.MultimodalOps.audioEnergySummary _),
     "m09_video_phash_dedup" -> (graft.multimodal.MultimodalOps.videoKeyframePhash _),
+    "m10_audio_fp_dedup" -> (graft.multimodal.MultimodalOps.audioFingerprintDedup _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -350,5 +351,6 @@ object SparkEntry {
     "m07_phash_image_dedup" -> graft.multimodal.MultimodalOps.phashImageDedupOracle,
     "m08_audio_energy" -> graft.multimodal.MultimodalOps.audioEnergySummaryOracle,
     "m09_video_phash_dedup" -> graft.multimodal.MultimodalOps.videoKeyframePhashOracle,
+    "m10_audio_fp_dedup" -> graft.multimodal.MultimodalOps.audioFingerprintDedupOracle,
   )
 }

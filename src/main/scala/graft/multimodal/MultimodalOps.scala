@@ -1604,4 +1604,198 @@ object MultimodalOps {
       |FROM near n
       |JOIN sdocs ga ON n.sig_a = ga.sig
       |JOIN sdocs gb ON n.sig_b = gb.sig""".stripMargin
+
+  // ------------------------------------------------------------------
+  // m10: audio fingerprint dedup — the content tier for the LAST
+  // modality without one (text d01–d11, image m07, video m09): m08's
+  // real PCM decode composed with a chromaprint-style energy-delta
+  // fingerprint, so RE-CONTAINERED copies of the same recording (same
+  // samples under a different doc_id / container shell) collide at the
+  // content level where byte dedup sees nothing.
+  // ------------------------------------------------------------------
+
+  /** Frames per fingerprint energy window. */
+  val AudioFpWindow = 8
+
+  /** Energy-delta bits per fingerprint block (the near-tier join
+    * grain). */
+  val AudioFpBlock = 4
+
+  /** m10's fixture: audio CONTENT keyed on `ck = doc_id % 97` (the
+    * m07/m09 convention — ~|docs|/97 documents carry sample-identical
+    * recordings under different doc_ids). Geometry and signal both
+    * derive from ck (m08's rate/channel/length rules, [[pcmSample]]
+    * keyed on ck), so equal content keys produce byte-identical REAL
+    * WAVs and distinct keys differ in nearly every sample. */
+  def audioContentTable(spark: SparkSession, sfDir: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.catalog.Tables.documents(spark, sfDir)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        val ck = id % 97
+        val rate = (ck % 4) match {
+          case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+        }
+        val channels = 1 + ((ck / 7) % 2).toInt
+        val nSamples = 64 + (ck % 128).toInt
+        MediaRecord(id, pcmWavBytes(rate, channels, nSamples, ck),
+          "audio/wav")
+      }
+  }
+
+  /** Per-doc mono window energies decoded from REAL WAV bytes: the
+    * interleaved LE16 samples fold into exact integer Σs² per
+    * [[AudioFpWindow]]-frame window across all channels (trailing
+    * partial window included — deterministic). Binary dropped at
+    * decode; only (long, int, long) rows leave the stage. */
+  def windowEnergies(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        wavPcm16(r.media).toSeq.flatMap { case (m, at) =>
+          val nWin = (m.nSamples + AudioFpWindow - 1) / AudioFpWindow
+          (0 until nWin).map { w =>
+            var e = 0L
+            var f = w * AudioFpWindow
+            val end = math.min((w + 1) * AudioFpWindow, m.nSamples)
+            while (f < end) {
+              var c = 0
+              while (c < m.channels) {
+                val o = at + (f * m.channels + c) * 2
+                val v = ((r.media(o) & 0xff) |
+                  (r.media(o + 1) << 8)).toShort.toInt
+                e += v.toLong * v
+                c += 1
+              }
+              f += 1
+            }
+            (r.doc_id, w, e)
+          }
+        }
+      }
+    }.toDF("doc_id", "w", "energy")
+  }
+
+  /** m10: AUDIO FINGERPRINT DEDUP (beyond-reference).
+    *
+    *  1. decode the REAL interleaved PCM and fold exact integer mono
+    *     window energies ([[windowEnergies]] — the m08 decode path at
+    *     window grain);
+    *  2. fingerprint = the SIGN of consecutive energy deltas (the
+    *     chromaprint/shazam-family primitive in its exact-integer,
+    *     oracle-replayable form: `bit_j = E_{j+1} > E_j`), folded into
+    *     [[AudioFpBlock]]-bit blocks;
+    *  3. per doc: the ordered block-value sequence md5s into one
+    *     SIGNATURE — container/byte differences vanish, identical
+    *     recordings collide (m09's signature idiom);
+    *  4. exact tier: signature groups with > 1 doc; near tier:
+    *     DISTINCT signatures sharing ≥ 2 positional (block, value)
+    *     pairs via an equi-join over the signature-grain table —
+    *     never all-pairs.
+    *
+    * Scale: decode is embarrassingly parallel and drops the binary
+    * immediately; the delta window is doc-keyed (doc-bounded
+    * partitions, never a content hash); everything after the per-doc
+    * fold is SIGNATURE-grain. The near-tier join is quadratic only
+    * within one (block, value) bucket of the distinct-signature table;
+    * [[AudioFpBlock]]=4-bit blocks keep the demo fixture readable — at
+    * billion-recording scale the same plan runs with wider blocks
+    * (denser value space, sparser buckets), the m07/m09 widening story.
+    */
+  def audioFingerprintDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val en = graft.models.Shared
+      .materialized("audio_fp_energies", spark, sfDir) {
+        windowEnergies(audioContentTable(spark, sfDir))
+      }
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"w")
+    val bits = en
+      .withColumn("next_e", lead($"energy", 1).over(wd))
+      .filter($"next_e".isNotNull)
+      .select($"doc_id", $"w".as("j"),
+        when($"next_e" > $"energy", 1L).otherwise(0L).as("bit"))
+    val blocks = bits
+      .groupBy($"doc_id", expr(s"j div $AudioFpBlock").as("b"))
+      .agg(sum(expr(s"shiftleft(bit, j % $AudioFpBlock)")).as("bv"))
+    val perDoc = blocks.groupBy($"doc_id")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct($"b", $"bv"))),
+          x => x.getField("bv").cast(StringType)))).as("sig"))
+    val sigDocs = perDoc.groupBy($"sig").agg(count(lit(1)).as("n_docs"))
+    val sigBlocks = blocks.join(perDoc, Seq("doc_id"))
+      .select($"sig", $"b", $"bv").distinct()
+    val sigShared = sigBlocks.groupBy($"sig")
+      .agg(count(lit(1)).as("n_blocks"))
+    val selfRows = sigDocs.join(sigShared, Seq("sig"))
+      .filter($"n_docs" > 1)
+      .select($"sig".as("sig_a"), $"sig".as("sig_b"),
+        $"n_blocks".as("shared_blocks"),
+        $"n_docs".as("docs_a"), $"n_docs".as("docs_b"))
+    val near = sigBlocks.as("x").join(sigBlocks.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.sig") < col("y.sig"))
+      .groupBy(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .agg(count(lit(1)).as("shared_blocks"))
+      .filter($"shared_blocks" >= 2)
+      .join(broadcast(sigDocs.select($"sig".as("sig_a"),
+        $"n_docs".as("docs_a"))), Seq("sig_a"))
+      .join(broadcast(sigDocs.select($"sig".as("sig_b"),
+        $"n_docs".as("docs_b"))), Seq("sig_b"))
+      .select($"sig_a", $"sig_b", $"shared_blocks", $"docs_a", $"docs_b")
+    selfRows.unionByName(near)
+  }
+
+  /** The arithmetic twin of [[audioFingerprintDedup]]: samples, window
+    * energies, delta bits, blocks, signatures and shared-block counts
+    * all replayed per DISTINCT content key — DuckDB never reads a WAV
+    * byte (the m06/m08/m09 convention). */
+  val audioFingerprintDedupOracle: String =
+    s"""WITH ckt AS (SELECT DISTINCT doc_id % 97 AS ck FROM documents),
+      |geom AS (SELECT ck, cast(1 + (ck // 7) % 2 AS INT) AS channels,
+      |                64 + ck % 128 AS n FROM ckt),
+      |fr AS (SELECT ck, channels, unnest(range(n)) AS f FROM geom),
+      |sam AS (SELECT ck, f, unnest(range(channels)) AS c FROM fr),
+      |vals AS (SELECT ck, f, c,
+      |                (ck * 31 + c * 17 + f * 7) % 4096 - 2048 AS s
+      |         FROM sam),
+      |wen AS (SELECT ck, f // $AudioFpWindow AS w, sum(s * s) AS energy
+      |        FROM vals GROUP BY 1, 2),
+      |bits AS (SELECT ck, w AS j,
+      |                CASE WHEN lead(energy) OVER (PARTITION BY ck ORDER BY w)
+      |                          > energy THEN 1 ELSE 0 END AS bit,
+      |                lead(energy) OVER (PARTITION BY ck ORDER BY w) AS ne
+      |         FROM wen),
+      |bts AS (SELECT ck, j, bit FROM bits WHERE ne IS NOT NULL),
+      |blocks AS (SELECT ck, j // $AudioFpBlock AS b,
+      |                  cast(sum(bit << (j % $AudioFpBlock)) AS BIGINT) AS bv
+      |           FROM bts GROUP BY 1, 2),
+      |sigs AS (SELECT ck,
+      |                md5(string_agg(cast(bv AS VARCHAR), ',' ORDER BY b)) AS sig
+      |         FROM blocks GROUP BY 1),
+      |sdocs AS (SELECT s.sig, count(*) AS n_docs
+      |          FROM documents d JOIN sigs s ON d.doc_id % 97 = s.ck
+      |          GROUP BY 1),
+      |sb AS (SELECT DISTINCT s.sig, k.b, k.bv
+      |       FROM sigs s JOIN blocks k ON s.ck = k.ck),
+      |scnt AS (SELECT sig, count(*) AS n_blocks FROM sb GROUP BY 1),
+      |selfrows AS (SELECT d.sig AS sig_a, d.sig AS sig_b,
+      |                    c.n_blocks AS shared_blocks,
+      |                    d.n_docs AS docs_a, d.n_docs AS docs_b
+      |             FROM sdocs d JOIN scnt c USING (sig)
+      |             WHERE d.n_docs > 1),
+      |near AS (SELECT x.sig AS sig_a, y.sig AS sig_b,
+      |                count(*) AS shared_blocks
+      |         FROM sb x JOIN sb y
+      |           ON x.b = y.b AND x.bv = y.bv AND x.sig < y.sig
+      |         GROUP BY 1, 2
+      |         HAVING count(*) >= 2)
+      |SELECT * FROM selfrows
+      |UNION ALL
+      |SELECT n.sig_a, n.sig_b, n.shared_blocks,
+      |       ga.n_docs AS docs_a, gb.n_docs AS docs_b
+      |FROM near n
+      |JOIN sdocs ga ON n.sig_a = ga.sig
+      |JOIN sdocs gb ON n.sig_b = gb.sig""".stripMargin
 }

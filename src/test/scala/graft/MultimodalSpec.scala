@@ -476,6 +476,49 @@ class MultimodalSpec extends AnyFunSuite {
     via16.unpersist(); via64.unpersist()
   }
 
+  test("m10: decoded window energies equal the generator arithmetic, content keys collide") {
+    // decode path: the real-WAV window energies must equal the
+    // (ck, channel, frame) sample arithmetic folded directly
+    val media = MultimodalOps
+      .audioContentTable(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id".isin(5L, 102L, 6L)).cache()
+    val decoded = MultimodalOps.windowEnergies(media)
+      .as[(Long, Int, Long)].collect()
+      .map { case (d, w, e) => (d, w) -> e }.toMap
+    def expected(id: Long): Map[(Long, Int), Long] = {
+      val ck = id % 97
+      val channels = 1 + ((ck / 7) % 2).toInt
+      val n = 64 + (ck % 128).toInt
+      (0 until n).flatMap { f =>
+        (0 until channels).map { c =>
+          val s = MultimodalOps.pcmSample(ck, c, f).toLong
+          (id, f / MultimodalOps.AudioFpWindow) -> s * s
+        }
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    for (id <- Seq(5L, 102L, 6L); ((d, w), e) <- expected(id))
+      assert(decoded((d, w)) == e, s"window energy mismatch at ($d, $w)")
+    // content keys: doc 5 and doc 102 share ck=5 → identical window
+    // energies → identical fingerprints; doc 6 differs
+    val e5 = decoded.collect { case ((5L, w), e) => w -> e }.toMap
+    val e102 = decoded.collect { case ((102L, w), e) => w -> e }.toMap
+    assert(e5 == e102, "same content key must decode identically")
+    media.unpersist()
+
+    // and the dedup surface groups them: some exact group holds ≥ 2
+    // docs, every near pair shares ≥ 2 positional blocks
+    val out = MultimodalOps
+      .audioFingerprintDedup(spark, "/root/testdata/sf0.001").cache()
+    val exactGroups = out.filter($"sig_a" === $"sig_b")
+      .select($"docs_a").as[Long].collect()
+    assert(exactGroups.nonEmpty && exactGroups.max >= 500 / 97,
+      "content-identical recordings must share a signature group")
+    val nearBad = out.filter($"sig_a" =!= $"sig_b" && $"shared_blocks" < 2)
+      .count()
+    assert(nearBad == 0)
+    out.unpersist()
+  }
+
   test("m07: pixel-identical images under different doc_ids share an exact group") {
     // the fixture keys content on doc_id % 97 — doc 5 and doc 102
     // carry byte-identical PNGs, so their hashes must collide exactly,

@@ -41,7 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s01_cosine_topk",
     "s04_sq8_ann_topk", // 10 broadcast query vectors, the s01 shape
     // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
-    "s06_ivfpq_ann_topk", // constant 16-row coarse codebook crossJoin
+    "s06_ivfpq_ann_topk", // constant IvfPqCells-row codebook crossJoin
     // for the query-probe assignment (`SimilarityModels.adcSearch`)
     "s07_ivfpq_refined_topk", // same probe-assignment crossJoin via
     // adcSearch's shortlist stage
@@ -316,6 +316,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val c13 = formatted("c13_bpe_packing")
     assert(!readsColumn(c13, "source") && !readsColumn(c13, "n_chars"),
       "c13 scan reads corpus columns it never uses")
+  }
+
+  test("round-12 families: pruned scans") {
+    // s09 touches (vec_id, embedding, label) — the documents corpus is
+    // never scanned and no text payload enters any reader
+    val s09 = formatted("s09_contrastive_triplets")
+    assert(!readsColumn(s09, "text") && !readsColumn(s09, "n_chars"),
+      "s09 scan reads corpus columns it never uses")
+    // m10 renders audio from doc_id alone — no corpus payload
+    val m10 = formatted("m10_audio_fp_dedup")
+    assert(!readsColumn(m10, "text") && !readsColumn(m10, "lang"),
+      "m10 scan reads corpus columns it never uses")
   }
 
   test("round-9 families: pruned scans") {
