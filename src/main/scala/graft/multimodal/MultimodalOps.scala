@@ -1703,26 +1703,77 @@ object MultimodalOps {
     * billion-recording scale the same plan runs with wider blocks
     * (denser value space, sparser buckets), the m07/m09 widening story.
     */
+  /** Fingerprint blocks `(doc_id, b, bv)` of a window-energy frame:
+    * delta bits over a doc-keyed window (doc-bounded partitions, never
+    * a content hash), packed [[AudioFpBlock]] bits per block. */
+  private[graft] def fingerprintBlocks(en: DataFrame): DataFrame = {
+    import en.sparkSession.implicits._
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"w")
+    en
+      .withColumn("next_e", lead($"energy", 1).over(wd))
+      .filter($"next_e".isNotNull)
+      .select($"doc_id", $"w".as("j"),
+        when($"next_e" > $"energy", 1L).otherwise(0L).as("bit"))
+      .groupBy($"doc_id", expr(s"j div $AudioFpBlock").as("b"))
+      .agg(sum(expr(s"shiftleft(bit, j % $AudioFpBlock)")).as("bv"))
+  }
+
+  /** Per-doc signature `(doc_id, sig)` of a block frame — md5 of the
+    * block-ordered value sequence (the m09 signature idiom). */
+  def audioSignatures(blocks: DataFrame): DataFrame = {
+    import blocks.sparkSession.implicits._
+    blocks.groupBy($"doc_id")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct($"b", $"bv"))),
+          x => x.getField("bv").cast(StringType)))).as("sig"))
+  }
+
+  /** Single-pass pure-JVM twin of the decode→energies→bits→blocks→md5
+    * chain: the whole signature computed in-row so it lifts to a
+    * STREAMING Dataset (the DataFrame form needs a per-doc window,
+    * which streams can't run — the `ahash16` precedent, pointed at
+    * audio). MultimodalSpec pins signature equality between the two
+    * paths over the m10 fixture. */
+  def audioFingerprint(bytes: Array[Byte]): Option[String] =
+    wavPcm16(bytes).flatMap { case (m, at) =>
+      val nWin = (m.nSamples + AudioFpWindow - 1) / AudioFpWindow
+      if (nWin < 2) None
+      else {
+        val e = Array.ofDim[Long](nWin)
+        var f = 0
+        while (f < m.nSamples) {
+          var c = 0
+          while (c < m.channels) {
+            val o = at + (f * m.channels + c) * 2
+            val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+            e(f / AudioFpWindow) += v.toLong * v
+            c += 1
+          }
+          f += 1
+        }
+        val nBlocks = (nWin - 1 + AudioFpBlock - 1) / AudioFpBlock
+        val bv = Array.ofDim[Long](nBlocks)
+        var j = 0
+        while (j < nWin - 1) {
+          if (e(j + 1) > e(j)) bv(j / AudioFpBlock) |= 1L << (j % AudioFpBlock)
+          j += 1
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(bv.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        Some(hex)
+      }
+    }
+
   def audioFingerprintDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val en = graft.models.Shared
       .materialized("audio_fp_energies", spark, sfDir) {
         windowEnergies(audioContentTable(spark, sfDir))
       }
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"w")
-    val bits = en
-      .withColumn("next_e", lead($"energy", 1).over(wd))
-      .filter($"next_e".isNotNull)
-      .select($"doc_id", $"w".as("j"),
-        when($"next_e" > $"energy", 1L).otherwise(0L).as("bit"))
-    val blocks = bits
-      .groupBy($"doc_id", expr(s"j div $AudioFpBlock").as("b"))
-      .agg(sum(expr(s"shiftleft(bit, j % $AudioFpBlock)")).as("bv"))
-    val perDoc = blocks.groupBy($"doc_id")
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct($"b", $"bv"))),
-          x => x.getField("bv").cast(StringType)))).as("sig"))
+    val blocks = fingerprintBlocks(en)
+    val perDoc = audioSignatures(blocks)
     val sigDocs = perDoc.groupBy($"sig").agg(count(lit(1)).as("n_docs"))
     val sigBlocks = blocks.join(perDoc, Seq("doc_id"))
       .select($"sig", $"b", $"bv").distinct()
