@@ -120,6 +120,7 @@ object SparkEntry {
     "s07_ivfpq_refined_topk" -> (SimilarityModels.ivfPqRefinedTopK _),
     "s08_hard_negatives" -> (SimilarityModels.hardNegativeMining _),
     "s09_contrastive_triplets" -> (SimilarityModels.contrastiveTriplets _),
+    "s10_filtered_ann_topk" -> (SimilarityModels.filteredAnnTopK _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "s07_ivfpq_refined_topk" -> Seq("cosine_sim"),
     "s08_hard_negatives" -> Seq("neg_sim"),
     "s09_contrastive_triplets" -> Seq("pos_sim", "neg_sim"),
+    "s10_filtered_ann_topk" -> Seq("ivfpq_sim"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "d09_semantic_dedup" -> Seq("max_pair_sim"),
     "c11_semantic_decontam" -> Seq("max_eval_sim"),
@@ -314,6 +316,7 @@ object SparkEntry {
     "s07_ivfpq_refined_topk" -> SimilarityModels.ivfPqRefinedTopKOracle,
     "s08_hard_negatives" -> SimilarityModels.hardNegativeMiningOracle,
     "s09_contrastive_triplets" -> SimilarityModels.contrastiveTripletsOracle,
+    "s10_filtered_ann_topk" -> SimilarityModels.filteredAnnTopKOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,

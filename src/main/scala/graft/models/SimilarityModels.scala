@@ -695,6 +695,22 @@ object SimilarityModels {
   private[graft] def adcSearch(queries: DataFrame, cents: DataFrame,
       pqCents: DataFrame, codes: DataFrame, k: Int): DataFrame = {
     import queries.sparkSession.implicits._
+    adcScored(queries, cents, pqCents, codes)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ivfpq_sim".desc, $"cand_id")))
+      .filter($"rk" <= k)
+      .select($"query_id", $"cand_id", $"cell", $"ivfpq_sim",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  /** [[adcSearch]] before its ranking tail: every (query, candidate)
+    * ADC similarity over the probed cells — the seat where a FILTERED
+    * search (s10) interposes its metadata predicate so the top-k ranks
+    * the FILTERED candidate set (ranking first and filtering after
+    * would under-fill k, the classic filtered-vector-search bug). */
+  private[graft] def adcScored(queries: DataFrame, cents: DataFrame,
+      pqCents: DataFrame, codes: DataFrame): DataFrame = {
+    import queries.sparkSession.implicits._
     val dotA = dotArr _
     val ms = explode(sequence(lit(0), lit(IvfPqM - 1))).as("m")
     val dec = (c: Column) => c.cast(DecimalType(28, 9))
@@ -729,7 +745,8 @@ object SimilarityModels {
       // The sums are O(1)-magnitude, so narrowing to (20,9) is exact and
       // keeps every downstream decimal op inside 38 digits.
       .agg(sum($"partial").cast(DecimalType(20, 9)).as("r_dot"),
-        max($"vnorm").as("c_norm"))
+        max($"vnorm").as("c_norm"),
+        max($"label").as("cand_label"))
       .withColumnRenamed("vec_id", "cand_id")
     val sim = round(
       ($"qc_dot" + $"r_dot").cast(DoubleType) /
@@ -737,11 +754,7 @@ object SimilarityModels {
     scored.join(broadcast(qprobe), Seq("query_id", "cell"))
       .filter($"query_id" =!= $"cand_id")
       .withColumn("ivfpq_sim", sim)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"ivfpq_sim".desc, $"cand_id")))
-      .filter($"rk" <= k)
-      .select($"query_id", $"cand_id", $"cell", $"ivfpq_sim",
-        $"rk".cast(LongType).as("sim_rank"))
+      .select($"query_id", $"cand_id", $"cell", $"cand_label", $"ivfpq_sim")
   }
 
   /** Shared s06/s07 index setup: the doubled corpus plus the three
@@ -768,11 +781,15 @@ object SimilarityModels {
       residualCodebook(base, cents)
     }
     val codes = Shared.materialized("ivfpq_codes", spark, sfDir) {
-      // the exact per-vector norm rides the code table (the FAISS
-      // cosine/IP convention — see adcSearch): known exactly at build
-      // time, 4 bytes/vector at scale
+      // the exact per-vector norm AND the metadata label ride the code
+      // table (the FAISS cosine/IP norm convention + the filtered-
+      // search design every production vector store uses: predicate
+      // columns live beside the codes, so a filtered query never joins
+      // the corpus) — both known exactly at build time
       encodeAgainst(residualSubs(cellTop2(base, cents), cents), pqCents)
         .join(base.select($"vec_id", $"norm".as("vnorm")), Seq("vec_id"))
+        .join(Tables.embeddings(spark, sfDir)
+          .select($"vec_id", $"label"), Seq("vec_id"))
     }
     (base, cents, pqCents, codes)
   }
@@ -847,6 +864,56 @@ object SimilarityModels {
          |FROM rerank
          |QUALIFY sim_rank <= 5""".stripMargin
   }
+
+  /** s10: FILTERED ANN SEARCH (beyond-reference) — metadata-filtered
+    * vector search, the headline serving feature of every production
+    * vector store (FAISS IDSelector / Milvus scalar filter / pgvector
+    * WHERE): top-k most-similar candidates SUBJECT TO a predicate,
+    * here `candidate.label = query.label` ("similar items in my
+    * category"). The predicate interposes BETWEEN scoring and ranking
+    * ([[adcScored]]), so k ranks the filtered candidate set —
+    * filtering after top-k would under-fill k whenever the unfiltered
+    * leaders fail the predicate, the classic filtered-search bug.
+    *
+    * Scale: the label rides the CODE TABLE (written at index-build
+    * time beside the 4-byte codes and the exact norm — the design that
+    * keeps a filtered query from ever joining the corpus), so the
+    * filter is a per-row predicate on the already-pruned probe scan;
+    * the query-side label is a 10-row broadcast. Cost is identical to
+    * s06 minus the rows the predicate drops.
+    */
+  def filteredAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (base, cents, pqCents, codes) = ivfPqIndex(spark, sfDir)
+    val qLabels = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"label")
+    adcScored(base.filter($"vec_id" < 10), cents, pqCents, codes)
+      .join(broadcast(qLabels), Seq("query_id"))
+      .filter($"cand_label" === $"label")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"ivfpq_sim".desc, $"cand_id")))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"label", $"cand_id", $"cell", $"ivfpq_sim",
+        $"rk".cast(LongType).as("sim_rank"))
+  }
+
+  val filteredAnnTopKOracle: String =
+    ivfPqOracleCtes +
+      """,
+        |qlab AS (SELECT vec_id AS query_id, label FROM embeddings
+        |         WHERE vec_id < 10),
+        |clab AS (SELECT vec_id AS cand_id, label AS cand_label
+        |         FROM embeddings)
+        |SELECT f.query_id, q.label, f.cand_id, f.cell, f.ivfpq_sim,
+        |       cast(row_number() OVER (PARTITION BY f.query_id
+        |              ORDER BY f.ivfpq_sim DESC, f.cand_id) AS BIGINT)
+        |         AS sim_rank
+        |FROM final f
+        |JOIN qlab q ON q.query_id = f.query_id
+        |JOIN clab c ON c.cand_id = f.cand_id AND c.cand_label = q.label
+        |QUALIFY sim_rank <= 5""".stripMargin
 
   /** CTE chain shared by the s06 and s07 oracles: everything through
     * the `final` CTE (per-candidate ADC similarity over the probed

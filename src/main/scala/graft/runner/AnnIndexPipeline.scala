@@ -70,9 +70,13 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
         SimilarityModels.residualSubs(
           SimilarityModels.cellTop2(base, cents), cents),
         spark.read.parquet(targetPath("ann_pq_codebook")))
-      // exact per-vector norm beside the codes (adcSearch's cosine
-      // denominator — the 4-bytes-per-vector FAISS convention)
+      // exact per-vector norm + metadata label beside the codes
+      // (adcSearch's cosine denominator + the filtered-search design:
+      // predicate columns live in the index, never joined from the
+      // corpus at query time)
       .join(base.select($"vec_id", $"norm".as("vnorm")), Seq("vec_id"))
+      .join(Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"label"), Seq("vec_id"))
       .write.mode(SaveMode.Overwrite).parquet(targetPath("ann_codes"))
     report()
   }
@@ -109,6 +113,8 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
           SimilarityModels.cellTop2(newBase, cents), cents),
         pqCents)
       .join(newBase.select($"vec_id", $"norm".as("vnorm")), Seq("vec_id"))
+      .join(Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"label").filter($"vec_id" > wm), Seq("vec_id"))
       .write.mode(SaveMode.Append).parquet(targetPath("ann_codes"))
     report()
   }

@@ -45,6 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // for the query-probe assignment (`SimilarityModels.adcSearch`)
     "s07_ivfpq_refined_topk", // same probe-assignment crossJoin via
     // adcSearch's shortlist stage
+    "s10_filtered_ann_topk", // same probe-assignment crossJoin via
+    // adcScored (the filter interposes before ranking, not the probe)
     // t07/t08/t09 carried one-row total-frame BNLJs until round 8;
     // their LM models are now session-materialized dim tables, so the
     // audited steady-state plans read parquet with no nested loop
