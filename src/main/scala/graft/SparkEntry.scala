@@ -111,6 +111,7 @@ object SparkEntry {
     "d09_semantic_dedup" -> (SimilarityModels.semanticDedup _),
     "d10_dup_spans" -> (DedupModels.dupSpans _),
     "d11_span_trim" -> (DedupModels.spanTrim _),
+    "d12_canonical_rep" -> (DedupModels.canonicalRepresentative _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
@@ -134,6 +135,8 @@ object SparkEntry {
     "c11_semantic_decontam" -> (SimilarityModels.semanticDecontamination _),
     "c12_train_packing" -> (CurationModels.trainSplitPacking _),
     "c13_bpe_packing" -> (CurationModels.bpePackSequences _),
+    "c14_domain_mixture" -> (SimilarityModels.domainMixture _),
+    "c15_epoch_shuffle" -> (CurationModels.epochShuffle _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -149,6 +152,7 @@ object SparkEntry {
     "t13_bpe_tokenize" -> (TextModels.bpeTokenize _),
     "t14_dsir_importance" -> (TextModels.dsirImportance _),
     "t15_gumbel_resample" -> (TextModels.dsirGumbelResample _),
+    "t16_tfidf_keywords" -> (TextModels.tfidfKeywords _),
     "m01_media_meta_summary" -> (graft.multimodal.MultimodalOps.mediaMetaSummary _),
     "m02_frame_sample_summary" -> (graft.multimodal.MultimodalOps.frameSampleSummary _),
     "m03_resize_summary" -> (graft.multimodal.MultimodalOps.resizeSummary _),
@@ -231,6 +235,7 @@ object SparkEntry {
     "t11_nb_quality" -> Seq("sum_llr"),
     "t14_dsir_importance" -> Seq("sum_lr"),
     "t15_gumbel_resample" -> Seq("sum_lr"),
+    "t16_tfidf_keywords" -> Seq("score"),
   )
 
   /** Wrap an oracle so its decimal outputs render as DOUBLE, matching
@@ -307,6 +312,7 @@ object SparkEntry {
     "d09_semantic_dedup" -> SimilarityModels.semanticDedupOracle,
     "d10_dup_spans" -> DedupModels.dupSpansOracle,
     "d11_span_trim" -> DedupModels.spanTrimOracle,
+    "d12_canonical_rep" -> DedupModels.canonicalRepresentativeOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
@@ -330,6 +336,8 @@ object SparkEntry {
     "c11_semantic_decontam" -> SimilarityModels.semanticDecontaminationOracle,
     "c12_train_packing" -> CurationModels.trainSplitPackingOracle,
     "c13_bpe_packing" -> CurationModels.bpePackSequencesOracle,
+    "c14_domain_mixture" -> SimilarityModels.domainMixtureOracle,
+    "c15_epoch_shuffle" -> CurationModels.epochShuffleOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,
@@ -345,6 +353,7 @@ object SparkEntry {
     "t13_bpe_tokenize" -> TextModels.bpeTokenizeOracle,
     "t14_dsir_importance" -> TextModels.dsirImportanceOracle,
     "t15_gumbel_resample" -> TextModels.dsirGumbelResampleOracle,
+    "t16_tfidf_keywords" -> TextModels.tfidfKeywordsOracle,
     "m01_media_meta_summary" -> graft.multimodal.MultimodalOps.mediaMetaSummaryOracle,
     "m02_frame_sample_summary" -> graft.multimodal.MultimodalOps.frameSampleSummaryOracle,
     "m03_resize_summary" -> graft.multimodal.MultimodalOps.resizeSummaryOracle,

@@ -1005,4 +1005,69 @@ object CurationModels {
        |       count(component_id) AS n_clustered_docs,
        |       cast(sum(n_chars) AS BIGINT) AS total_chars
        |FROM s GROUP BY 1, 2""".stripMargin
+
+  /** Shard count of the c15 epoch shuffle. Demo geometry: production
+    * sets this to corpus_docs / docs-per-shard-file so each shard is
+    * one bounded output file; the plan below is shard-count-agnostic
+    * (everything is keyed BY shard, nothing enumerates shards). */
+  private[graft] val EpochShards = 8L
+
+  /** c15: EPOCH SHUFFLE — the deterministic GLOBAL training-order
+    * permutation every pretraining run applies between the curated
+    * corpus and the dataloader: docs are ordered by an md5-derived
+    * permutation key (the c02/c07 coin idiom — no RNG, bit-identical
+    * replay on both engines and across re-runs, which is what makes a
+    * training run reproducible), bucketed into [[EpochShards]] shard
+    * files, and given their within-shard position. c05's packer orders
+    * by doc_id WITHIN streams (offset bookkeeping); c15 is the step
+    * that makes the stream ORDER random with respect to crawl/source
+    * order, so a sequential reader sees an i.i.d.-like mix. Reads the
+    * span-trimmed corpus — the shuffle covers what actually ships.
+    *
+    * Scale: the permutation key is uniform by construction (md5 of the
+    * UNIQUE doc_id — no hot keys possible, unlike content hashes), so
+    * shards are balanced to ±√ noise. The per-shard row_number window
+    * is one sort per shard partition, and a shard partition IS the
+    * unit a shard-file writer must stream through one task anyway —
+    * the window adds no serialization the write path doesn't already
+    * have. Shard count grows with the corpus (constant file size), so
+    * per-task volume stays bounded at 100 TB.
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
+    trimmedDocs(spark, sfDir)
+      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .withColumn("perm", md5($"doc_id".cast(StringType)))
+      .withColumn("shard",
+        (hexVal(substring($"perm", 1, 1)) * 4096 +
+          hexVal(substring($"perm", 2, 1)) * 256 +
+          hexVal(substring($"perm", 3, 1)) * 16 +
+          hexVal(substring($"perm", 4, 1))) % EpochShards)
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"perm", $"doc_id"))
+        .cast(LongType))
+      .select($"doc_id", $"shard", $"shard_pos", $"n_tokens", $"perm")
+  }
+
+  val epochShuffleOracle: String = {
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(perm, $i, 1)) - 1)"
+    s"""WITH ${DedupModels.spanTrimSqlCtes},
+       |d AS (SELECT doc_id,
+       |             cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             md5(cast(doc_id AS VARCHAR)) AS perm
+       |      FROM trimmed),
+       |s AS (SELECT *,
+       |             (${hexAt(1)} * 4096 + ${hexAt(2)} * 256 +
+       |              ${hexAt(3)} * 16 + ${hexAt(4)}) % $EpochShards AS shard
+       |      FROM d)
+       |SELECT doc_id, cast(shard AS BIGINT) AS shard,
+       |       cast(row_number() OVER (PARTITION BY shard
+       |              ORDER BY perm, doc_id) AS BIGINT) AS shard_pos,
+       |       n_tokens, perm
+       |FROM s""".stripMargin
+  }
 }

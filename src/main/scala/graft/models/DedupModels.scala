@@ -895,4 +895,62 @@ object DedupModels {
        |       n_tokens - kept_tokens AS removed_tokens,
        |       text AS clean_text
        |FROM trimmed""".stripMargin
+
+  /** d12: QUALITY-AWARE CANONICAL REPRESENTATIVE (beyond-reference) —
+    * d07 keeps each near-dup cluster's MIN doc_id; production corpus
+    * builds (RefinedWeb §3.2, Penedo et al. 2023; Dolma's dedup keep
+    * rule) keep the cluster's BEST document instead, because near-dup
+    * copies differ in boilerplate, truncation, and OCR noise and the
+    * arbitrary-id pick throws quality away. The canonical doc per
+    * component = argmax (t03 quality_score, ties → min doc_id); every
+    * clustered doc is emitted with its component, score, and the
+    * keep/drop verdict.
+    *
+    * Shuffle shape: the argmax is `min(struct(-quality, doc_id))` per
+    * component — an ALGEBRAIC aggregate (map-side combine; the d08
+    * rewrite's idiom), NOT a rank window, so a pathological mega-
+    * cluster (the boilerplate page duplicated everywhere) fans in
+    * pre-combined per map task instead of serializing through one
+    * window partition. Inputs are both materialized once (d07's label
+    * table, t03's doc-grain scores) and join on uniform doc_id keys.
+    */
+  def canonicalRepresentative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = nearDupClusters(spark, sfDir)
+      .select($"doc_id", $"component_id")
+    val scored = labeled.join(
+      TextModels.docQuality(spark, sfDir)
+        .select($"doc_id", $"quality_score"), Seq("doc_id"))
+    val canon = scored.groupBy($"component_id")
+      .agg(min(struct((-$"quality_score").as("nq"), $"doc_id".as("d")))
+        .as("c"))
+      .select($"component_id", $"c.d".as("canonical_doc"))
+    scored.join(canon, Seq("component_id"))
+      .select($"doc_id", $"component_id", $"quality_score",
+        ($"doc_id" === $"canonical_doc").as("is_canonical"))
+  }
+
+  /** The oracle replays d07's recursive components, t03's doc-grain
+    * quality, and the argmax as a per-component rank (semantics; the
+    * Spark plan states the distribution strategy). */
+  lazy val canonicalRepresentativeOracle: String =
+    s"""WITH RECURSIVE ${TextModels.docQualityOracleCtes}
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM ($lshNearDupPairsOracle) t
+       |  WHERE inter_count * 2 >= union_count),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT e.doc_a, r.lbl FROM reach r JOIN edges e ON e.doc_b = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS component_id
+       |         FROM reach GROUP BY doc_id),
+       |scored AS (SELECT c.doc_id, c.component_id, q.quality_score
+       |           FROM comp c JOIN q_scored q USING (doc_id)),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY component_id
+       |                  ORDER BY quality_score DESC, doc_id) AS rk
+       |           FROM scored)
+       |SELECT doc_id, component_id, quality_score, rk = 1 AS is_canonical
+       |FROM ranked""".stripMargin
 }

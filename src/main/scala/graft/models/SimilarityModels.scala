@@ -1519,4 +1519,130 @@ object SimilarityModels {
          |FROM scored WHERE sim >= $SemContamTau GROUP BY 1, 2""".stripMargin
     head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64, cosine = true) + tail
   }
+
+  /** c14: DOMAIN-MIXTURE REWEIGHTING over DISCOVERED domains
+    * (beyond-reference) — c07's temperature flattening applied to
+    * latent clusters instead of the labeled `lang` column: when a
+    * corpus has no domain labels (the common case for web crawl), the
+    * mixing knob DoReMi-style builds (Xie et al. 2023,
+    * arXiv:2305.10429 train weights; the T=2 sqrt flattening is the
+    * public heuristic form) needs domains DISCOVERED from the
+    * embedding space first. The domains ARE s03's trained IVF cells —
+    * the third consumer of the materialized `ivf_cents`/`ivf_top2`
+    * index (after ANN search and d09's SemDeDup), the same
+    * one-structure-many-jobs amortization a production vector
+    * warehouse runs.
+    *
+    * Per vector: its cell, the cell's corpus share, the T=2 mixture
+    * weight `w_c ∝ sqrt(share_c)` (dominant clusters downsample, rare
+    * ones upsample), the repeat factor, and the deterministic
+    * replication index `n_copies` (c07's md5-bucket stochastic
+    * rounding — no RNG, engine-independent).
+    *
+    * Cross-engine exactness is c07's by construction: sqrt/division
+    * are IEEE-correctly-rounded doubles, normalization sums 6dp
+    * DECIMAL weights (order-free), and the stochastic-rounding compare
+    * is an integer cross-multiply.
+    *
+    * Scale: assignment is one corpus pass against the broadcast
+    * codebook (already materialized); the cell table is k rows (k
+    * grows ~with corpus so cells stay constant-sized, but k ≪ corpus —
+    * the lit(1) windows run over k rows, never data); the weight table
+    * broadcasts back over the corpus as a stateless map. The
+    * replication INDEX (not exploded copies) is what ships.
+    */
+  def domainMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    withFloatDot(spark)
+    import spark.implicits._
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
+    val base = doubledEmb(Tables.embeddings(spark, sfDir))
+    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+      coarseCodebook(base)
+    }
+    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+      cellTop2(base, cents)
+    }
+    val members = top2.filter($"crk" === 1)
+      .select($"cid".as("cell"), $"vec_id")
+    val w = Window.partitionBy(lit(1)) // k-row cell table only
+    val cellStats = members.groupBy($"cell")
+      .agg(count(lit(1)).as("n_c"))
+      .withColumn("n_total", sum($"n_c").over(w))
+      .withColumn("share",
+        $"n_c".cast(DoubleType) / $"n_total".cast(DoubleType))
+      .withColumn("w6", round(sqrt($"share"), 6).cast(DecimalType(10, 6)))
+      .withColumn("w_sum", sum($"w6").over(w))
+      .withColumn("repeat6", round(
+        ($"w6".cast(DoubleType) / $"w_sum".cast(DoubleType)) / $"share", 6))
+      .select($"cell",
+        expr("n_c * 1000000L div n_total").as("share_micros"),
+        $"w6".cast(DoubleType).as("mix_weight"), $"repeat6")
+    members.join(broadcast(cellStats), Seq("cell"))
+      .withColumn("h", md5($"vec_id".cast(StringType)))
+      .withColumn("bucket",
+        hexVal(substring($"h", 1, 1)) * 4096 +
+          hexVal(substring($"h", 2, 1)) * 256 +
+          hexVal(substring($"h", 3, 1)) * 16 + hexVal(substring($"h", 4, 1)))
+      .withColumn("frac_micros",
+        round(($"repeat6" - floor($"repeat6")) * 1e6).cast(LongType))
+      .withColumn("n_copies",
+        floor($"repeat6") +
+          when($"bucket" * 1000000L < $"frac_micros" * 65536L, 1L)
+            .otherwise(0L))
+      .select($"vec_id", $"cell", $"share_micros", $"mix_weight",
+        $"repeat6".as("repeat_factor"), $"n_copies")
+  }
+
+  lazy val domainMixtureOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(64), i -> $a[i+1] * $b[i+1]))"
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(md5(cast(vec_id AS VARCHAR)), $i, 1)) - 1)"
+    val head =
+      s"""WITH base AS (SELECT vec_id,
+         |                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+         |              FROM embeddings),
+         |bn AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS norm FROM base),
+         |km_train AS (SELECT 0 AS grp, vec_id AS id, v FROM base
+         |             WHERE vec_id < $AnnTrainCap),
+         |""".stripMargin
+    val tail =
+      s"""cents AS (SELECT cid, cv, cnorm FROM km_cents),
+         |ranked AS (
+         |  SELECT b.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY b.vec_id
+         |           ORDER BY round(${dot("b.v", "c.cv")} / (b.norm * c.cnorm), 6) DESC,
+         |                    c.cid) AS crk
+         |  FROM bn b CROSS JOIN cents c),
+         |members AS (SELECT cid AS cell, vec_id FROM ranked WHERE crk = 1),
+         |counts AS (SELECT cell, count(*) AS n_c FROM members GROUP BY 1),
+         |tot AS (SELECT cell, n_c, sum(n_c) OVER () AS n_total FROM counts),
+         |wt AS (SELECT cell, n_c, n_total,
+         |              cast(n_c AS DOUBLE) / cast(n_total AS DOUBLE) AS share,
+         |              cast(round(sqrt(cast(n_c AS DOUBLE) / cast(n_total AS DOUBLE)), 6)
+         |                   AS DECIMAL(10,6)) AS w6
+         |       FROM tot),
+         |ws AS (SELECT *, sum(w6) OVER () AS w_sum FROM wt),
+         |ls AS (SELECT cell,
+         |              n_c * 1000000 // n_total AS share_micros,
+         |              cast(w6 AS DOUBLE) AS mix_weight,
+         |              round((cast(w6 AS DOUBLE) / cast(w_sum AS DOUBLE)) / share, 6)
+         |                AS repeat6
+         |       FROM ws),
+         |b AS (SELECT m.vec_id, m.cell, ls.share_micros, ls.mix_weight,
+         |             ls.repeat6,
+         |             ${hexAt(1)} * 4096 + ${hexAt(2)} * 256 +
+         |             ${hexAt(3)} * 16 + ${hexAt(4)} AS bucket,
+         |             cast(round((ls.repeat6 - floor(ls.repeat6)) * 1000000)
+         |                  AS BIGINT) AS frac_micros
+         |      FROM members m JOIN ls USING (cell))
+         |SELECT vec_id, cell, cast(share_micros AS BIGINT) AS share_micros,
+         |       mix_weight, repeat6 AS repeat_factor,
+         |       cast(floor(repeat6) AS BIGINT) +
+         |       CASE WHEN bucket * 1000000 < frac_micros * 65536
+         |            THEN 1 ELSE 0 END AS n_copies
+         |FROM b""".stripMargin
+    head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64, cosine = true) + tail
+  }
 }

@@ -84,11 +84,11 @@ object TextModels {
        |       cast(sum(stop_tokens) AS BIGINT) AS stop_tokens_total
        |FROM feats GROUP BY 1, 2""".stripMargin
 
-  /** t03: quality scoring — length / stopword-ratio / mean-token-length
-    * features combined into an integer score, bucketed. Ratios stay in
+  /** Doc-grain quality frame behind t03 (and d12's representative
+    * pick): (doc_id, lang, n_tokens, quality_score). Ratios stay in
     * exact integer arithmetic (micros idiom) for engine parity.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def docQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val t = toks($"text")
     val base = Tables.documents(spark, sfDir)
@@ -109,6 +109,35 @@ object TextModels {
           .otherwise(lit(0))
     base
       .withColumn("quality_score", score.cast(LongType))
+      .select($"doc_id", $"lang", $"n_tokens", $"quality_score")
+  }
+
+  /** The doc-grain CTE twin of [[docQuality]] — splice into oracles
+    * needing per-doc quality: defines `q_scored(doc_id, lang,
+    * n_tokens, quality_score)`. Trailing comma included. */
+  private[graft] val docQualityOracleCtes: String =
+    s"""q_feats AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         cast(len(string_split($normSqlDuck, ' ')) AS BIGINT) AS n_tokens,
+       |         cast(len(list_filter(string_split($normSqlDuck, ' '),
+       |                              x -> x IN ($stopSqlList))) AS BIGINT) AS stop_tokens
+       |  FROM documents),
+       |q_scored AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         cast((CASE WHEN n_tokens >= 40 THEN 2 WHEN n_tokens >= 15 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN (stop_tokens * 1000000) // n_tokens >= 100000 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN ((n_chars - n_tokens + 1) * 1000000) // n_tokens
+       |                    BETWEEN 3000000 AND 8000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS quality_score
+       |  FROM q_feats),
+       |""".stripMargin
+
+  /** t03: quality scoring — length / stopword-ratio / mean-token-length
+    * features combined into an integer score, bucketed.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docQuality(spark, sfDir)
       .groupBy($"lang", $"quality_score")
       .agg(count(lit(1)).as("doc_count"),
         min($"n_tokens").as("min_tokens"),
@@ -1244,4 +1273,73 @@ object TextModels {
          |       rk <= (n_docs + 9) // 10 AS resampled
          |FROM ranked""".stripMargin
   }
+
+  /** Keywords kept per document by t16. */
+  private[models] val TfidfK = 3
+
+  /** t16: TF-IDF KEYWORD EXTRACTION (beyond-reference) — the classic
+    * per-document salient-term scoring (Spärck Jones 1972) a corpus
+    * pipeline runs for topic tagging, search indexing, and
+    * domain-balance audits: score(term, doc) = tf · ln(N/df), keep the
+    * top [[TfidfK]] terms per doc.
+    *
+    * Determinism across engines (t07's convention): N/df is an exact
+    * BIGINT ratio evaluated in double identically on both sides; ln
+    * rounds to 6dp into DECIMAL(18,6), so tf·idf is exact decimal
+    * arithmetic and the rank order (score desc, term asc) cannot be
+    * flipped by a last-ulp libm difference.
+    *
+    * Scale: the token explode is linear and pre-aggregated at
+    * (doc, term) grain with map-side combine BEFORE anything joins, so
+    * the df join's probe side is the deduped doc-term list, not the
+    * raw token stream. df itself is vocabulary-sized. Hot terms
+    * ("the": df ≈ N) make the term join key skewed — but the per-key
+    * row count is bounded by df ≤ N doc-term rows, the join is a plain
+    * equi shuffle, and AQE skew-join splits any oversized partition;
+    * nothing is serialized through one task. The final top-k window
+    * partitions by doc_id (per-doc fan-in ≤ distinct terms in that
+    * doc — document-bounded, never corpus-bounded).
+    */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val tf = docs
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs)) // 1-row broadcast: the corpus size
+      .withColumn("idf",
+        round(log($"n_docs".cast(DoubleType) / $"df".cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)))
+      .select($"term", $"df", $"idf")
+    tf.join(idf, Seq("term"))
+      .withColumn("score", ($"tf" * $"idf").cast(DecimalType(24, 6)))
+      .withColumn("term_rank", row_number().over(
+        Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"term".asc)).cast(LongType))
+      .filter($"term_rank" <= TfidfK)
+      .select($"doc_id", $"term_rank", $"term", $"tf", $"df", $"score")
+  }
+
+  val tfidfKeywordsOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSqlDuck, ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |idf AS (SELECT term, count(*) AS df,
+       |               cast(round(ln(cast((SELECT n_docs FROM n) AS DOUBLE) / count(*)), 6)
+       |                    AS DECIMAL(18,6)) AS idf
+       |        FROM tf GROUP BY 1),
+       |scored AS (SELECT t.doc_id, t.term, t.tf, i.df,
+       |                  cast(t.tf * i.idf AS DECIMAL(24,6)) AS score
+       |           FROM tf t JOIN idf i USING (term)),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                  ORDER BY score DESC, term ASC) AS term_rank
+       |           FROM scored)
+       |SELECT doc_id, cast(term_rank AS BIGINT) AS term_rank, term, tf, df,
+       |       score
+       |FROM ranked WHERE term_rank <= $TfidfK""".stripMargin
 }
