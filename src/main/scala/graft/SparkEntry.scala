@@ -112,6 +112,7 @@ object SparkEntry {
     "d10_dup_spans" -> (DedupModels.dupSpans _),
     "d11_span_trim" -> (DedupModels.spanTrim _),
     "d12_canonical_rep" -> (DedupModels.canonicalRepresentative _),
+    "d13_containment_pairs" -> (DedupModels.containmentPairs _),
     "s01_cosine_topk" -> (SimilarityModels.cosineTopK _),
     "s02_lsh_ann_buckets" -> (SimilarityModels.lshAnnBuckets _),
     "s03_ivf_ann_topk" -> (SimilarityModels.ivfAnnTopK _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "s08_hard_negatives" -> (SimilarityModels.hardNegativeMining _),
     "s09_contrastive_triplets" -> (SimilarityModels.contrastiveTriplets _),
     "s10_filtered_ann_topk" -> (SimilarityModels.filteredAnnTopK _),
+    "s11_recall_audit" -> (SimilarityModels.recallAudit _),
     "c01_decontamination" -> (CurationModels.decontamination _),
     "c02_stratified_sample" -> (CurationModels.stratifiedSample _),
     "c03_repetition_signals" -> (CurationModels.repetitionSignals _),
@@ -137,6 +139,7 @@ object SparkEntry {
     "c13_bpe_packing" -> (CurationModels.bpePackSequences _),
     "c14_domain_mixture" -> (SimilarityModels.domainMixture _),
     "c15_epoch_shuffle" -> (CurationModels.epochShuffle _),
+    "c16_fim_transform" -> (CurationModels.fimTransform _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -224,6 +227,8 @@ object SparkEntry {
     "s08_hard_negatives" -> Seq("neg_sim"),
     "s09_contrastive_triplets" -> Seq("pos_sim", "neg_sim"),
     "s10_filtered_ann_topk" -> Seq("ivfpq_sim"),
+    "s11_recall_audit" -> Seq("recall"),
+    "d13_containment_pairs" -> Seq("containment"),
     "d08_segment_dedup" -> Seq("retained_ratio"),
     "d09_semantic_dedup" -> Seq("max_pair_sim"),
     "c11_semantic_decontam" -> Seq("max_eval_sim"),
@@ -313,6 +318,7 @@ object SparkEntry {
     "d10_dup_spans" -> DedupModels.dupSpansOracle,
     "d11_span_trim" -> DedupModels.spanTrimOracle,
     "d12_canonical_rep" -> DedupModels.canonicalRepresentativeOracle,
+    "d13_containment_pairs" -> DedupModels.containmentPairsOracle,
     "s01_cosine_topk" -> SimilarityModels.cosineTopKOracle,
     "s02_lsh_ann_buckets" -> SimilarityModels.lshAnnBucketsOracle,
     "s03_ivf_ann_topk" -> SimilarityModels.ivfAnnTopKOracle,
@@ -323,6 +329,7 @@ object SparkEntry {
     "s08_hard_negatives" -> SimilarityModels.hardNegativeMiningOracle,
     "s09_contrastive_triplets" -> SimilarityModels.contrastiveTripletsOracle,
     "s10_filtered_ann_topk" -> SimilarityModels.filteredAnnTopKOracle,
+    "s11_recall_audit" -> SimilarityModels.recallAuditOracle,
     "c01_decontamination" -> CurationModels.decontaminationOracle,
     "c02_stratified_sample" -> CurationModels.stratifiedSampleOracle,
     "c03_repetition_signals" -> CurationModels.repetitionSignalsOracle,
@@ -338,6 +345,7 @@ object SparkEntry {
     "c13_bpe_packing" -> CurationModels.bpePackSequencesOracle,
     "c14_domain_mixture" -> SimilarityModels.domainMixtureOracle,
     "c15_epoch_shuffle" -> CurationModels.epochShuffleOracle,
+    "c16_fim_transform" -> CurationModels.fimTransformOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

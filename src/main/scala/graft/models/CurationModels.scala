@@ -1052,6 +1052,106 @@ object CurationModels {
       .select($"doc_id", $"shard", $"shard_pos", $"n_tokens", $"perm")
   }
 
+  /** FIM application rate as a 16-bit threshold: coin < 32768 ⇔ 50%. */
+  private[graft] val FimRate16 = 32768L
+
+  /** c16: FILL-IN-MIDDLE TRANSFORM (beyond-reference) — the data-level
+    * augmentation code-model pretraining applies (Bavarian et al. 2022,
+    * arXiv:2207.14255): for a deterministic ~50% of documents, cut the
+    * token stream at two points and re-emit in PSM order
+    * (`<fim_prefix> P <fim_suffix> S <fim_middle> M`) so the model
+    * learns infilling at no pretrain-corpus cost. The coin AND both
+    * cut points derive from the doc's own md5 (the c02/c07 idiom —
+    * no RNG, bit-identical replay on both engines and across re-runs,
+    * so the transformed corpus is reproducible): hex 1–4 is the
+    * apply coin, hex 5–8 and 9–12 the two cuts in [1, n−1] (prefix
+    * and suffix never empty; middle may be). Docs under 4 tokens pass
+    * through untransformed.
+    *
+    * Output per doc: the segment geometry and the md5 of the emitted
+    * token stream (transformed or passthrough) — the witness both
+    * engines hash-compare without shipping the text.
+    *
+    * Scale: a stateless per-row map over one corpus scan — no shuffle,
+    * no state, trivially 100 TB-safe; it composes BEFORE c05/c13
+    * packing exactly where FIM sits in a production pipeline.
+    */
+  def fimTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
+    def h16(h: Column, off: Int): Column =
+      hexVal(substring(h, off, 1)) * 4096 +
+        hexVal(substring(h, off + 1, 1)) * 256 +
+        hexVal(substring(h, off + 2, 1)) * 16 +
+        hexVal(substring(h, off + 3, 1))
+    val cut = Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("h", md5($"doc_id".cast(StringType)))
+      .withColumn("fim_applied",
+        $"n_tokens" >= 4 && h16($"h", 1) < FimRate16)
+      // guard: den ≥ 1 keeps the modulo total (ANSI mode) for the
+      // short docs the filter already excludes
+      .withColumn("den", greatest($"n_tokens" - 1, lit(1L)))
+      .withColumn("ca", lit(1L) + h16($"h", 5) % $"den")
+      .withColumn("cb", lit(1L) + h16($"h", 9) % $"den")
+      .withColumn("p1", least($"ca", $"cb"))
+      .withColumn("p2", greatest($"ca", $"cb"))
+    val psm = concat(
+      array(lit("<fim_prefix>")), slice($"toks", lit(1), $"p1".cast("int")),
+      array(lit("<fim_suffix>")),
+      slice($"toks", ($"p2" + 1).cast("int"), ($"n_tokens" - $"p2").cast("int")),
+      array(lit("<fim_middle>")),
+      slice($"toks", ($"p1" + 1).cast("int"), ($"p2" - $"p1").cast("int")))
+    cut
+      .withColumn("out_text",
+        when($"fim_applied", concat_ws(" ", psm))
+          .otherwise(concat_ws(" ", $"toks")))
+      .select($"doc_id", $"n_tokens", $"fim_applied",
+        when($"fim_applied", $"p1").as("n_prefix"),
+        when($"fim_applied", $"p2" - $"p1").as("n_middle"),
+        when($"fim_applied", $"n_tokens" - $"p2").as("n_suffix"),
+        md5($"out_text").as("out_hash"))
+  }
+
+  val fimTransformOracle: String = {
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    def h16(off: Int): String =
+      s"(${hexAt(off)} * 4096 + ${hexAt(off + 1)} * 256 + " +
+        s"${hexAt(off + 2)} * 16 + ${hexAt(off + 3)})"
+    s"""WITH d AS (SELECT doc_id, string_split(${DedupModels.normSqlDuck}, ' ') AS toks
+       |           FROM documents),
+       |b AS (SELECT doc_id, toks, cast(len(toks) AS BIGINT) AS n_tokens,
+       |             md5(cast(doc_id AS VARCHAR)) AS h
+       |      FROM d),
+       |c AS (SELECT *, n_tokens >= 4 AND ${h16(1)} < $FimRate16 AS fim_applied,
+       |             greatest(n_tokens - 1, 1) AS den
+       |      FROM b),
+       |e AS (SELECT *, 1 + ${h16(5)} % den AS ca, 1 + ${h16(9)} % den AS cb
+       |      FROM c),
+       |f AS (SELECT *, least(ca, cb) AS p1, greatest(ca, cb) AS p2 FROM e),
+       |g AS (SELECT doc_id, n_tokens, fim_applied,
+       |             CASE WHEN fim_applied THEN p1 END AS n_prefix,
+       |             CASE WHEN fim_applied THEN p2 - p1 END AS n_middle,
+       |             CASE WHEN fim_applied THEN n_tokens - p2 END AS n_suffix,
+       |             CASE WHEN fim_applied THEN
+       |               array_to_string(list_concat(list_concat(list_concat(
+       |                 list_concat(list_concat(
+       |                 ['<fim_prefix>'], toks[1:p1]), ['<fim_suffix>']),
+       |                 toks[p2+1:n_tokens]), ['<fim_middle>']),
+       |                 toks[p1+1:p2]), ' ')
+       |             ELSE array_to_string(toks, ' ') END AS out_text
+       |      FROM f)
+       |SELECT doc_id, n_tokens, fim_applied,
+       |       cast(n_prefix AS BIGINT) AS n_prefix,
+       |       cast(n_middle AS BIGINT) AS n_middle,
+       |       cast(n_suffix AS BIGINT) AS n_suffix,
+       |       md5(out_text) AS out_hash
+       |FROM g""".stripMargin
+  }
+
   val epochShuffleOracle: String = {
     def hexAt(i: Int): String =
       s"(strpos('0123456789abcdef', substr(perm, $i, 1)) - 1)"

@@ -896,6 +896,68 @@ object DedupModels {
        |       text AS clean_text
        |FROM trimmed""".stripMargin
 
+  /** d13: CONTAINMENT-TIER near-dup pairs (beyond-reference) — the
+    * ASYMMETRIC duplication Jaccard is blind to (Broder 1997's two
+    * resemblance measures): when doc B = doc A + appended comments/
+    * boilerplate at 3× the length, Jaccard(A,B) ≈ |A|/|B| ≈ 0.33 and
+    * the d07 threshold never fires, yet A is wholly redundant given B.
+    * Containment = inter / min(|A|,|B|) scores the SMALLER side's
+    * coverage: ≥ [[ContainPct]]% means one doc's shingle set lives
+    * inside the other. Emitted per candidate pair: both sizes, the
+    * containment score, and `is_asymmetric` — true exactly when this
+    * tier caught a pair the symmetric Jaccard threshold (2·inter ≥
+    * union) would have missed, i.e. the keep/drop decision d07 never
+    * saw.
+    *
+    * Composition: reads the SAME materialized d03 candidate list and
+    * shingle-digest table — no new corpus pass, two joins against the
+    * (already computed) per-doc size aggregate. Candidates stay
+    * minhash-banded: a snippet inside a 100× larger doc may not band-
+    * collide (minhash sketches resemblance, not containment — Broder's
+    * known trade); the gram-grain tier (d10/d11) catches that extreme
+    * at exact-substring grain, so this tier targets the mid-range
+    * (supersets/extensions at comparable scale) where banding does
+    * collide. Scale: candidate-pair-linear, keys uniform md5s.
+    */
+  private[models] val ContainPct = 80
+
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = shingleDigests(spark, sfDir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    lshNearDupPairs(spark, sfDir)
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), Seq("doc_b"))
+      .withColumn("n_small", least($"n_a", $"n_b"))
+      .filter($"inter_count" * 100 >= $"n_small" * ContainPct)
+      .withColumn("containment",
+        (expr("(inter_count * 1000000) div n_small")
+          .cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .withColumn("is_asymmetric", $"inter_count" * 2 < $"union_count")
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"inter_count",
+        $"containment", $"is_asymmetric")
+  }
+
+  lazy val containmentPairsOracle: String =
+    s"""WITH $shingleSqlDuck,
+       |hashed AS (SELECT doc_id, md5(shingle) AS h FROM dsh),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+       |p AS (SELECT * FROM ($lshNearDupPairsOracle) t),
+       |j AS (SELECT p.doc_a, p.doc_b, a.n AS n_a, b.n AS n_b,
+       |             p.inter_count, p.union_count,
+       |             least(a.n, b.n) AS n_small
+       |      FROM p JOIN sizes a ON a.doc_id = p.doc_a
+       |             JOIN sizes b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, cast(n_a AS BIGINT) AS n_a,
+       |       cast(n_b AS BIGINT) AS n_b, inter_count,
+       |       cast(((inter_count * 1000000) // n_small) *
+       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6))
+       |         AS containment,
+       |       inter_count * 2 < union_count AS is_asymmetric
+       |FROM j WHERE inter_count * 100 >= n_small * $ContainPct""".stripMargin
+
   /** d12: QUALITY-AWARE CANONICAL REPRESENTATIVE (beyond-reference) —
     * d07 keeps each near-dup cluster's MIN doc_id; production corpus
     * builds (RefinedWeb §3.2, Penedo et al. 2023; Dolma's dedup keep

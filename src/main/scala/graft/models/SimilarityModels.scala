@@ -1645,4 +1645,55 @@ object SimilarityModels {
          |FROM b""".stripMargin
     head + KMeans.oracleCtes("km", "km_train", 16, KmIters, 64, cosine = true) + tail
   }
+
+  /** s11: RECALL AUDIT (beyond-reference) — index-quality monitoring
+    * as a first-class query: per query vector, recall@5 of the IVF-PQ
+    * ADC search (s06) against the exact brute-force top-5 (s01),
+    * computed IN the engine. Production vector stores ship exactly
+    * this continuous audit (FAISS's bench harness run as a job): a
+    * quantized index degrades silently as the corpus drifts from the
+    * frozen training sample, and the audit is what tells an operator
+    * to retrain — this repo's own `ann_bench.json` numbers, turned
+    * from a dev artifact into an operator a user can schedule.
+    *
+    * Determinism: both sides are the ALREADY-oracle-checked s01/s06
+    * rankings (exact rounded-6dp ties-by-cand_id order), so the
+    * intersection count is exact on both engines; recall is the
+    * integer-micros ratio.
+    *
+    * Scale: the exact side prices as one corpus scan per query BATCH
+    * (queries broadcast, corpus scanned once) — the audit runs on a
+    * SAMPLE of queries (here the fixed <10 prefix), never the corpus
+    * against itself, so cost is sample × corpus, the same bill the
+    * offline recall evaluation pays anywhere. The join of the two
+    * top-5 lists is |sample|·k rows — negligible.
+    */
+  def recallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val exact = cosineTopK(spark, sfDir)
+      .select($"query_id", $"cand_id")
+    val approx = ivfPqAnnTopK(spark, sfDir)
+      .select($"query_id", $"cand_id").withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        (expr("(n_hits * 1000000) div n_exact").cast(DecimalType(20, 0)) *
+          lit(new java.math.BigDecimal("0.000001")).cast(DecimalType(7, 6)))
+          .cast(DecimalType(24, 6)))
+      .select($"query_id", $"n_exact", $"n_hits", $"recall")
+  }
+
+  lazy val recallAuditOracle: String =
+    s"""WITH ex AS (SELECT query_id, cand_id FROM ($cosineTopKOracle) a),
+       |ap AS (SELECT query_id, cand_id FROM ($ivfPqAnnTopKOracle) b),
+       |h AS (SELECT e.query_id, count(*) AS n_exact,
+       |             count(ap.cand_id) AS n_hits
+       |      FROM ex e LEFT JOIN ap
+       |        ON ap.query_id = e.query_id AND ap.cand_id = e.cand_id
+       |      GROUP BY 1)
+       |SELECT query_id, n_exact, n_hits,
+       |       cast(((n_hits * 1000000) // n_exact) *
+       |            cast(0.000001 AS DECIMAL(7,6)) AS DECIMAL(24,6)) AS recall
+       |FROM h""".stripMargin
 }

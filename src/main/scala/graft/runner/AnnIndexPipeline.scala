@@ -37,13 +37,16 @@ import graft.models.SimilarityModels
   * with one broadcast of the 16+128-row codebooks — no shuffle of the
   * existing index, no corpus re-scan; the append is partition-local.
   */
-final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
-  import spark.implicits._
-
-  def targetPath(name: String): String = s"$warehouseDir/$name"
-
+object AnnIndexPipeline {
   final case class Report(codebookCells: Long, pqCentroids: Long,
       codedVectors: Long)
+}
+
+final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
+  import spark.implicits._
+  import AnnIndexPipeline.Report
+
+  def targetPath(name: String): String = s"$warehouseDir/$name"
 
   private def report(): Report = Report(
     codebookCells =

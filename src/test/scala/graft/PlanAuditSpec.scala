@@ -47,11 +47,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // adcSearch's shortlist stage
     "s10_filtered_ann_topk", // same probe-assignment crossJoin via
     // adcScored (the filter interposes before ranking, not the probe)
+    "s11_recall_audit", // composes s01's broadcast-queries scan AND
+    // s06's probe-assignment crossJoin — both constant-side shapes
+    // already allowlisted on their own queries
     // t07/t08/t09 carried one-row total-frame BNLJs until round 8;
     // their LM models are now session-materialized dim tables, so the
     // audited steady-state plans read parquet with no nested loop
     "q34_monthly_active_accounts",
-    "q40_daily_summary_by_app")
+    "q40_daily_summary_by_app",
+    "t16_tfidf_keywords") // ONE-row corpus-count frame broadcast into
+    // the vocabulary-sized df aggregate (`TextModels.tfidfKeywords`'s
+    // nDocs crossJoin) — constant side by construction
 
   test("no cartesian products; nested-loop joins only against constant-side frames") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -330,6 +336,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val m10 = formatted("m10_audio_fp_dedup")
     assert(!readsColumn(m10, "text") && !readsColumn(m10, "lang"),
       "m10 scan reads corpus columns it never uses")
+    // t16 scores (doc_id, text) — lang/source/n_chars stay in the reader
+    val t16 = formatted("t16_tfidf_keywords")
+    assert(!readsColumn(t16, "lang") && !readsColumn(t16, "source") &&
+      !readsColumn(t16, "n_chars"),
+      "t16 scan reads corpus columns it never uses")
+    // c14 mixes (vec_id, embedding) via the shared IVF index — the
+    // label column never leaves any reader
+    val c14 = formatted("c14_domain_mixture")
+    assert(!readsColumn(c14, "label"),
+      "c14 scan reads the label column it never uses")
+    // c16 transforms (doc_id, text) — no other corpus payload
+    val c16 = formatted("c16_fim_transform")
+    assert(!readsColumn(c16, "lang") && !readsColumn(c16, "source") &&
+      !readsColumn(c16, "n_chars"),
+      "c16 scan reads corpus columns it never uses")
+    // d13 reads the materialized d03 pair/digest tables — the corpus
+    // text payload never re-enters any reader
+    val d13 = formatted("d13_containment_pairs")
+    assert(!readsColumn(d13, "text"),
+      "d13 scan re-reads the corpus text payload")
   }
 
   test("round-9 families: pruned scans") {
