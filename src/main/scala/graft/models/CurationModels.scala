@@ -1076,8 +1076,15 @@ object CurationModels {
     * no state, trivially 100 TB-safe; it composes BEFORE c05/c13
     * packing exactly where FIM sits in a production pipeline.
     */
-  def fimTransform(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def fimTransform(spark: SparkSession, sfDir: String): DataFrame =
+    fimTransformFrom(Tables.documents(spark, sfDir))
+
+  /** Frame-parameterized core of c16 — a PURE stateless projection, so
+    * the streaming twin ([[graft.streaming.StreamingFim]]) runs this
+    * EXACT function over `readStream` and is row-identical to batch by
+    * construction. */
+  def fimTransformFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val hexVal: Column => Column =
       c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
     def h16(h: Column, off: Int): Column =
@@ -1085,7 +1092,7 @@ object CurationModels {
         hexVal(substring(h, off + 1, 1)) * 256 +
         hexVal(substring(h, off + 2, 1)) * 16 +
         hexVal(substring(h, off + 3, 1))
-    val cut = Tables.documents(spark, sfDir)
+    val cut = docs
       .select($"doc_id", tokens($"text").as("toks"))
       .withColumn("n_tokens", size($"toks").cast(LongType))
       .withColumn("h", md5($"doc_id".cast(StringType)))
