@@ -90,22 +90,115 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     * full-precision corpus vector is touched (only the 4-byte codes).
     * Identical algebra to the s06 query's inline derivation —
     * AnnIndexPipelineSpec pins search-over-materialized byte-identical
-    * to `SimilarityModels.ivfPqAnnTopK`. */
+    * to `SimilarityModels.ivfPqAnnTopK`. Tombstoned vectors are masked
+    * BEFORE ranking (the s10 lesson: filtering after top-k under-fills
+    * k), so a delete takes effect at the very next query. */
   def search(queries: org.apache.spark.sql.DataFrame, k: Int = 5)
       : org.apache.spark.sql.DataFrame =
     SimilarityModels.adcSearch(
       SimilarityModels.doubledEmb(queries),
       spark.read.parquet(targetPath("ann_coarse_codebook")),
       spark.read.parquet(targetPath("ann_pq_codebook")),
-      spark.read.parquet(targetPath("ann_codes")), k)
+      liveCodes, k)
+
+  private def fsExists(name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(targetPath(name))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The delete log, deduped. Missing table (pre-delete warehouse) =
+    * empty — the bootstrap posture the curation sidecars take. */
+  private def tombstones: org.apache.spark.sql.DataFrame =
+    if (fsExists("ann_tombstones"))
+      spark.read.parquet(targetPath("ann_tombstones"))
+        .select($"vec_id").distinct()
+    else spark.range(0).select($"id".as("vec_id"))
+
+  /** The searchable index: codes minus the delete log. */
+  private def liveCodes: org.apache.spark.sql.DataFrame =
+    spark.read.parquet(targetPath("ann_codes"))
+      .join(tombstones, Seq("vec_id"), "left_anti")
+
+  /** DELETE from the index (FAISS `remove_ids` / Milvus delete /
+    * pgvector DELETE — the erasure path every production vector store
+    * must serve, GDPR included): vec_ids land in an append-only
+    * `ann_tombstones` log; [[search]] anti-joins the log before
+    * ranking, [[runIncremental]]'s watermark honors it (a re-arriving
+    * deleted id stays deleted), and [[compactDeletes]] prunes the
+    * physical rows later. The log is PERMANENT — it is what keeps the
+    * append watermark monotone after the physical prune removes the
+    * highest coded id, exactly why production stores keep a delete
+    * log/version vector rather than erasing in place.
+    *
+    * Scale: a delete is one partition-local append of the id set;
+    * nothing touches the code table until compaction, and the
+    * anti-join is a broadcast against the (small) log. */
+  def runDelete(ids: org.apache.spark.sql.DataFrame): Report = {
+    ids.select($"vec_id".cast("long").as("vec_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(targetPath("ann_tombstones"))
+    report()
+  }
+
+  /** Physically prune tombstoned rows from `ann_codes` via the repo's
+    * dot-tmp/swap contract (the IncrementalRunner.compact idiom):
+    * write the live rows to a dot-prefixed tmp dir (invisible to
+    * readers), delete the old data files, move the tmp files in.
+    * EVERY crash state reads correctly because the tombstone log is
+    * retained and search always anti-joins it — the prune is purely a
+    * storage/scan optimization, never a correctness event. Returns the
+    * number of physical rows removed. */
+  def compactDeletes(): Long = {
+    if (!fsExists("ann_codes")) return 0L
+    val root = new java.io.File(targetPath("ann_codes"))
+    val tmp = new java.io.File(root.getParentFile, ".delete-compact-ann_codes")
+    // crash residue: root still holding data ⇒ the tmp is a dead
+    // duplicate subset (tombstones still mask); root emptied ⇒ the tmp
+    // holds the only copy — finish the move
+    if (tmp.isDirectory) {
+      val rootHasData = root.isDirectory && root.listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (!rootHasData) moveDataFiles(tmp, root)
+      tmp.listFiles().foreach(f => f.delete(): Unit)
+      tmp.delete(): Unit
+    }
+    val before = spark.read.parquet(targetPath("ann_codes")).count()
+    val live = liveCodes
+    live.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    root.listFiles().filter(f => f.isFile &&
+        (f.getName.endsWith(".parquet") || f.getName.endsWith(".crc")))
+      .foreach(f => f.delete(): Unit)
+    moveDataFiles(tmp, root)
+    tmp.listFiles().foreach(f => f.delete(): Unit)
+    tmp.delete(): Unit
+    before - spark.read.parquet(targetPath("ann_codes")).count()
+  }
+
+  /** Move every parquet data file (and checksum sibling) from `src`
+    * into `dest`. Writer-generated names carry task UUIDs, so moves
+    * never clash with surviving files. */
+  private def moveDataFiles(src: java.io.File, dest: java.io.File): Unit = {
+    if (!dest.exists()) dest.mkdirs(): Unit
+    src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        require(f.renameTo(new java.io.File(dest, f.getName)),
+          s"compactDeletes: could not move $f into $dest")
+        val crc = new java.io.File(src, s".${f.getName}.crc")
+        if (crc.exists())
+          crc.renameTo(new java.io.File(dest, crc.getName)): Unit
+      }
+  }
 
   /** Append-only catch-up: encode vectors above the index watermark
-    * against the FROZEN materialized codebooks. */
+    * against the FROZEN materialized codebooks. The watermark is the
+    * max over CODES AND TOMBSTONES — after a physical prune removes
+    * the highest coded id, the retained delete log keeps the watermark
+    * monotone, so deleted vectors never resurrect. */
   def runIncremental(sfDir: String): Report = {
     val codes = spark.read.parquet(targetPath("ann_codes"))
     // max over an EMPTY codes table (a run() over an empty snapshot) is
     // null — encode everything rather than throw
-    val wmRow = codes.agg(org.apache.spark.sql.functions.max($"vec_id")).head()
+    val wmRow = codes.select($"vec_id").unionByName(tombstones)
+      .agg(org.apache.spark.sql.functions.max($"vec_id")).head()
     val wm = if (wmRow.isNullAt(0)) Long.MinValue else wmRow.getLong(0)
     val newBase = SimilarityModels.doubledEmb(
       Tables.embeddings(spark, sfDir).filter($"vec_id" > wm))
