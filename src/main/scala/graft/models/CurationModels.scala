@@ -1033,14 +1033,25 @@ object CurationModels {
     * have. Shard count grows with the corpus (constant file size), so
     * per-task volume stays bounded at 100 TB.
     */
-  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    epochShuffleAt(spark, sfDir, epoch = 0L)
+
+  /** Epoch-parameterized form: the permutation key salts the doc id
+    * with the epoch number (`md5("<epoch>:<doc_id>")`), so every epoch
+    * reads the corpus in a DIFFERENT deterministic order — the actual
+    * point of between-epoch reshuffling — while any given epoch
+    * replays bit-identically (EpochShuffleSpec pins both). The driver
+    * query (c15) is epoch 0. */
+  def epochShuffleAt(spark: SparkSession, sfDir: String,
+      epoch: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val hexVal: Column => Column =
       c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
     trimmedDocs(spark, sfDir)
       .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
-      .withColumn("perm", md5($"doc_id".cast(StringType)))
+      .withColumn("perm",
+        md5(concat(lit(epoch.toString), lit(":"), $"doc_id".cast(StringType))))
       .withColumn("shard",
         (hexVal(substring($"perm", 1, 1)) * 4096 +
           hexVal(substring($"perm", 2, 1)) * 256 +
@@ -1165,7 +1176,7 @@ object CurationModels {
     s"""WITH ${DedupModels.spanTrimSqlCtes},
        |d AS (SELECT doc_id,
        |             cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |             md5(cast(doc_id AS VARCHAR)) AS perm
+       |             md5('0:' || cast(doc_id AS VARCHAR)) AS perm
        |      FROM trimmed),
        |s AS (SELECT *,
        |             (${hexAt(1)} * 4096 + ${hexAt(2)} * 256 +

@@ -74,6 +74,19 @@ class MixShuffleRepSpec extends AnyFunSuite {
       val ids = rows.map(_._1); ids.max - ids.min > nDocs / 2 })
   }
 
+  test("c15: epochs reshuffle; any single epoch replays bit-identically") {
+    def orderOf(epoch: Long): Seq[Long] =
+      CurationModels.epochShuffleAt(spark, sfDir, epoch)
+        .select($"shard", $"shard_pos", $"doc_id")
+        .as[(Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).map(_._3).toSeq
+    val e0 = orderOf(0L)
+    val e1 = orderOf(1L)
+    assert(e0.sorted == e1.sorted, "every epoch covers the same corpus")
+    assert(e0 != e1, "different epochs must read in different orders")
+    assert(orderOf(1L) == e1, "a given epoch replays identically")
+  }
+
   test("d12: the cluster representative is the best-quality doc, not min id") {
     // doc 0 and doc 3 share their first 18 tokens (near-dup pair);
     // doc 3's two edited tokens are stopwords, lifting its t03
