@@ -166,6 +166,7 @@ object SparkEntry {
     "m08_audio_energy" -> (graft.multimodal.MultimodalOps.audioEnergySummary _),
     "m09_video_phash_dedup" -> (graft.multimodal.MultimodalOps.videoKeyframePhash _),
     "m10_audio_fp_dedup" -> (graft.multimodal.MultimodalOps.audioFingerprintDedup _),
+    "m11_image_text_pairs" -> (graft.multimodal.MultimodalOps.imageTextPairs _),
   )
 
   /** Decimal-valued output columns per query — the oracle side mirrors
@@ -372,5 +373,6 @@ object SparkEntry {
     "m08_audio_energy" -> graft.multimodal.MultimodalOps.audioEnergySummaryOracle,
     "m09_video_phash_dedup" -> graft.multimodal.MultimodalOps.videoKeyframePhashOracle,
     "m10_audio_fp_dedup" -> graft.multimodal.MultimodalOps.audioFingerprintDedupOracle,
+    "m11_image_text_pairs" -> graft.multimodal.MultimodalOps.imageTextPairsOracle,
   )
 }

@@ -1849,4 +1849,98 @@ object MultimodalOps {
       |FROM near n
       |JOIN sdocs ga ON n.sig_a = ga.sig
       |JOIN sdocs gb ON n.sig_b = gb.sig""".stripMargin
+
+  // ------------------------------------------------------------------
+  // m11: image-text contrastive pair table
+  // ------------------------------------------------------------------
+
+  /** m11: IMAGE-TEXT CONTRASTIVE PAIR TABLE (beyond-reference) — the
+    * cross-modal TRAINING-PAIR emitter a LAION/CLIP-style data build
+    * ships (Radford et al. 2021 train on (image, caption) pairs;
+    * Schuhmann et al. 2022 §2 describe exactly this filtering): per
+    * document, the REAL decoded image's pooled feature vector
+    * (m06's ImageIO decode + 4×4 integer average-pool grid) is paired
+    * with its caption's token count and t03 quality score, gated the
+    * way a pair curation pass gates (caption long enough ≥ 5 tokens,
+    * image large enough ≥ 144 px, quality ≥ 2 — the size/caption
+    * filters LAION applies before CLIP-score filtering).
+    *
+    * The feature vector is witnessed by `feat_hash` — md5 over the 16
+    * pool cells in (cell_y, cell_x) order — so the oracle (which
+    * replays the generator arithmetic per pixel and never decodes a
+    * PNG, the m06 convention) catches a single wrong channel sum in
+    * any cell of any image.
+    *
+    * Scale: decode is embarrassingly parallel and the binary drops at
+    * decode; the per-doc rollup is a 16-row collect_list (bounded by
+    * the pool geometry, never by data); the caption join is doc-keyed.
+    * The pair table is the corpus-sized artifact a contrastive trainer
+    * streams.
+    */
+  def imageTextPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.models.Shared
+      .materialized("pixel_media", spark, sfDir) {
+        pixelImageTable(spark, sfDir).toDF()
+      }.as[MediaRecord]
+    val cellStr = (c: org.apache.spark.sql.Column) => concat_ws(",",
+      c.getField("cell_y").cast("string"),
+      c.getField("cell_x").cast("string"),
+      c.getField("px_count").cast("string"),
+      c.getField("sum_r").cast("string"),
+      c.getField("sum_g").cast("string"),
+      c.getField("sum_b").cast("string"))
+    val img = decodePixelFeatures(media)
+      .groupBy($"doc_id", $"width", $"height")
+      .agg(sum($"px_count").as("n_px"),
+        sort_array(collect_list(struct(
+          $"cell_y", $"cell_x", $"px_count",
+          $"sum_r", $"sum_g", $"sum_b"))).as("cells"))
+      .withColumn("feat_hash",
+        md5(concat_ws(";", transform($"cells", cellStr))))
+    val captions = graft.models.TextModels.docQuality(spark, sfDir)
+      .select($"doc_id", $"n_tokens".as("caption_tokens"),
+        $"quality_score")
+    img.join(captions, Seq("doc_id"))
+      .withColumn("pair_kept",
+        $"quality_score" >= 2 && $"caption_tokens" >= 5 && $"n_px" >= 144)
+      .select($"doc_id", $"width".cast(LongType).as("width"),
+        $"height".cast(LongType).as("height"), $"n_px",
+        $"caption_tokens", $"quality_score", $"pair_kept", $"feat_hash")
+  }
+
+  /** Generator-replay oracle: every pixel recomputed arithmetically
+    * (m06's convention), pooled per cell, hashed in the same
+    * (cell_y, cell_x) order with the same "," / ";" framing. */
+  lazy val imageTextPairsOracle: String =
+    s"""WITH ${graft.models.TextModels.docQualityOracleCtes}
+       |img AS (
+       |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 3) % 16 AS h
+       |  FROM documents),
+       |px AS (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM img),
+       |vals AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+       |pooled AS (
+       |  SELECT doc_id, w, h,
+       |         (y * 4) // h AS cy, (x * 4) // w AS cx,
+       |         count(*) AS cnt,
+       |         sum((doc_id + 3 * x + 7 * y) % 256) AS sr,
+       |         sum((2 * doc_id + 5 * x + y) % 256) AS sg,
+       |         sum((doc_id + x * y) % 256) AS sb
+       |  FROM vals GROUP BY 1, 2, 3, 4, 5),
+       |fh AS (
+       |  SELECT doc_id, w, h, sum(cnt) AS n_px,
+       |         md5(string_agg(
+       |           cast(cy AS VARCHAR) || ',' || cast(cx AS VARCHAR) || ',' ||
+       |           cast(cnt AS VARCHAR) || ',' || cast(sr AS VARCHAR) || ',' ||
+       |           cast(sg AS VARCHAR) || ',' || cast(sb AS VARCHAR),
+       |           ';' ORDER BY cy, cx)) AS feat_hash
+       |  FROM pooled GROUP BY 1, 2, 3)
+       |SELECT f.doc_id, cast(f.w AS BIGINT) AS width,
+       |       cast(f.h AS BIGINT) AS height,
+       |       cast(f.n_px AS BIGINT) AS n_px,
+       |       q.n_tokens AS caption_tokens, q.quality_score,
+       |       (q.quality_score >= 2 AND q.n_tokens >= 5 AND f.n_px >= 144)
+       |         AS pair_kept,
+       |       f.feat_hash
+       |FROM fh f JOIN q_scored q USING (doc_id)""".stripMargin
 }
