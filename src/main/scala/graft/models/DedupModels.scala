@@ -973,8 +973,9 @@ object DedupModels {
     * rewrite's idiom), NOT a rank window, so a pathological mega-
     * cluster (the boilerplate page duplicated everywhere) fans in
     * pre-combined per map task instead of serializing through one
-    * window partition. Inputs are both materialized once (d07's label
-    * table, t03's doc-grain scores) and join on uniform doc_id keys.
+    * window partition. d07's label table is session-materialized (one
+    * fixpoint per session); the quality frame is a stateless
+    * projection; both joins key on uniform doc_ids.
     */
   def canonicalRepresentative(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
