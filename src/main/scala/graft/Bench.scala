@@ -15,19 +15,24 @@ object Bench {
     spark.range(2000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    // contention sentinel: the SAME fixed probe timed right after
-    // warmup and again after the last query. The plan never changes, so
-    // any drift between the two samples measures the BOX (shared-tenancy
-    // load), not the code — r10/r11 both carried 3-20x phantom
-    // regressions that were transient host contention; the sentinel
-    // pair lets a reader mechanically discount such runs.
-    def sentinelProbe(): Double = {
+    // contention sentinel: the SAME fixed probe timed after warmup,
+    // after EVERY 10th query, and after the last query. The plan never
+    // changes, so any drift across the series measures the BOX
+    // (shared-tenancy load), not the code — r10-r12 all carried 2-25x
+    // phantom regressions that were transient host contention, and the
+    // r12 endpoint-only pair MISSED a mid-run contended stretch (c10 at
+    // 14.3s driver vs 0.54s clean with both endpoints reading clean).
+    // The interleaved series brackets every query within ~10 slots, so
+    // a contended stretch is mechanically identifiable: discount
+    // queries whose bracketing probes exceed ~2x the series median.
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sentinelProbe(): Unit = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
-      (System.nanoTime() - t0) / 1e9
+      sentinels += (System.nanoTime() - t0) / 1e9
     }
-    val sentinelStart = sentinelProbe()
+    sentinelProbe()
     // dev aid: SPARK_GRAFT_ONLY=q27_x,q28_y restricts the run (the driver
     // doesn't set it, so driver benches always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -44,7 +49,8 @@ object Bench {
     // Shared materializations a query paid for are annotated
     // ("materialized") so per-query numbers are interpretable.
     graft.models.Shared.drainBuilt() // reset the log
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % 10 == 0) sentinelProbe()
       // noop-format write: materializes EVERY output column through the
       // full plan. A count() action lets Catalyst prune unreferenced
       // columns and under-measures expression-heavy queries (JSON
@@ -87,9 +93,8 @@ object Bench {
     val total = results.map(r => minOf(r._2)).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val sentinelEnd = sentinelProbe()
-    val sentinelJson =
-      s"[${r3(sentinelStart)},${r3(sentinelEnd)}]"
+    sentinelProbe()
+    val sentinelJson = sentinels.map(r3).mkString("[", ",", "]")
     // the FULL artifact: per-query min + both samples + materialization
     // attribution, full float precision — written to bench_out.json and
     // the bench_runs/ archive

@@ -1006,9 +1006,10 @@ object CurationModels {
        |       cast(sum(n_chars) AS BIGINT) AS total_chars
        |FROM s GROUP BY 1, 2""".stripMargin
 
-  /** Shard count of the c15 epoch shuffle. Demo geometry: production
-    * sets this to corpus_docs / docs-per-shard-file so each shard is
-    * one bounded output file; the plan below is shard-count-agnostic
+  /** Default shard count of the c15 epoch shuffle — DEMO geometry (the
+    * driver query's fixed value). Production passes its own count to
+    * [[epochShuffleAt]] — corpus_docs / docs-per-shard-file, so each
+    * shard is one bounded output file; the plan is shard-count-agnostic
     * (everything is keyed BY shard, nothing enumerates shards). */
   private[graft] val EpochShards = 8L
 
@@ -1040,15 +1041,25 @@ object CurationModels {
     * with the epoch number (`md5("<epoch>:<doc_id>")`), so every epoch
     * reads the corpus in a DIFFERENT deterministic order — the actual
     * point of between-epoch reshuffling — while any given epoch
-    * replays bit-identically (EpochShuffleSpec pins both). The driver
-    * query (c15) is epoch 0. */
+    * replays bit-identically (MixShuffleRepSpec pins both). The driver
+    * query (c15) is epoch 0 at the demo [[EpochShards]]; production
+    * geometry (docs-per-shard-file) is the `shards` argument — no
+    * recompile needed. */
   def epochShuffleAt(spark: SparkSession, sfDir: String,
-      epoch: Long): DataFrame = {
-    import spark.implicits._
+      epoch: Long, shards: Long = EpochShards): DataFrame =
+    epochShuffleFrom(trimmedDocs(spark, sfDir), epoch, shards)
+
+  /** Frame-parameterized core of c15 — also the shard-file writer's
+    * entry ([[graft.runner.CurationPipeline]] feeds it the materialized
+    * trimmed corpus rather than re-deriving the trim). */
+  def epochShuffleFrom(docs: DataFrame, epoch: Long,
+      shards: Long = EpochShards): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    require(shards > 0, s"shard count must be positive, got $shards")
     val hexVal: Column => Column =
       c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
-    trimmedDocs(spark, sfDir)
+    docs
       .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
       .withColumn("perm",
         md5(concat(lit(epoch.toString), lit(":"), $"doc_id".cast(StringType))))
@@ -1056,7 +1067,7 @@ object CurationModels {
         (hexVal(substring($"perm", 1, 1)) * 4096 +
           hexVal(substring($"perm", 2, 1)) * 256 +
           hexVal(substring($"perm", 3, 1)) * 16 +
-          hexVal(substring($"perm", 4, 1))) % EpochShards)
+          hexVal(substring($"perm", 4, 1))) % shards)
       .withColumn("shard_pos", row_number().over(
         Window.partitionBy($"shard").orderBy($"perm", $"doc_id"))
         .cast(LongType))

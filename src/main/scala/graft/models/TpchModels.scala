@@ -27,16 +27,22 @@ object TpchModels {
     // price and discount are exact 2-dp values; doing the (1-d) multiply in
     // decimal keeps the product exact at scale 4 — double arithmetic here
     // would round differently in Spark (HALF_UP) vs DuckDB (half-even).
-    val sideA = li.select(to_date($"l_shipdate").as("date_key"),
-      $"l_extendedprice".cast(Money).cast(DecimalType(24, 4)).as("balance"))
-    val sideB = li.select(to_date($"l_shipdate").as("date_key"),
+    //
+    // UNION ALL (keep-both) semantics in ONE scan: both sides share the
+    // row's date_key, so the unioned group is exactly 2x the row count
+    // with bal_sum = sum(sideA) + sum(sideB) — a tagged-side union would
+    // read the fact twice and shuffle twice the rows for the same
+    // aggregate (the round-12 q08 finding). Sound because the fixture
+    // columns are non-null (a side whose sum is NULL-from-all-null would
+    // otherwise null the total where a true union keeps the other side).
+    li.select(to_date($"l_shipdate").as("date_key"),
+      $"l_extendedprice".cast(Money).cast(DecimalType(24, 4)).as("bal_a"),
       ($"l_extendedprice".cast(Money) *
         (lit(1d) - $"l_discount").cast(DecimalType(4, 2)))
-        .cast(DecimalType(24, 4)).as("balance"))
-    sideA.union(sideB) // UNION ALL: no dedupe
+        .cast(DecimalType(24, 4)).as("bal_b"))
       .groupBy($"date_key")
-      .agg(count(lit(1)).as("obs_count"),
-        sum($"balance").as("bal_sum"))
+      .agg((count(lit(1)) * 2).as("obs_count"),
+        (sum($"bal_a") + sum($"bal_b")).as("bal_sum"))
       // exact portable average: integer floor-division in micros — round()
       // on a double quotient tie-breaks differently across engines when the
       // scale-4 sums divide evenly (observed at sf0.01).

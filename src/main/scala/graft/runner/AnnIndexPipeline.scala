@@ -101,10 +101,12 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
       spark.read.parquet(targetPath("ann_pq_codebook")),
       liveCodes, k)
 
-  private def fsExists(name: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(targetPath(name))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def fsExists(name: String): Boolean =
+    hadoopFs.exists(new org.apache.hadoop.fs.Path(targetPath(name)))
 
   /** The delete log, deduped. Missing table (pre-delete warehouse) =
     * empty — the bootstrap posture the curation sidecars take. */
@@ -134,58 +136,73 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     * nothing touches the code table until compaction, and the
     * anti-join is a broadcast against the (small) log. */
   def runDelete(ids: org.apache.spark.sql.DataFrame): Report = {
-    ids.select($"vec_id".cast("long").as("vec_id")).distinct()
-      .write.mode(SaveMode.Append).parquet(targetPath("ann_tombstones"))
+    val requested = ids.select($"vec_id".cast("long").as("vec_id")).distinct()
+    // guard (round-12 review): only ids the index has actually CODED
+    // (or already tombstoned — re-delete stays idempotent) enter the
+    // log. An unknown id (typo, or a vector not yet ingested) must NOT
+    // advance the append watermark past vectors that were never
+    // encoded — that would permanently skip later-arriving smaller ids
+    // with no error. Unknown ids are silently dropped: there is
+    // nothing to delete, and the log's only jobs are masking coded
+    // rows and keeping the watermark monotone over PRUNED coded ids.
+    val known = spark.read.parquet(targetPath("ann_codes"))
+      .select($"vec_id").unionByName(tombstones).distinct()
+    val valid = requested.join(known, Seq("vec_id"), "left_semi")
+    // a delete batch is operationally tiny; the emptiness probe keeps
+    // an all-unknown batch from appending a zero-row file to the log
+    if (valid.head(1).nonEmpty)
+      valid.write.mode(SaveMode.Append).parquet(targetPath("ann_tombstones"))
     report()
   }
 
-  /** Physically prune tombstoned rows from `ann_codes` via the repo's
-    * dot-tmp/swap contract (the IncrementalRunner.compact idiom):
-    * write the live rows to a dot-prefixed tmp dir (invisible to
-    * readers), delete the old data files, move the tmp files in.
-    * EVERY crash state reads correctly because the tombstone log is
-    * retained and search always anti-joins it — the prune is purely a
-    * storage/scan optimization, never a correctness event. Returns the
-    * number of physical rows removed. */
+  /** Physically prune tombstoned rows from `ann_codes`. The swap is
+    * two whole-directory renames through the Hadoop `FileSystem` (so
+    * the contract holds on whatever filesystem the warehouse lives
+    * on, not just local disk): write the live rows to a dot-prefixed
+    * (reader-invisible) tmp dir, rename `ann_codes` aside to a dot-old
+    * dir, rename the tmp in. The old directory is MOVED, never
+    * deleted, until the new one is in place — so no crash point can
+    * lose live (non-tombstoned) rows: before the first rename the old
+    * dir is intact and the tmp is a dead duplicate; between the
+    * renames the tmp holds the only complete copy and recovery
+    * finishes the swap forward; after the second rename the old dir
+    * is an obsolete duplicate. [[compactDeletes]] recovers every
+    * residue state on entry. Single-writer contract like
+    * [[Compaction]]: crash-RECOVERABLE, not atomic for concurrent
+    * readers (a reader racing the rename gap can fail and retry;
+    * results never change because the tombstone log is retained and
+    * search anti-joins it). Returns the number of physical rows
+    * removed. */
   def compactDeletes(): Long = {
-    if (!fsExists("ann_codes")) return 0L
-    val root = new java.io.File(targetPath("ann_codes"))
-    val tmp = new java.io.File(root.getParentFile, ".delete-compact-ann_codes")
-    // crash residue: root still holding data ⇒ the tmp is a dead
-    // duplicate subset (tombstones still mask); root emptied ⇒ the tmp
-    // holds the only copy — finish the move
-    if (tmp.isDirectory) {
-      val rootHasData = root.isDirectory && root.listFiles()
-        .exists(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (!rootHasData) moveDataFiles(tmp, root)
-      tmp.listFiles().foreach(f => f.delete(): Unit)
-      tmp.delete(): Unit
+    val fs = hadoopFs
+    val root = new org.apache.hadoop.fs.Path(targetPath("ann_codes"))
+    val tmpNew =
+      new org.apache.hadoop.fs.Path(warehouseDir, ".delete-compact-ann_codes")
+    val tmpOld = new org.apache.hadoop.fs.Path(
+      warehouseDir, ".delete-compact-ann_codes-old")
+    // recover crash residue (see scaladoc): every reachable state is
+    // distinguishable from which of the three dirs exist
+    if (fs.exists(tmpNew)) {
+      if (fs.exists(root)) fs.delete(tmpNew, true): Unit // pre-swap: dup
+      else require(fs.rename(tmpNew, root), // mid-swap: only live copy
+        s"compactDeletes recovery: could not rename $tmpNew to $root")
+    } else if (fs.exists(tmpOld) && !fs.exists(root)) {
+      // defensive (unreachable under the protocol): restore the old dir
+      require(fs.rename(tmpOld, root),
+        s"compactDeletes recovery: could not restore $root from $tmpOld")
     }
-    val before = spark.read.parquet(targetPath("ann_codes")).count()
-    val live = liveCodes
-    live.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    root.listFiles().filter(f => f.isFile &&
-        (f.getName.endsWith(".parquet") || f.getName.endsWith(".crc")))
-      .foreach(f => f.delete(): Unit)
-    moveDataFiles(tmp, root)
-    tmp.listFiles().foreach(f => f.delete(): Unit)
-    tmp.delete(): Unit
-    before - spark.read.parquet(targetPath("ann_codes")).count()
-  }
-
-  /** Move every parquet data file (and checksum sibling) from `src`
-    * into `dest`. Writer-generated names carry task UUIDs, so moves
-    * never clash with surviving files. */
-  private def moveDataFiles(src: java.io.File, dest: java.io.File): Unit = {
-    if (!dest.exists()) dest.mkdirs(): Unit
-    src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .foreach { f =>
-        require(f.renameTo(new java.io.File(dest, f.getName)),
-          s"compactDeletes: could not move $f into $dest")
-        val crc = new java.io.File(src, s".${f.getName}.crc")
-        if (crc.exists())
-          crc.renameTo(new java.io.File(dest, crc.getName)): Unit
-      }
+    if (fs.exists(tmpOld) && fs.exists(root))
+      fs.delete(tmpOld, true): Unit // post-swap: obsolete duplicate
+    if (!fs.exists(root)) return 0L
+    val before = spark.read.parquet(root.toString).count()
+    liveCodes.write.mode(SaveMode.Overwrite).parquet(tmpNew.toString)
+    // the swap: from here a crash recovers FORWARD from tmpNew
+    require(fs.rename(root, tmpOld),
+      s"compactDeletes: could not move $root aside to $tmpOld")
+    require(fs.rename(tmpNew, root),
+      s"compactDeletes: could not move $tmpNew into place at $root")
+    fs.delete(tmpOld, true): Unit
+    before - spark.read.parquet(root.toString).count()
   }
 
   /** Append-only catch-up: encode vectors above the index watermark

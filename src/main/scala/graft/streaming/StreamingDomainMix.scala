@@ -73,9 +73,18 @@ object StreamingDomainMix {
     stream
       .withColumn("cell", -array_max(array(cellStructs.toIndexedSeq: _*))
         .getField("negcid"))
-      .withColumn("share_micros", element_at(shareMap, $"cell"))
-      .withColumn("mix_weight", element_at(mixMap, $"cell"))
-      .withColumn("repeat_factor", element_at(repMap, $"cell"))
+      // a streamed vector can argmax into a cell that had ZERO members
+      // in the frozen batch epoch, so the weight maps have no entry —
+      // default those to the explicit neutral verdict (share 0, weight
+      // 1, keep exactly one copy) instead of propagating nulls into
+      // n_copies, a row shape batch c14 can never emit (round-12
+      // review). The batch recompute re-weights the cell next epoch.
+      .withColumn("share_micros",
+        coalesce(element_at(shareMap, $"cell"), lit(0L)))
+      .withColumn("mix_weight",
+        coalesce(element_at(mixMap, $"cell"), lit(1.0d)))
+      .withColumn("repeat_factor",
+        coalesce(element_at(repMap, $"cell"), lit(1.0d)))
       // the batch coin verbatim: md5 bucket vs the repeat fraction
       .withColumn("h", md5($"vec_id".cast(StringType)))
       .withColumn("bucket",

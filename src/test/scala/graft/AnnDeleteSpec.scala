@@ -78,8 +78,8 @@ class AnnDeleteSpec extends AnyFunSuite {
     pipe.run(sfDir)
     pipe.runDelete(Seq(0L).toDF("vec_id"))
     val before = searchRows(pipe)
-    // simulate a sweep killed after writing the tmp but before the old
-    // files were deleted: the tmp is a dead duplicate subset
+    // simulate a sweep killed after writing the tmp but before the
+    // swap: the tmp is a dead duplicate subset
     val tmp = new java.io.File(s"$wh/.delete-compact-ann_codes")
     spark.read.parquet(s"$wh/ann_codes").limit(5)
       .write.parquet(tmp.getAbsolutePath)
@@ -88,5 +88,61 @@ class AnnDeleteSpec extends AnyFunSuite {
     assert(removed == graft.models.SimilarityModels.IvfPqM.toLong,
       "the real prune proceeds after recovery")
     assert(searchRows(pipe) == before, "recovery + prune keep results")
+  }
+
+  test("compaction crash mid-swap: the moved-aside old dir never loses live rows") {
+    val wh = Files.createTempDirectory("graft-ann-del3").toString
+    val pipe = new AnnIndexPipeline(spark, wh)
+    pipe.run(sfDir)
+    pipe.runDelete(Seq(0L, 1L).toDF("vec_id"))
+    val want = searchRows(pipe)
+    val liveCount = spark.read.parquet(s"$wh/ann_codes")
+      .join(spark.read.parquet(s"$wh/ann_tombstones").select($"vec_id"),
+        Seq("vec_id"), "left_anti").count()
+    // simulate the state between the two renames: live rows written to
+    // the tmp, old dir moved aside, nothing at ann_codes — the state
+    // the round-12 review showed the old file-wise prune LOST rows in
+    val root = new java.io.File(s"$wh/ann_codes")
+    val tmpNew = new java.io.File(s"$wh/.delete-compact-ann_codes")
+    val tmpOld = new java.io.File(s"$wh/.delete-compact-ann_codes-old")
+    spark.read.parquet(root.getAbsolutePath)
+      .join(spark.read.parquet(s"$wh/ann_tombstones").select($"vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.parquet(tmpNew.getAbsolutePath)
+    assert(root.renameTo(tmpOld))
+    val removed = pipe.compactDeletes()
+    assert(removed == 0L, "recovery finished the pending swap; the " +
+      "fresh prune then found nothing left to remove")
+    assert(!tmpNew.exists() && !tmpOld.exists(), "residue cleared")
+    assert(spark.read.parquet(s"$wh/ann_codes").count() == liveCount,
+      "every live row survives the mid-swap crash")
+    assert(searchRows(pipe) == want, "results unchanged through recovery")
+
+    // post-swap residue (old dir not yet deleted) also clears
+    spark.read.parquet(s"$wh/ann_codes").limit(3)
+      .write.parquet(tmpOld.getAbsolutePath)
+    pipe.compactDeletes()
+    assert(!tmpOld.exists(), "post-swap residue cleared")
+    assert(searchRows(pipe) == want)
+  }
+
+  test("deleting an unknown id does not advance the append watermark") {
+    val wh = Files.createTempDirectory("graft-ann-del4").toString
+    val pipe = new AnnIndexPipeline(spark, wh)
+    // index only the low half of the corpus, then "fat-finger" a delete
+    // of an id far above anything coded
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cut = all.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+    val half = Files.createTempDirectory("graft-ann-half").toString
+    all.filter($"vec_id" <= cut).write.parquet(s"$half/embeddings.parquet")
+    pipe.run(half)
+    pipe.runDelete(Seq(Long.MaxValue - 1, 999999999L).toDF("vec_id"))
+    assert(!new java.io.File(s"$wh/ann_tombstones").exists() ||
+      spark.read.parquet(s"$wh/ann_tombstones").count() == 0,
+      "unknown ids must not enter the log")
+    // the upper half arrives later: catch-up must still encode it
+    val r = pipe.runIncremental(sfDir)
+    assert(r.codedVectors == all.count(),
+      "later-arriving vectors must not be skipped by a bogus watermark")
   }
 }

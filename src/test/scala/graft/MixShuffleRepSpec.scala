@@ -87,6 +87,26 @@ class MixShuffleRepSpec extends AnyFunSuite {
     assert(orderOf(1L) == e1, "a given epoch replays identically")
   }
 
+  test("c15: production shard geometry is a parameter, not a recompile") {
+    val out = CurationModels.epochShuffleAt(spark, sfDir, 0L, shards = 3L)
+      .select($"doc_id", $"shard", $"shard_pos")
+      .as[(Long, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.length == nDocs)
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions must stay dense at non-default geometry")
+    }
+    // same epoch, different geometry: the PERMUTATION is unchanged
+    // (shard+pos is just a bucketing of the same md5 order)
+    val flat8 = CurationModels.epochShuffleAt(spark, sfDir, 0L)
+      .select($"doc_id", $"perm").as[(Long, String)].collect().toMap
+    val flat3 = CurationModels.epochShuffleAt(spark, sfDir, 0L, shards = 3L)
+      .select($"doc_id", $"perm").as[(Long, String)].collect().toMap
+    assert(flat8 == flat3, "the permutation key is geometry-independent")
+  }
+
   test("d12: the cluster representative is the best-quality doc, not min id") {
     // doc 0 and doc 3 share their first 18 tokens (near-dup pair);
     // doc 3's two edited tokens are stopwords, lifting its t03
