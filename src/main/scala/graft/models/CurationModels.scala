@@ -353,7 +353,7 @@ object CurationModels {
     * corpus is packed per (lang, shard) stream, shard = doc_id div
     * `PackShard` — every window partition is ≤ PackShard rows by
     * construction. */
-  private val PackBudget = 256L
+  private[graft] val PackBudget = 256L
   private[graft] val PackShard = 200L
 
   /** c05: sequence-packing index — the GPT-pretraining packing stage as

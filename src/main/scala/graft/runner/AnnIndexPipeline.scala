@@ -155,54 +155,22 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     report()
   }
 
-  /** Physically prune tombstoned rows from `ann_codes`. The swap is
-    * two whole-directory renames through the Hadoop `FileSystem` (so
-    * the contract holds on whatever filesystem the warehouse lives
-    * on, not just local disk): write the live rows to a dot-prefixed
-    * (reader-invisible) tmp dir, rename `ann_codes` aside to a dot-old
-    * dir, rename the tmp in. The old directory is MOVED, never
-    * deleted, until the new one is in place — so no crash point can
-    * lose live (non-tombstoned) rows: before the first rename the old
-    * dir is intact and the tmp is a dead duplicate; between the
-    * renames the tmp holds the only complete copy and recovery
-    * finishes the swap forward; after the second rename the old dir
-    * is an obsolete duplicate. [[compactDeletes]] recovers every
-    * residue state on entry. Single-writer contract like
-    * [[Compaction]]: crash-RECOVERABLE, not atomic for concurrent
-    * readers (a reader racing the rename gap can fail and retry;
-    * results never change because the tombstone log is retained and
-    * search anti-joins it). Returns the number of physical rows
-    * removed. */
+  /** Physically prune tombstoned rows from `ann_codes` via the
+    * [[SwapWrite]] contract (a whole-directory rename swap through the
+    * Hadoop `FileSystem`): the old directory is MOVED aside, never
+    * deleted, until the rewritten live rows are in place, so no crash
+    * point can lose live (non-tombstoned) rows and every residue state
+    * recovers on the next entry. Crash-RECOVERABLE, not atomic for
+    * concurrent readers (the [[Compaction]] single-writer posture);
+    * results never change regardless, because the tombstone log is
+    * retained and search always anti-joins it. Returns the number of
+    * physical rows removed. */
   def compactDeletes(): Long = {
-    val fs = hadoopFs
-    val root = new org.apache.hadoop.fs.Path(targetPath("ann_codes"))
-    val tmpNew =
-      new org.apache.hadoop.fs.Path(warehouseDir, ".delete-compact-ann_codes")
-    val tmpOld = new org.apache.hadoop.fs.Path(
-      warehouseDir, ".delete-compact-ann_codes-old")
-    // recover crash residue (see scaladoc): every reachable state is
-    // distinguishable from which of the three dirs exist
-    if (fs.exists(tmpNew)) {
-      if (fs.exists(root)) fs.delete(tmpNew, true): Unit // pre-swap: dup
-      else require(fs.rename(tmpNew, root), // mid-swap: only live copy
-        s"compactDeletes recovery: could not rename $tmpNew to $root")
-    } else if (fs.exists(tmpOld) && !fs.exists(root)) {
-      // defensive (unreachable under the protocol): restore the old dir
-      require(fs.rename(tmpOld, root),
-        s"compactDeletes recovery: could not restore $root from $tmpOld")
-    }
-    if (fs.exists(tmpOld) && fs.exists(root))
-      fs.delete(tmpOld, true): Unit // post-swap: obsolete duplicate
-    if (!fs.exists(root)) return 0L
-    val before = spark.read.parquet(root.toString).count()
-    liveCodes.write.mode(SaveMode.Overwrite).parquet(tmpNew.toString)
-    // the swap: from here a crash recovers FORWARD from tmpNew
-    require(fs.rename(root, tmpOld),
-      s"compactDeletes: could not move $root aside to $tmpOld")
-    require(fs.rename(tmpNew, root),
-      s"compactDeletes: could not move $tmpNew into place at $root")
-    fs.delete(tmpOld, true): Unit
-    before - spark.read.parquet(root.toString).count()
+    SwapWrite.recover(spark, targetPath("ann_codes"))
+    if (!fsExists("ann_codes")) return 0L
+    val before = spark.read.parquet(targetPath("ann_codes")).count()
+    SwapWrite.overwrite(spark, targetPath("ann_codes"), liveCodes)
+    before - spark.read.parquet(targetPath("ann_codes")).count()
   }
 
   /** Append-only catch-up: encode vectors above the index watermark

@@ -111,6 +111,22 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     val (path, fs) = hadoopPath(p); fs.mkdirs(path); ()
   }
 
+  /** The document-family delete log, deduped — the curation analog of
+    * the ANN tier's `ann_tombstones`. PERMANENT: after [[deleteDocs]]
+    * physically removes a doc's rows, the log is what keeps the
+    * incremental append watermark monotone (deleting the highest
+    * verdicted doc must not reopen the id range below it — a
+    * still-present upstream copy would be re-ingested) and what
+    * excludes a lagging upstream copy from the repair's corpus view.
+    * Missing table (pre-delete warehouse) = empty. */
+  private def curationTombstones: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (pathExists(targetPath("curation_tombstones")))
+      spark.read.parquet(targetPath("curation_tombstones"))
+        .select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
   /** Rebuild the bloom sidecar from the keeper table (used by [[run]]
     * and by interrupted-swap recovery — bitsets are reproducible, so a
     * rebuild ≡ the union-folded sidecar an uninterrupted swap lands). */
@@ -244,7 +260,6 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // --- 1. funnel verdicts
     CurationModels.curationFunnel(spark, sfDir)
       .write.mode(SaveMode.Overwrite).parquet(targetPath("curation_funnel"))
-    val funnel = spark.read.parquet(targetPath("curation_funnel"))
     // --- 1b. incremental bookkeeping: fingerprint groups + the fixed
     // eval gram reference (what runIncremental re-verdicts against)
     DedupModels.dedupExact(spark, sfDir)
@@ -279,11 +294,23 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         $"v".as("evv"), $"norm".as("en"))
       .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("curation_eval_vecs"))
+    // --- 2..4: every table derived from the verdicts + the raw corpus
+    rebuildDerived(Tables.documents(spark, sfDir))
+    report()
+  }
+
+  /** Steps 2–4 of the build: regenerate every DERIVED table from the
+    * CURRENT `curation_funnel` verdicts and the given raw corpus — the
+    * shared tail of a full [[run]] and the [[deleteDocs]] repair.
+    * Purely deterministic in (funnel, rawDocs), so a crash anywhere in
+    * here is recovered by re-running the caller. */
+  private def rebuildDerived(rawDocs: DataFrame): Unit = {
+    val funnel = spark.read.parquet(targetPath("curation_funnel"))
     // --- 2. curated corpus: kept documents with all source columns,
     // written under a documents.parquet path so the corpus dir IS a
     // valid Tables-resolvable fixture layout for every downstream op
     val keptIds = funnel.filter($"verdict" === "kept").select($"doc_id")
-    Tables.documents(spark, sfDir)
+    rawDocs
       .join(keptIds, Seq("doc_id"), "left_semi")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${targetPath("curated_corpus")}/documents.parquet")
@@ -308,11 +335,11 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // --- 3/3b. packing index + train sampler over the TRIMMED set
     packTrimmedCorpus()
     // --- 4. sub-document segment stage (d08): per-doc retained-token
-    // stats over the RAW snapshot, plus the bookkeeping table an
+    // stats over the RAW corpus, plus the bookkeeping table an
     // incremental run needs — the first-occurrence holder of every
     // distinct segment hash (the segment analog of curation_groups)
     val marked = DedupModels.markFirstOccurrence(
-      DedupModels.segmentsOf(Tables.documents(spark, sfDir)))
+      DedupModels.segmentsOf(rawDocs))
     DedupModels.segmentStatsOf(marked)
       .write.mode(SaveMode.Overwrite).parquet(targetPath("segment_stats"))
     marked.filter(!$"dup").select($"seg_hash", $"doc_id", $"g")
@@ -323,9 +350,8 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     // definitely-new segments (bitsets are reproducible, so the sidecar
     // a full run writes ≡ the one incremental unions up — spec-pinned)
     rebuildSegmentBloom()
-    // a full run supersedes any interrupted incremental swap
+    // a rebuild supersedes any interrupted incremental swap
     deletePath(targetPath("curation_segment_bloom.tmp"))
-    report()
   }
 
   /** Incremental catch-up over an appended corpus: `sfDir` now holds
@@ -354,7 +380,12 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       packTrimmedCorpus()
     }
     val funnelOld = spark.read.parquet(targetPath("curation_funnel"))
-    val wm = funnelOld.agg(org.apache.spark.sql.functions.max($"doc_id"))
+    // watermark over verdicts AND tombstones: after [[deleteDocs]]
+    // physically removes the highest verdicted doc, the retained log
+    // keeps the watermark monotone — a lagging upstream copy of a
+    // deleted doc can never re-enter, and no processed id reprocesses
+    val wm = funnelOld.select($"doc_id").unionByName(curationTombstones)
+      .agg(org.apache.spark.sql.functions.max($"doc_id"))
       .head().getLong(0)
     val newDocs = Tables.documents(spark, sfDir).filter($"doc_id" > wm)
       .persist()
@@ -646,5 +677,213 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       newFunnel.unpersist()
       report()
     } finally newDocs.unpersist()
+  }
+
+  /** EPOCH SHARD-FILE WRITER + dataloader manifest — the step that
+    * turns the c15 permutation into files a training dataloader can
+    * actually stream, composing c12 (only train-split text feeds a
+    * run) and c05/c13 packing geometry (fixed `PackBudget`-token
+    * sequence windows) WITH the epoch order:
+    *
+    *   - the span-trimmed corpus is restricted to train-labeled docs
+    *     (the c12 guarantee: val/test text cannot enter a shard file
+    *     by construction);
+    *   - `CurationModels.epochShuffleFrom` assigns every doc its
+    *     deterministic (shard, shard_pos) for this epoch at the given
+    *     production geometry (`shards` = corpus_docs / docs-per-file);
+    *   - offsets/sequence windows are computed over the EPOCH-ordered
+    *     stream per shard (running token sum in shard_pos order) — the
+    *     numbers a sequential reader of the shard file sees;
+    *   - each shard lands as ONE ordered parquet file under
+    *     `epoch_shards/epoch=<e>/shard=<s>/` (rows stored in shard_pos
+    *     order: the writer task iterates the sorted partition), and a
+    *     manifest row per shard (docs, tokens, sequence windows) lands
+    *     in `epoch_shard_manifest` under dynamic partition overwrite —
+    *     re-running an epoch replaces exactly its own files and rows.
+    *
+    * Scale: the permutation is a stateless map; the per-shard sort IS
+    * the single-task stream a shard-file writer needs anyway (shard
+    * count grows with the corpus, so per-task volume stays bounded);
+    * the manifest is one map-side-combined rollup. Returns the
+    * manifest rows for the epoch. EpochShardWriterSpec pins file
+    * order ≡ c15 permutation, offsets, idempotency, and epoch
+    * separation. */
+  def writeEpochShards(epoch: Long,
+      shards: Long = CurationModels.EpochShards)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val trainIds = spark.read.parquet(targetPath("curation_splits"))
+      .filter($"split" === "train").select($"doc_id")
+    val trainDocs = Tables
+      .documents(spark, targetPath("span_trimmed_corpus"))
+      .join(trainIds, Seq("doc_id"), "left_semi")
+    val ordered = CurationModels.epochShuffleFrom(trainDocs, epoch, shards)
+    val w = Window.partitionBy($"shard").orderBy($"shard_pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = ordered
+      .withColumn("end_offset", sum($"n_tokens").over(w))
+      .withColumn("start_offset", $"end_offset" - $"n_tokens")
+      .withColumn("first_seq",
+        expr(s"start_offset div ${CurationModels.PackBudget}"))
+      .withColumn("last_seq",
+        expr(s"(end_offset - 1) div ${CurationModels.PackBudget}"))
+      .select($"shard", $"shard_pos", $"doc_id", $"n_tokens",
+        $"start_offset", $"first_seq", $"last_seq",
+        ($"last_seq" > $"first_seq").as("boundary_split"))
+    // one writer task per shard => one ordered data file per shard dir
+    packed
+      .repartition(math.max(1, shards.toInt), $"shard")
+      .sortWithinPartitions($"shard", $"shard_pos")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
+    val manifest = spark.read
+      .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        (max($"last_seq") + 1L).as("n_seqs"),
+        sum(when($"boundary_split", 1L).otherwise(0L))
+          .as("boundary_splits"))
+      .withColumn("epoch", lit(epoch))
+      .select($"epoch", $"shard", $"n_docs", $"n_tokens", $"n_seqs",
+        $"boundary_splits")
+    manifest.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch")
+      .parquet(targetPath("epoch_shard_manifest"))
+    // read-back: partition discovery appends `epoch` and types it int —
+    // restore the canonical column order and long type
+    spark.read.parquet(targetPath("epoch_shard_manifest"))
+      .filter($"epoch" === epoch)
+      .select($"epoch".cast("long").as("epoch"), $"shard", $"n_docs",
+        $"n_tokens", $"n_seqs", $"boundary_splits")
+  }
+
+  /** GDPR/takedown ERASURE through the curation document family — the
+    * document analog of `AnnIndexPipeline.runDelete` + its compaction,
+    * and the reference's repair semantics (`incremental_cleanup.py:
+    * 78-88` deletes then re-fills) applied to the doc-keyed DAG. After
+    * this returns, every curation table equals what a full [[run]]
+    * over the corpus WITHOUT the deleted docs would have produced
+    * (under the frozen snapshot references — eval grams/vectors and
+    * the trained IVF codebook — exactly the contract [[runIncremental]]
+    * already states; CurationErasureSpec pins table-level equality,
+    * sidecars included):
+    *
+    *   1. ids are validated (only verdicted or already-tombstoned ids
+    *      enter the log — an unknown id must not advance the append
+    *      watermark) and appended to the PERMANENT `curation_tombstones`
+    *      log, which [[runIncremental]]'s watermark honors so a deleted
+    *      doc never resurrects even when the upstream copy lags;
+    *   2. fingerprint groups whose canonical died are re-canonicalized
+    *      to the smallest surviving member (one corpus fingerprint
+    *      pass, restricted by a broadcast of the orphaned fps), or
+    *      dropped when no member survives;
+    *   3. the funnel is REPAIRED from stored per-doc flags: deleted
+    *      rows leave, and a surviving duplicate whose canonical died
+    *      re-verdicts (possibly to `kept` — it then enters the corpus
+    *      exactly as a full rebuild would admit it). Flags themselves
+    *      (rep/contam/sem/sample) are per-doc and immutable, so no
+    *      text reprocessing happens here;
+    *   4. every derived table regenerates via [[rebuildDerived]] —
+    *      which is WHY the equality holds for the subtle cases: a
+    *      deleted doc's span-gram and segment first-occurrence claims
+    *      migrate to the next-smallest holder (possibly restoring
+    *      previously-trimmed text in surviving docs), grams/segments
+    *      held only by deleted docs leave the bookkeeping tables, and
+    *      BOTH bloom sidecars rebuild from the new keeper tables — a
+    *      deleted doc's first-occurrence claims are never consulted
+    *      again. A surgical delta exists in principle, but first-
+    *      occurrence migration makes other docs' trims change, so the
+    *      regeneration IS the provably-equal path — and its cost (one
+    *      derived-table refresh per erasure BATCH, run monthly, never
+    *      per id) is the reference's own repair posture.
+    *
+    * Mutation safety: the log append lands first; groups and funnel
+    * swap via [[SwapWrite]] (no crash point loses committed rows);
+    * the derived tail is deterministic in (funnel, corpus). A crash
+    * anywhere is recovered by RE-RUNNING deleteDocs with the same ids
+    * (already-tombstoned ids stay valid, the repair re-derives from
+    * current state — every step is idempotent).
+    *
+    * `sfDir` is the current corpus snapshot; deleted docs may or may
+    * not still be present in it (the log excludes them either way),
+    * but every other verdicted doc must be. */
+  def deleteDocs(sfDir: String, ids: org.apache.spark.sql.DataFrame)
+      : CurationPipeline.Report = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    recoverInterruptedBloomSwap()
+    SwapWrite.recover(spark, targetPath("curation_groups"))
+    SwapWrite.recover(spark, targetPath("curation_funnel"))
+    val funnel0 = spark.read.parquet(targetPath("curation_funnel"))
+    val reqIds = ids.select($"doc_id".cast("long").as("doc_id")).distinct()
+    val known = funnel0.select($"doc_id").unionByName(curationTombstones)
+      .distinct()
+    val delIds = reqIds.join(known, Seq("doc_id"), "left_semi").persist()
+    try {
+      if (delIds.head(1).isEmpty) return report() // nothing to erase
+      // frozen-eval guard: erasing an eval doc would change the
+      // benchmark reference and silently flip history's contamination
+      // flags — that requires an explicit fresh run(), not an erasure
+      val evalDel = funnel0.join(delIds, Seq("doc_id"), "left_semi")
+        .filter($"source" === CurationModels.EvalSource).count()
+      require(evalDel == 0,
+        s"$evalDel requested ids carry the eval source — the benchmark " +
+          "reference is frozen; re-run the full snapshot instead")
+      // 1. log first: from here the watermark is safe even if the
+      // repair below crashes (re-run deleteDocs with the same ids)
+      delIds.write.mode(SaveMode.Append)
+        .parquet(targetPath("curation_tombstones"))
+      // the logical post-delete corpus: processed docs minus the log
+      val wm = funnel0.select($"doc_id").unionByName(curationTombstones)
+        .agg(max($"doc_id")).head().getLong(0)
+      val corpus = Tables.documents(spark, sfDir)
+        .filter($"doc_id" <= wm)
+        .join(curationTombstones, Seq("doc_id"), "left_anti")
+      // 2. re-canonicalize orphaned fingerprint groups (detection keys
+      // on the FULL log, not this batch, so a crashed prior run's
+      // leftover orphans repair too)
+      val groups = spark.read.parquet(targetPath("curation_groups"))
+      val fps = CurationModels.fingerprintsOf(corpus)
+        .select($"doc_id", $"fp")
+      val orphanFps = groups
+        .join(curationTombstones
+            .withColumnRenamed("doc_id", "canonical_doc_id"),
+          Seq("canonical_doc_id"), "left_semi")
+        .select($"fp")
+      val newCanon = fps
+        .join(orphanFps.hint("broadcast"), Seq("fp"), "left_semi")
+        .groupBy($"fp").agg(min($"doc_id").as("canonical_doc_id"))
+      SwapWrite.overwrite(spark, targetPath("curation_groups"),
+        groups.join(orphanFps, Seq("fp"), "left_anti")
+          .unionByName(newCanon))
+      // 3. funnel repair from stored flags + the remapped groups: pure
+      // state derivation (no dependence on "what changed this call"),
+      // so a re-run lands the identical table
+      val groupsNew = spark.read.parquet(targetPath("curation_groups"))
+      val repaired = funnel0
+        .join(curationTombstones, Seq("doc_id"), "left_anti")
+        .join(fps, Seq("doc_id"))
+        .join(groupsNew, Seq("fp"))
+        .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
+        .withColumn("verdict",
+          when($"source" === CurationModels.EvalSource, "eval")
+            .when($"is_duplicate", "duplicate")
+            .when($"rep_flagged", "repetitive")
+            .when($"contaminated", "contaminated")
+            .when($"sem_contaminated", "sem_contaminated")
+            .when(!$"sample_kept", "sampled_out")
+            .otherwise("kept"))
+        .select($"doc_id", $"lang", $"source", $"is_duplicate",
+          $"rep_flagged", $"contaminated", $"sem_contaminated",
+          $"sample_kept", $"verdict")
+      SwapWrite.overwrite(spark, targetPath("curation_funnel"), repaired)
+      // 4. regenerate every derived table (incl. both bloom sidecars)
+      // from the repaired verdicts over the post-delete corpus
+      rebuildDerived(corpus)
+      report()
+    } finally delIds.unpersist(): Unit
   }
 }

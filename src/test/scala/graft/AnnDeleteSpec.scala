@@ -80,7 +80,7 @@ class AnnDeleteSpec extends AnyFunSuite {
     val before = searchRows(pipe)
     // simulate a sweep killed after writing the tmp but before the
     // swap: the tmp is a dead duplicate subset
-    val tmp = new java.io.File(s"$wh/.delete-compact-ann_codes")
+    val tmp = new java.io.File(s"$wh/.swap-ann_codes")
     spark.read.parquet(s"$wh/ann_codes").limit(5)
       .write.parquet(tmp.getAbsolutePath)
     val removed = pipe.compactDeletes()
@@ -103,8 +103,8 @@ class AnnDeleteSpec extends AnyFunSuite {
     // the tmp, old dir moved aside, nothing at ann_codes — the state
     // the round-12 review showed the old file-wise prune LOST rows in
     val root = new java.io.File(s"$wh/ann_codes")
-    val tmpNew = new java.io.File(s"$wh/.delete-compact-ann_codes")
-    val tmpOld = new java.io.File(s"$wh/.delete-compact-ann_codes-old")
+    val tmpNew = new java.io.File(s"$wh/.swap-ann_codes")
+    val tmpOld = new java.io.File(s"$wh/.swap-ann_codes-old")
     spark.read.parquet(root.getAbsolutePath)
       .join(spark.read.parquet(s"$wh/ann_tombstones").select($"vec_id"),
         Seq("vec_id"), "left_anti")

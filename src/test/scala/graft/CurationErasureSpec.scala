@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.runner.CurationPipeline
+
+/** Document-family erasure (`CurationPipeline.deleteDocs`): delete +
+  * incremental catch-up must equal a full rebuild over the corpus
+  * WITHOUT the deleted docs, on EVERY curation table including both
+  * bloom sidecars. The fixture is engineered to hit the hard cases:
+  *
+  *  - a deleted doc is the CANONICAL of an exact-dup group with a
+  *    surviving member → the survivor re-verdicts (here: to `kept`)
+  *    and enters the corpus, splits, trim, packing;
+  *  - a deleted doc held the FIRST occurrence of a span gram another
+  *    kept doc shares → the survivor's previously-trimmed text must be
+  *    RESTORED (first-occurrence migration);
+  *  - deleted docs held segment first-occurrence claims → keepers
+  *    migrate and the survivor's segment stats change;
+  *  - the deleted docs REMAIN in the corpus dir (upstream lag) — the
+  *    tombstone log must exclude them from the repair and from the
+  *    later incremental catch-up, and the watermark must stay monotone.
+  *
+  * All crafted ids sit above `SimilarityModels.AnnTrainCap`, so the
+  * frozen IVF codebook (the snapshot reference the pipeline's
+  * incremental contract already freezes) is identical on both sides.
+  */
+class CurationErasureSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // shared 14-token prefix of the span pair (> SpanL = 10)
+  private val spanShared = (0 until 14).map(i => s"spansh$i").mkString(" ")
+  private def uniq(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  private val dupText = uniq("erasdup", 24)
+  // crafted docs: lang "de" (stratified sample keeps ALL non-en/zh
+  // docs), source src5 (non-eval), unique token vocabularies (no eval
+  // n-gram hits, no repetition flags)
+  private val crafted = Seq(
+    (500L, dupText, "de", "src5"),                               // canonical - DELETED
+    (501L, dupText, "de", "src5"),                               // dup -> flips to kept
+    (502L, s"$spanShared ${uniq("tailx", 8)}", "de", "src5"),    // span first - DELETED
+    (503L, s"$spanShared ${uniq("taily", 8)}", "de", "src5"),    // span survivor
+    (504L, uniq("erasplain", 22), "de", "src5"))                 // plain kept - DELETED
+  private val delIds = Seq(500L, 502L, 504L)
+
+  // embedding donor: a doc the plain funnel KEEPS — kept implies not
+  // semantically contaminated, so copying its vector (cells and eval
+  // refs are frozen) keeps every crafted doc's semantic verdict clean
+  private lazy val donorId: Long =
+    graft.models.CurationModels.curationFunnel(spark, sfDir)
+      .filter($"verdict" === "kept")
+      .agg(min($"doc_id")).as[Long].head()
+
+  private def writeFixture(dir: String, ids: Seq[Long],
+      extra: Seq[(Long, String, String, String)] = Seq.empty): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rows = (crafted ++ extra).filter(r => ids.contains(r._1))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    base.unionByName(rows)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val donor = emb.filter($"vec_id" === donorId)
+      .select($"embedding", $"label").head()
+    val craftedEmb = (crafted ++ extra).map(_._1).filter(ids.contains)
+      .map(id => (id, donor.getSeq[Float](0), donor.getInt(1)))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label")
+    emb.unionByName(craftedEmb)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq.map(col)
+    df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertTableEqual(whA: String, whB: String, table: String)
+      : Unit = {
+    val a = sortedRows(spark.read.parquet(s"$whA/$table"))
+    val b = sortedRows(spark.read.parquet(s"$whB/$table"))
+    assert(a == b, s"$table diverges after erasure: " +
+      s"only-A=${(a.toSet -- b.toSet).take(2)}, " +
+      s"only-B=${(b.toSet -- a.toSet).take(2)}")
+  }
+
+  private val allTables = Seq(
+    "curation_funnel", "curation_groups",
+    "curated_corpus/documents.parquet", "curation_splits",
+    "span_trimmed_corpus/documents.parquet", "curation_span_grams",
+    "curated_packing", "train_split_packing",
+    "segment_stats", "curation_segments")
+
+  private def assertBloomEqual(whA: String, whB: String, table: String)
+      : Unit = {
+    val a = spark.read.parquet(s"$whA/$table")
+      .head().getAs[Array[Byte]]("bloom")
+    val b = spark.read.parquet(s"$whB/$table")
+      .head().getAs[Array[Byte]]("bloom")
+    assert(java.util.Arrays.equals(a, b), s"$table sidecar diverges")
+  }
+
+  test("delete + catch-up == full rebuild minus the docs, every table + both sidecars") {
+    val fixAll = Files.createTempDirectory("graft-eras-all").toString
+    val fixMinus = Files.createTempDirectory("graft-eras-min").toString
+    val craftedIds = crafted.map(_._1)
+    writeFixture(fixAll, craftedIds)
+    writeFixture(fixMinus, craftedIds.filterNot(delIds.contains))
+
+    val whA = Files.createTempDirectory("graft-eras-whA").toString
+    val whB = Files.createTempDirectory("graft-eras-whB").toString
+    val pipeA = new CurationPipeline(spark, whA)
+    val pipeB = new CurationPipeline(spark, whB)
+    pipeA.run(fixAll)
+
+    // fixture preconditions: the crafted cases are actually live
+    val funnelPre = spark.read.parquet(s"$whA/curation_funnel")
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(funnelPre(500L) == "kept" && funnelPre(501L) == "duplicate",
+      s"dup pair must be (kept, duplicate): ${funnelPre.filter(_._1 >= 500)}")
+    assert(funnelPre(502L) == "kept" && funnelPre(503L) == "kept" &&
+      funnelPre(504L) == "kept")
+    val trimmedPre = spark.read
+      .parquet(s"$whA/span_trimmed_corpus/documents.parquet")
+      .filter($"doc_id" === 503L).select($"text").as[String].head()
+    assert(!trimmedPre.contains("spansh0"),
+      s"503's shared span must be trimmed pre-delete, got: $trimmedPre")
+
+    // unknown ids are rejected from the log (watermark protection)
+    pipeA.deleteDocs(fixAll, Seq(999999L).toDF("doc_id"))
+    assert(!new java.io.File(s"$whA/curation_tombstones").exists() ||
+      spark.read.parquet(s"$whA/curation_tombstones").count() == 0)
+
+    // eval-sourced ids are refused loudly
+    val evalId = funnelPre.collectFirst {
+      case (id, v) if v == "eval" => id }.get
+    intercept[IllegalArgumentException] {
+      pipeA.deleteDocs(fixAll, Seq(evalId).toDF("doc_id"))
+    }
+
+    // THE ERASURE (docs still present in fixAll - upstream lag)
+    pipeA.deleteDocs(fixAll, delIds.toDF("doc_id"))
+    pipeB.run(fixMinus)
+
+    val funnelPost = spark.read.parquet(s"$whA/curation_funnel")
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(!funnelPost.contains(500L) && !funnelPost.contains(502L) &&
+      !funnelPost.contains(504L), "deleted rows must leave the funnel")
+    assert(funnelPost(501L) == "kept",
+      s"the surviving duplicate must re-verdict to kept: ${funnelPost(501L)}")
+    val trimmedPost = spark.read
+      .parquet(s"$whA/span_trimmed_corpus/documents.parquet")
+      .filter($"doc_id" === 503L).select($"text").as[String].head()
+    assert(trimmedPost.contains("spansh0"),
+      "503's span must be RESTORED once its first holder is erased")
+
+    allTables.foreach(t => assertTableEqual(whA, whB, t))
+    assertBloomEqual(whA, whB, "curation_segment_bloom")
+    assertBloomEqual(whA, whB, "curation_span_bloom")
+
+    // --- incremental catch-up after the erasure: append the same new
+    // docs to BOTH corpora (fixAll still carries the deleted docs)
+    val newDocs = Seq(
+      (505L, uniq("newdoc505x", 21), "fr", "src3"),
+      (506L, uniq("newdoc506x", 23), "fr", "src3"))
+    writeFixture(fixAll, craftedIds ++ Seq(505L, 506L), newDocs)
+    writeFixture(fixMinus,
+      craftedIds.filterNot(delIds.contains) ++ Seq(505L, 506L), newDocs)
+    pipeA.runIncremental(fixAll)
+    pipeB.runIncremental(fixMinus)
+    allTables.foreach(t => assertTableEqual(whA, whB, t))
+    assertBloomEqual(whA, whB, "curation_segment_bloom")
+    assertBloomEqual(whA, whB, "curation_span_bloom")
+
+    // --- idempotency: re-issuing the same erasure changes nothing
+    // (also the crash-recovery path: re-run with the same ids)
+    pipeA.deleteDocs(fixAll, delIds.toDF("doc_id"))
+    allTables.foreach(t => assertTableEqual(whA, whB, t))
+    assertBloomEqual(whA, whB, "curation_segment_bloom")
+    assertBloomEqual(whA, whB, "curation_span_bloom")
+  }
+}
