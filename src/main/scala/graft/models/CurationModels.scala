@@ -179,23 +179,31 @@ object CurationModels {
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
     stratifiedSampleFrom(Tables.documents(spark, sfDir))
 
+  /** The c02 hash bucket of a doc id (0–255, first md5 byte). */
+  private[graft] def sampleBucket(docId: Column): Column = {
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
+    val h = md5(docId.cast(StringType))
+    hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
+  }
+
+  /** The c02 keep coin as a single in-row Column — shared by the batch
+    * sampler and the streaming verdict twin (one coin, one idiom). */
+  private[graft] def sampleKept(docId: Column, lang: Column): Column = {
+    val threshold = Per256.foldRight(lit(DefaultPer256): Column) {
+      case ((l, t), acc) => when(lang === l, lit(t)).otherwise(acc)
+    }
+    sampleBucket(docId) < threshold
+  }
+
   /** Frame-parameterized variant (stateless per-doc map — incremental
     * runs feed only the NEW documents through it). */
   def stratifiedSampleFrom(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val hexVal: Column => Column =
-      c => (instr(lit("0123456789abcdef"), c) - 1).cast(IntegerType)
-    val threshold = Per256.foldRight(lit(DefaultPer256): Column) {
-      case ((lang, t), acc) => when($"lang" === lang, lit(t)).otherwise(acc)
-    }
     docs
       .select($"doc_id", $"lang",
-        md5($"doc_id".cast(StringType)).as("h"))
-      .withColumn("bucket",
-        hexVal(substring($"h", 1, 1)) * 16 + hexVal(substring($"h", 2, 1)))
-      .withColumn("kept", $"bucket" < threshold)
-      .select($"doc_id", $"lang", $"bucket".cast(LongType).as("bucket"),
-        $"kept")
+        sampleBucket($"doc_id").cast(LongType).as("bucket"),
+        sampleKept($"doc_id", $"lang").as("kept"))
   }
 
   val stratifiedSampleOracle: String =
@@ -553,10 +561,13 @@ object CurationModels {
   /** (doc_id, lang, source, fp) — the exact-dedup fingerprint the
     * funnel (and the incremental pipeline's group bookkeeping) keys on.
     */
+  /** The exact-dedup fingerprint as a single in-row Column — shared by
+    * [[fingerprintsOf]] and the streaming verdict twin. */
+  private[graft] def fpCol(text: Column): Column = md5(normText(text))
+
   private[graft] def fingerprintsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", $"lang", $"source",
-      md5(normText($"text")).as("fp"))
+    docs.select($"doc_id", $"lang", $"source", fpCol($"text").as("fp"))
   }
 
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {

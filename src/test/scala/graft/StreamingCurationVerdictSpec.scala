@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.models.CurationModels
+import graft.runner.CurationPipeline
+import graft.streaming.StreamingCurationVerdict
+
+/** The streamed ingest verdict must be an EXACT drop-in for the batch
+  * incremental funnel row against the same frozen snapshot references:
+  * identical (doc_id, lang, source, is_duplicate, rep_flagged,
+  * contaminated, sem_contaminated, sample_kept, verdict) for every
+  * streamed document, across ALL verdict classes. The batch reference
+  * is `CurationPipeline.runIncremental` over the appended corpus (the
+  * no-new-vs-new contract the segment/span twins state: the streamed
+  * batch carries no internal duplicates — in-stream mutual dups are
+  * the batch catch-up's tie to break).
+  */
+class StreamingCurationVerdictSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def uniq(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("streamed ingest verdict ≡ batch incremental funnel, every verdict class") {
+    // --- frozen snapshot warehouse
+    val wh = Files.createTempDirectory("graft-scv-wh").toString
+    val pipe = new CurationPipeline(spark, wh)
+    pipe.run(sfDir)
+
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val funnel0 = spark.read.parquet(s"$wh/curation_funnel")
+
+    // crafted ingest batch, one doc per verdict class
+    val donorId = funnel0.filter($"verdict" === "kept")
+      .agg(min($"doc_id")).as[Long].head()
+    val donorVec = baseEmb.filter($"vec_id" === donorId)
+      .select($"embedding", $"label").head()
+    val evalId = funnel0.filter($"verdict" === "eval")
+      .agg(min($"doc_id")).as[Long].head()
+    val evalVec = baseEmb.filter($"vec_id" === evalId)
+      .select($"embedding", $"label").head()
+    val dupText = baseDocs.filter($"doc_id" === donorId)
+      .select($"text").as[String].head()
+    val evalText = baseDocs.filter($"doc_id" === evalId)
+      .select($"text").as[String].head()
+    // an en id the c02 coin rejects (sampled_out needs lang en/zh)
+    val outId = CurationModels.stratifiedSampleFrom(
+      (520L to 600L).map(i => (i, "en")).toDF("doc_id", "lang"))
+      .filter(!$"kept").agg(min($"doc_id")).as[Long].head()
+
+    val newDocs = Seq(
+      (500L, dupText, "de", "src7"),                      // duplicate
+      (501L, ("spam " * 30).trim, "de", "src7"),          // repetitive
+      (502L, s"$evalText zunique1 zunique2", "de", "src7"), // contaminated
+      (503L, uniq("semleak", 22), "de", "src7"),          // sem_contaminated
+      (outId, uniq("plainout", 21), "en", "src7"),        // sampled_out
+      (504L, uniq("plainkeep", 23), "de", "src7"))        // kept
+    val newEmb = Seq(
+      (500L, donorVec), (501L, donorVec), (502L, donorVec),
+      (503L, evalVec), (outId, donorVec), (504L, donorVec))
+      .map { case (id, v) => (id, v.getSeq[Float](0), v.getInt(1)) }
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id",
+        $"embedding".cast("array<float>").as("embedding"), $"label")
+
+    // --- stream the batch through the frozen references
+    val inDir = Files.createTempDirectory("graft-scv-in").toString
+    newDocs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(inDir)
+    val embAll = baseEmb.unionByName(newEmb)
+    val ckpt = Files.createTempDirectory("graft-scv-ckpt").toString
+    val out = Files.createTempDirectory("graft-scv-out").toString
+    StreamingCurationVerdict
+      .runAvailableNow(spark, inDir, wh, embAll, ckpt, out)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .as[(Long, String, String, Boolean, Boolean, Boolean, Boolean,
+        Boolean, String)].collect().toSet
+
+    // --- the batch reference: incremental catch-up over the appended
+    // corpus, SAME warehouse (references read before this mutation)
+    val fixAll = Files.createTempDirectory("graft-scv-fix").toString
+    baseDocs.unionByName(newDocs.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length($"text").cast("long")))
+      .write.parquet(s"$fixAll/documents.parquet")
+    embAll.write.parquet(s"$fixAll/embeddings.parquet")
+    pipe.runIncremental(fixAll)
+    val batch = spark.read.parquet(s"$wh/curation_funnel")
+      .filter($"doc_id" >= 500L || $"doc_id" === outId)
+      .as[(Long, String, String, Boolean, Boolean, Boolean, Boolean,
+        Boolean, String)].collect().toSet
+
+    assert(streamed.size == newDocs.size, "every doc stamped once")
+    assert(streamed == batch,
+      s"streamed verdicts diverge: only-streamed=" +
+        s"${(streamed -- batch).take(3)}, only-batch=" +
+        s"${(batch -- streamed).take(3)}")
+    // the fixture must actually exercise every verdict class
+    val verdicts = streamed.map(_._9)
+    assert(Set("duplicate", "repetitive", "contaminated",
+      "sem_contaminated", "sampled_out", "kept").subsetOf(verdicts),
+      s"fixture must cover all classes, got $verdicts")
+  }
+}
