@@ -648,18 +648,37 @@ object SimilarityModels {
   }
 
   /** Query-side probe width of the IVF-PQ search (s06/s07 and the
-    * AnnIndexPipeline serving path): 4 of the 16 coarse cells. s03's
+    * AnnIndexPipeline serving path): 12 of the 32 coarse cells. s03's
     * uncompressed scan stays at nprobe=2 (its recall ceiling is the
-    * documented coarse-pruning trade); the PQ tiers probe twice as
-    * wide because ADC quantization error stacks ON TOP of the
+    * documented coarse-pruning trade); the PQ tiers probe wider
+    * because ADC quantization error stacks ON TOP of the
     * coarse-pruning miss, and candidate volume — not exact distance
-    * work — is what the 4-byte codes make cheap. Cost: the ADC scan
-    * covers ~nprobe/[[IvfPqCells]] = 25% of the code table per query,
-    * still broadcast-pruned to probed cells only. */
-  private[graft] val IvfPqNprobe = 8
+    * work — is what the compact codes make cheap. 12 is the MEASURED
+    * raw-ADC optimum at this geometry (round 13, ann_bench): 8 → 12
+    * lifts s06 0.78 → 0.82 and s07 0.82 → 0.86; 16 drops raw s06 to
+    * 0.80 (extra probed cells contribute quantization-noise candidates
+    * that displace true hits from the raw top-k) while the exact
+    * refine keeps climbing (s07 0.88) — the non-monotone raw-vs-refine
+    * trade FAISS documents. Cost: the ADC scan covers
+    * nprobe/[[IvfPqCells]] = 37.5% of the CODE table per query (codes,
+    * not vectors — the scan fraction prices against 4-byte/dim-free
+    * ADC rows), still broadcast-pruned to probed cells only. */
+  private[graft] val IvfPqNprobe = 12
 
   /** Residual subvectors of the crk=1 assignment: (vec_id, cell, m,
     * rsub) with rsub = slice(v − cell_centroid). */
+  /** OPQ-rotation finding (round 13, MEASURED): the standard next rung
+    * after exact-norm ADC — an orthonormal rotation before residual
+    * coding (Ge et al. 2013; here the oracle-replayable 64-point
+    * Walsh–Hadamard H[i][j] = (−1)^popcount(i AND j)/8, expressible in
+    * both engines via bit_count with no literal matrix) — was
+    * implemented and benchmarked at this geometry: s06 recall@5 moved
+    * 0.82 → 0.80 (s07 unchanged), and doubling/maxing the residual
+    * codebook (k 64→128→256) moved raw ADC ≤ one hit. This corpus's
+    * residuals are already axis-aligned, so variance-balancing
+    * rotations only smear cluster structure across dimensions; the
+    * binding constraint is the probe set, hence [[IvfPqNprobe]] = 12
+    * (0.78 → 0.82 raw, 0.82 → 0.86 refined). Kept unrotated. */
   private[graft] def residualSubs(top2: DataFrame, cents: DataFrame): DataFrame = {
     import top2.sparkSession.implicits._
     top2.filter($"crk" === 1)

@@ -25,13 +25,15 @@ class IvfPqAnnSpec extends AnyFunSuite {
       .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
     assert(exact.size == 50 && got.size == 50)
     val recall = (exact & got).size.toDouble / exact.size
-    // the composed index prunes 24/32 cells AND quantizes to 64 bytes;
-    // chance recall@5 is <1% on the ~500-vector fixture. The r12
-    // geometry (32 cells / nprobe 8, 64×1-dim residual subspaces k=64,
-    // exact stored norms in the cosine denominator) measures 0.78 —
-    // floor 0.7 with headroom, against the 0.82 probe ceiling s07's
-    // exact refine exposes.
-    assert(recall >= 0.7, s"s06 recall@5 fell to $recall (floor 0.7)")
+    // the composed index prunes 20/32 cells AND quantizes to 64 bytes;
+    // chance recall@5 is <1% on the ~500-vector fixture. The r13
+    // geometry (32 cells / nprobe 12, 64×1-dim residual subspaces k=64,
+    // exact stored norms in the cosine denominator) measures 0.82 —
+    // floor 0.75 with headroom. nprobe 12 is the measured raw-ADC
+    // optimum (16 DROPS raw recall — see IvfPqNprobe's scaladoc); the
+    // OPQ/Hadamard rotation was measured and rejected (residualSubs
+    // scaladoc).
+    assert(recall >= 0.75, s"s06 recall@5 fell to $recall (floor 0.75)")
   }
 
   test("exact refine (s07) lifts recall over the raw ADC ranking (s06)") {
@@ -59,7 +61,7 @@ class IvfPqAnnSpec extends AnyFunSuite {
 
   test("family recall floors match the committed ann_bench table") {
     // the per-round ann_bench.json artifact records recall@k per tier
-    // (r12: s03 0.70, s04 0.94, s05 0.78, s06 0.78, s07 0.82). A
+    // (r13: s03 0.70, s04 0.94, s05 0.78, s06 0.82, s07 0.86). A
     // codebook or fold-order change can stay hash-green (the oracle
     // replays the same arithmetic) while silently costing recall —
     // these floors (set with headroom under the measured values) make
@@ -83,7 +85,7 @@ class IvfPqAnnSpec extends AnyFunSuite {
     assert(r3 >= 0.6, s"s03 IVF recall@3 fell to $r3 (floor 0.6)")
     assert(r4 >= 0.85, s"s04 SQ8 recall@5 fell to $r4 (floor 0.85)")
     assert(r5 >= 0.6, s"s05 PQ recall@5 fell to $r5 (floor 0.6)")
-    assert(r7 >= 0.75, s"s07 refined recall@5 fell to $r7 (floor 0.75)")
+    assert(r7 >= 0.8, s"s07 refined recall@5 fell to $r7 (floor 0.8)")
   }
 
   test("every candidate lies in one of the query's probed cells") {
