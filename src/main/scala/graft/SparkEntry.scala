@@ -140,6 +140,7 @@ object SparkEntry {
     "c14_domain_mixture" -> (SimilarityModels.domainMixture _),
     "c15_epoch_shuffle" -> (CurationModels.epochShuffle _),
     "c16_fim_transform" -> (CurationModels.fimTransform _),
+    "c17_epoch_shard_manifest" -> (CurationModels.epochShardManifest _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -347,6 +348,7 @@ object SparkEntry {
     "c14_domain_mixture" -> SimilarityModels.domainMixtureOracle,
     "c15_epoch_shuffle" -> CurationModels.epochShuffleOracle,
     "c16_fim_transform" -> CurationModels.fimTransformOracle,
+    "c17_epoch_shard_manifest" -> CurationModels.epochShardManifestOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -1192,6 +1192,95 @@ object CurationModels {
        |FROM g""".stripMargin
   }
 
+  /** Per-doc packed rows over an epoch-ordered frame (the
+    * [[epochShuffleFrom]] output): running token offsets and
+    * [[PackBudget]]-window membership in shard_pos order — the numbers
+    * a sequential reader of an epoch shard file sees. Shared by the
+    * c17 manifest query and the pipeline's shard-file writer
+    * (`CurationPipeline.writeEpochShards`), so the files and the
+    * manifest can never disagree on geometry. */
+  private[graft] def epochPackedFrom(ordered: DataFrame): DataFrame = {
+    import ordered.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"shard_pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("end_offset", sum($"n_tokens").over(w))
+      .withColumn("start_offset", $"end_offset" - $"n_tokens")
+      .withColumn("first_seq", expr(s"start_offset div $PackBudget"))
+      .withColumn("last_seq", expr(s"(end_offset - 1) div $PackBudget"))
+      .select($"shard", $"shard_pos", $"doc_id", $"n_tokens",
+        $"start_offset", $"first_seq", $"last_seq",
+        ($"last_seq" > $"first_seq").as("boundary_split"))
+  }
+
+  /** The per-shard dataloader manifest rollup of [[epochPackedFrom]]:
+    * docs, tokens, packed sequence windows, boundary crossings. */
+  private[graft] def epochManifestFrom(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
+    packed.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        (max($"last_seq") + 1L).as("n_seqs"),
+        sum(when($"boundary_split", 1L).otherwise(0L))
+          .as("boundary_splits"))
+      .select($"shard", $"n_docs", $"n_tokens", $"n_seqs",
+        $"boundary_splits")
+  }
+
+  /** c17: EPOCH-SHARD MANIFEST (beyond-reference) — the dataloader's
+    * accounting row per epoch-0 shard at the demo geometry: how many
+    * docs and tokens a sequential reader of each shard file streams,
+    * how many fixed [[PackBudget]]-token training sequences that
+    * packs into, and how many docs straddle window boundaries. This is
+    * the c15 permutation composed with c05's packing geometry — the
+    * same composition `CurationPipeline.writeEpochShards` materializes
+    * as per-shard ordered files (EpochShardWriterSpec pins file
+    * content ≡ this math); the query form puts the composition under
+    * the DuckDB hash gate.
+    *
+    * Scale: the permutation is a stateless map; the running-offset
+    * window is one sort per shard partition (the shard-file writer's
+    * single task); the manifest is a map-side-combined |shards|-row
+    * rollup.
+    */
+  def epochShardManifest(spark: SparkSession, sfDir: String): DataFrame =
+    epochManifestFrom(epochPackedFrom(
+      epochShuffleFrom(trimmedDocs(spark, sfDir), epoch = 0L)))
+
+  val epochShardManifestOracle: String = {
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(perm, $i, 1)) - 1)"
+    s"""WITH ${DedupModels.spanTrimSqlCtes},
+       |d AS (SELECT doc_id,
+       |             cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             md5('0:' || cast(doc_id AS VARCHAR)) AS perm
+       |      FROM trimmed),
+       |s AS (SELECT *,
+       |             (${hexAt(1)} * 4096 + ${hexAt(2)} * 256 +
+       |              ${hexAt(3)} * 16 + ${hexAt(4)}) % $EpochShards AS shard
+       |      FROM d),
+       |p AS (SELECT shard, n_tokens,
+       |             row_number() OVER (PARTITION BY shard
+       |               ORDER BY perm, doc_id) AS shard_pos
+       |      FROM s),
+       |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+       |               ORDER BY shard_pos ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW) AS end_offset
+       |      FROM p),
+       |q AS (SELECT shard, n_tokens,
+       |             (end_offset - n_tokens) // $PackBudget AS first_seq,
+       |             (end_offset - 1) // $PackBudget AS last_seq
+       |      FROM o)
+       |SELECT cast(shard AS BIGINT) AS shard,
+       |       count(*) AS n_docs,
+       |       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       cast(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       |       cast(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS boundary_splits
+       |FROM q GROUP BY 1""".stripMargin
+  }
+
   val epochShuffleOracle: String = {
     def hexAt(i: Int): String =
       s"(strpos('0123456789abcdef', substr(perm, $i, 1)) - 1)"

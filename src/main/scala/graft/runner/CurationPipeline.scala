@@ -718,33 +718,17 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     val trainDocs = Tables
       .documents(spark, targetPath("span_trimmed_corpus"))
       .join(trainIds, Seq("doc_id"), "left_semi")
-    val ordered = CurationModels.epochShuffleFrom(trainDocs, epoch, shards)
-    val w = Window.partitionBy($"shard").orderBy($"shard_pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = ordered
-      .withColumn("end_offset", sum($"n_tokens").over(w))
-      .withColumn("start_offset", $"end_offset" - $"n_tokens")
-      .withColumn("first_seq",
-        expr(s"start_offset div ${CurationModels.PackBudget}"))
-      .withColumn("last_seq",
-        expr(s"(end_offset - 1) div ${CurationModels.PackBudget}"))
-      .select($"shard", $"shard_pos", $"doc_id", $"n_tokens",
-        $"start_offset", $"first_seq", $"last_seq",
-        ($"last_seq" > $"first_seq").as("boundary_split"))
+    val packed = CurationModels.epochPackedFrom(
+      CurationModels.epochShuffleFrom(trainDocs, epoch, shards))
     // one writer task per shard => one ordered data file per shard dir
     packed
       .repartition(math.max(1, shards.toInt), $"shard")
       .sortWithinPartitions($"shard", $"shard_pos")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
-    val manifest = spark.read
-      .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
-      .groupBy($"shard".cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_tokens").as("n_tokens"),
-        (max($"last_seq") + 1L).as("n_seqs"),
-        sum(when($"boundary_split", 1L).otherwise(0L))
-          .as("boundary_splits"))
+    val manifest = CurationModels.epochManifestFrom(
+      spark.read.parquet(targetPath(s"epoch_shards/epoch=$epoch"))
+        .withColumn("shard", $"shard".cast("long")))
       .withColumn("epoch", lit(epoch))
       .select($"epoch", $"shard", $"n_docs", $"n_tokens", $"n_seqs",
         $"boundary_splits")
