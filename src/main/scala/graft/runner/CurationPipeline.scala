@@ -793,7 +793,15 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     *
     * `sfDir` is the current corpus snapshot; deleted docs may or may
     * not still be present in it (the log excludes them either way),
-    * but every other verdicted doc must be. */
+    * but every other verdicted doc must be.
+    *
+    * Full-estate erasure: a doc's VECTOR lives in the ANN tier's own
+    * warehouse — pair this call with
+    * `AnnIndexPipeline.runDelete(ids)` (vec_id = doc_id) to erase both
+    * estates; the frozen `curation_ivf_cents`/`curation_eval_vecs`
+    * references hold no per-corpus-doc payload (trained centroids and
+    * the protected eval slice only), so they are not erasure
+    * surfaces. */
   def deleteDocs(sfDir: String, ids: org.apache.spark.sql.DataFrame)
       : CurationPipeline.Report = {
     import org.apache.spark.sql.functions._
