@@ -170,6 +170,10 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     if (!fsExists("ann_codes")) return 0L
     val before = spark.read.parquet(targetPath("ann_codes")).count()
     SwapWrite.overwrite(spark, targetPath("ann_codes"), liveCodes)
+    // the delete log itself accumulates one small file per batch;
+    // fold it too (the ID SET is what matters — the log stays
+    // PERMANENT, only its file layout compacts)
+    Compaction.compactFlat(spark, targetPath("ann_tombstones")): Unit
     before - spark.read.parquet(targetPath("ann_codes")).count()
   }
 

@@ -1,6 +1,7 @@
 package graft.runner
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for FLAT parquet append dirs (data files
   * directly inside the dir — no partition subdirs), the shape every
@@ -11,17 +12,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * a NameNode/listing bottleneck and a reader-task explosion —
   * compaction folds each dir back to ~`targetFileBytes`-sized files.
   *
-  * Same crash contract as `IncrementalRunner.compact`'s partitioned
-  * variant (the dot-tmp/swap machinery, extended here to flat dirs per
-  * the round-11 review): the rewrite lands in a dot-prefixed
-  * (reader-invisible) `.compact-flat` tmp dir first; the old files are
-  * deleted only after the rewrite is fully on disk; the move in is
-  * file-by-file renames. A killed sweep leaves one of two states,
-  * distinguished by whether the dir still holds data files:
-  * (a) crash before the delete → the tmp is a dead duplicate, drop it;
-  * (b) crash after the delete → the tmp holds the ONLY copy, finish
-  * the move. [[compactFlat]] recovers both branches on entry
-  * (CurationPipelineSpec pins them).
+  * The rewrite rides the shared [[SwapWrite]] contract (round 13 —
+  * previously a file-wise move protocol over `java.io.File`, which
+  * silently did nothing correct on a non-local warehouse): the
+  * coalesced rows land in a dot-prefixed sibling tmp, the live dir is
+  * renamed ASIDE (never deleted) and the tmp renamed in, all through
+  * the Hadoop `FileSystem`, so no crash point loses committed rows on
+  * any filesystem. [[compactFlat]] runs [[SwapWrite.recover]] on
+  * entry, so a killed sweep resolves on the next one
+  * (CurationPipelineSpec pins the residue branches).
   *
   * Single-writer contract like every mutation in the runner: the swap
   * is crash-recoverable, not atomic for concurrent readers.
@@ -33,59 +32,24 @@ object Compaction {
     * within budget (recovery still runs in that case). */
   def compactFlat(spark: SparkSession, dirPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Option[Int] = {
-    val dir = new java.io.File(dirPath)
-    if (!dir.exists()) return None
-    val tmp = new java.io.File(dir, ".compact-flat")
-    def dataFilesIn(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    // recover crash residue first (see class scaladoc)
-    if (tmp.isDirectory) {
-      if (dataFilesIn(dir).isEmpty && dataFilesIn(tmp).nonEmpty)
-        moveDataFiles(tmp, dir): Unit
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .foreach(f => f.delete(): Unit)
-      tmp.delete(): Unit
-    }
-    val dataFiles = dataFilesIn(dir)
-    if (dataFiles.isEmpty) return None
+    SwapWrite.recover(spark, dirPath)
+    val dir = new Path(dirPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    def dataFiles() = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val files = dataFiles()
+    if (files.isEmpty) return None
     val want = math.max(1, math.ceil(
-      dataFiles.map(_.length).sum.toDouble / targetFileBytes).toInt)
-    if (dataFiles.length <= want) None
+      files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    if (files.length <= want) None
     else {
       // coalesce, not repartition: a file merge needs no shuffle. The
-      // dot-prefixed tmp is invisible to the reader below (Spark skips
-      // dot-dirs), so the read sees exactly the current data files.
-      val df = spark.read.parquet(dirPath)
-      df.coalesce(want).write.mode(SaveMode.Overwrite)
-        .parquet(tmp.getAbsolutePath)
-      dataFiles.foreach { f =>
-        val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
-        if (crc.exists()) crc.delete(): Unit
-        f.delete(): Unit
-      }
-      val moved = moveDataFiles(tmp, dir)
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .foreach(f => f.delete(): Unit)
-      tmp.delete(): Unit
-      Some(moved)
+      // self-read is safe because SwapWrite materializes the rewrite
+      // into the tmp before the live dir moves.
+      SwapWrite.overwrite(spark, dirPath,
+        spark.read.parquet(dirPath).coalesce(want))
+      Some(dataFiles().length)
     }
-  }
-
-  /** Move every parquet data file (and its checksum sibling) from `src`
-    * into `dest`; returns the count. Writer-generated names carry task
-    * UUIDs, so moves never clash with surviving files. */
-  private def moveDataFiles(src: java.io.File, dest: java.io.File): Int = {
-    if (!dest.exists()) dest.mkdirs(): Unit
-    val files = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    files.foreach { f =>
-      require(f.renameTo(new java.io.File(dest, f.getName)),
-        s"compact: could not move $f into $dest")
-      val crc = new java.io.File(src, s".${f.getName}.crc")
-      if (crc.exists())
-        crc.renameTo(new java.io.File(dest, crc.getName)): Unit
-    }
-    files.length
   }
 }

@@ -236,7 +236,10 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       "span_trimmed_corpus/documents.parquet",
       "curation_span_grams",
       "segment_stats",
-      "curation_segments")
+      "curation_segments",
+      // the erasure log appends one small file set per delete batch;
+      // folding it is safe because only the deduped ID SET matters
+      "curation_tombstones")
     flatTables.flatMap(t =>
       Compaction.compactFlat(spark, targetPath(t), targetFileBytes)
         .map(t -> _)).toMap

@@ -183,33 +183,36 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(new java.io.File(d0).listFiles()
       .count(f => f.isFile && f.getName.endsWith(".parquet")) == 1)
 
-    // branch (a): crash BEFORE the old files were deleted — the tmp is
-    // a dead duplicate and must be dropped; the live files win
-    val dA = freshDir("pre-delete")
+    // branch (a): crash after the tmp write, BEFORE the swap — the tmp
+    // is a dead duplicate and must be dropped; the live dir wins
+    val dA = freshDir("pre-swap") + "/tbl"
     for (i <- 0 until 3) write(dA, i * 10 until i * 10 + 10)
     val liveA = rows(dA)
-    val tmpA = s"$dA/.compact-flat"
+    val tmpA = new java.io.File(new java.io.File(dA).getParentFile,
+      ".swap-tbl")
     spark.read.parquet(dA).coalesce(1)
-      .write.mode("overwrite").parquet(tmpA)
+      .write.mode("overwrite").parquet(tmpA.getAbsolutePath)
     assert(Compaction.compactFlat(spark, dA).contains(1))
     assert(rows(dA) == liveA)
-    assert(!new java.io.File(tmpA).exists())
+    assert(!tmpA.exists())
 
-    // branch (b): crash AFTER the delete — the tmp holds the ONLY
-    // copy; recovery must finish the move before anything else
-    val dB = freshDir("post-delete")
+    // branch (b): crash MID-SWAP (live dir moved aside, tmp not yet in
+    // place) — the tmp holds the ONLY copy; recovery must finish the
+    // swap forward before anything else
+    val dB = freshDir("mid-swap") + "/tbl"
     for (i <- 0 until 3) write(dB, i * 10 until i * 10 + 10)
     val liveB = rows(dB)
-    val tmpB = s"$dB/.compact-flat"
+    val parentB = new java.io.File(dB).getParentFile
+    val tmpB = new java.io.File(parentB, ".swap-tbl")
     spark.read.parquet(dB).coalesce(1)
-      .write.mode("overwrite").parquet(tmpB)
-    new java.io.File(dB).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .foreach(f => assert(f.delete()))
-    // recovery runs even when no further rewrite is needed (None)
+      .write.mode("overwrite").parquet(tmpB.getAbsolutePath)
+    assert(new java.io.File(dB)
+      .renameTo(new java.io.File(parentB, ".swap-tbl-old")))
+    // recovery completes the fold; the dir is already within budget so
+    // no FURTHER rewrite happens (None)
     assert(Compaction.compactFlat(spark, dB).isEmpty)
     assert(rows(dB) == liveB)
-    assert(!new java.io.File(tmpB).exists())
+    assert(parentB.listFiles().map(_.getName).toSet == Set("tbl"))
   }
 
   test("incremental over a pre-span-stage warehouse bootstraps the span tables first") {
