@@ -699,7 +699,10 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     *     numbers a sequential reader of the shard file sees;
     *   - each shard lands as ONE ordered parquet file under
     *     `epoch_shards/epoch=<e>/shard=<s>/` (rows stored in shard_pos
-    *     order: the writer task iterates the sorted partition), and a
+    *     order: the writer task iterates the sorted partition), each
+    *     row carrying the document PAYLOAD (trimmed text + lang)
+    *     beside its geometry so a sequential dataloader streams the
+    *     file with no further joins, and a
     *     manifest row per shard (docs, tokens, sequence windows) lands
     *     in `epoch_shard_manifest` under dynamic partition overwrite —
     *     re-running an epoch replaces exactly its own files and rows.
@@ -723,8 +726,15 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .join(trainIds, Seq("doc_id"), "left_semi")
     val packed = CurationModels.epochPackedFrom(
       CurationModels.epochShuffleFrom(trainDocs, epoch, shards))
+      // the PAYLOAD rides the shard row (trimmed text beside the
+      // geometry), so a sequential dataloader streams the file with no
+      // further joins — the point of materializing shards at all
+      .join(trainDocs.select($"doc_id", $"text", $"lang"), Seq("doc_id"))
     // one writer task per shard => one ordered data file per shard dir
     packed
+      .select($"shard", $"shard_pos", $"doc_id", $"lang", $"text",
+        $"n_tokens", $"start_offset", $"first_seq", $"last_seq",
+        $"boundary_split")
       .repartition(math.max(1, shards.toInt), $"shard")
       .sortWithinPartitions($"shard", $"shard_pos")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")

@@ -84,6 +84,13 @@ class EpochShardWriterSpec extends AnyFunSuite {
         s"manifest docs/tokens must match shard $s content")
       assert(m._5 == (off - 1) / CurationModels.PackBudget + 1,
         s"manifest n_seqs must be the packed window count")
+      // the payload rides the row: every shard row's text equals the
+      // trimmed corpus text for its doc (no dataloader-side join)
+      val texts = spark.read.parquet(dataFiles.head.getAbsolutePath)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      val want = trainDocs.filter($"doc_id".isin(texts.keys.toSeq: _*))
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(texts == want, s"shard $s payload must be the trimmed text")
     }
   }
 
