@@ -745,7 +745,14 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .withColumn("epoch", lit(epoch))
       .select($"epoch", $"shard", $"n_docs", $"n_tokens", $"n_seqs",
         $"boundary_splits")
-    manifest.write.mode(SaveMode.Overwrite)
+    manifest
+      // the GEOMETRY rides the persisted manifest (not the returned
+      // frame): a small corpus can leave a shard empty, so counting
+      // manifest rows under-reads the shard parameter — and the
+      // erasure path must regenerate each epoch at its ORIGINAL
+      // geometry (deleteDocs reads this column back)
+      .withColumn("geometry", lit(shards))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch")
       .parquet(targetPath("epoch_shard_manifest"))
@@ -795,7 +802,13 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     *      occurrence migration makes other docs' trims change, so the
     *      regeneration IS the provably-equal path — and its cost (one
     *      derived-table refresh per erasure BATCH, run monthly, never
-    *      per id) is the reference's own repair posture.
+    *      per id) is the reference's own repair posture;
+    *   5. every MATERIALIZED EPOCH SHARD set regenerates at its
+    *      recorded geometry — shard rows carry the document payload,
+    *      so they are the one surface erased text would otherwise
+    *      survive on. (A mere append catch-up leaves epochs alone:
+    *      staleness there means missing NEW docs, a trainer refresh
+    *      decision — erasure must purge, retention is the violation.)
     *
     * Mutation safety: the log append lands first; groups and funnel
     * swap via [[SwapWrite]] (no crash point loses committed rows);
@@ -888,6 +901,20 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       // 4. regenerate every derived table (incl. both bloom sidecars)
       // from the repaired verdicts over the post-delete corpus
       rebuildDerived(corpus)
+      // 5. epoch shard files are derived tables too — and the ONE
+      // place erased text would otherwise survive on disk (shard rows
+      // carry the document payload). Regenerate every materialized
+      // epoch at its recorded geometry. Contrast with the append
+      // path: a catch-up leaves existing epochs alone (staleness =
+      // missing NEW docs, a trainer refresh decision), but erasure
+      // MUST purge — retention is the compliance violation.
+      if (pathExists(targetPath("epoch_shard_manifest"))) {
+        spark.read.parquet(targetPath("epoch_shard_manifest"))
+          .groupBy($"epoch".cast("long").as("e"))
+          .agg(max($"geometry").as("g"))
+          .as[(Long, Long)].collect().sortBy(_._1)
+          .foreach { case (e, g) => writeEpochShards(e, g): Unit }
+      }
       report()
     } finally delIds.unpersist(): Unit
   }

@@ -146,9 +146,39 @@ class CurationErasureSpec extends AnyFunSuite {
       pipeA.deleteDocs(fixAll, Seq(evalId).toDF("doc_id"))
     }
 
+    // materialize an epoch BEFORE the erasure: shard rows carry the
+    // document payload, so the files must be regenerated by the delete
+    // (erased text surviving in a shard file is the compliance leak)
+    pipeA.writeEpochShards(0L, shards = 4L)
+    // shards carry only TRAIN-labeled docs (the c12 restriction), and
+    // the split is a content-hash coin — probe whichever deleted kept
+    // docs actually landed in train
+    val delTrain = spark.read.parquet(s"$whA/curation_splits")
+      .filter($"split" === "train" && $"doc_id".isin(delIds: _*))
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(delTrain.nonEmpty,
+      "fixture: at least one deleted kept doc must be train-labeled")
+    assert(spark.read.parquet(s"$whA/epoch_shards/epoch=0")
+      .filter($"doc_id".isin(delTrain: _*)).count() > 0,
+      "fixture: a to-be-erased doc must ride the epoch shards")
+
     // THE ERASURE (docs still present in fixAll - upstream lag)
     pipeA.deleteDocs(fixAll, delIds.toDF("doc_id"))
     pipeB.run(fixMinus)
+
+    // the epoch regenerated at its recorded geometry, erased text gone,
+    // and the shard content equals a fresh emit over the minus corpus
+    val shardsA = spark.read.parquet(s"$whA/epoch_shards/epoch=0")
+      .select($"shard".cast("long"), $"shard_pos", $"doc_id", $"text")
+    assert(shardsA.filter($"text".contains("erasplain0") ||
+      $"doc_id".isin(delIds: _*)).count() == 0,
+      "erased docs must purge from the materialized epoch shards")
+    pipeB.writeEpochShards(0L, shards = 4L)
+    val shardsB = spark.read.parquet(s"$whB/epoch_shards/epoch=0")
+      .select($"shard".cast("long"), $"shard_pos", $"doc_id", $"text")
+    assert(sortedRows(shardsA.toDF("shard", "shard_pos", "doc_id", "text"))
+      == sortedRows(shardsB.toDF("shard", "shard_pos", "doc_id", "text")),
+      "regenerated shards must equal a fresh emit over the minus corpus")
 
     val funnelPost = spark.read.parquet(s"$whA/curation_funnel")
       .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
