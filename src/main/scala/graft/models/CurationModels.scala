@@ -1060,6 +1060,31 @@ object CurationModels {
       epoch: Long, shards: Long = EpochShards): DataFrame =
     epochShuffleFrom(trimmedDocs(spark, sfDir), epoch, shards)
 
+  /** The c15 permutation key for one epoch — md5 of the epoch-salted
+    * UNIQUE doc id (no hot keys, bit-identical replay). */
+  private[graft] def epochPermCol(epoch: Long, docId: Column): Column =
+    md5(concat(lit(epoch.toString), lit(":"), docId.cast(StringType)))
+
+  /** A doc's shard under the c15 permutation: the perm key's first four
+    * hex digits mod the shard count. SHARED by [[epochShuffleFrom]] and
+    * the erasure purge's touched-shard scoping
+    * (`CurationPipeline.deleteDocs`) — the scoping is only sound
+    * because it computes membership with the writer's own function, so
+    * the two can never disagree on which shard holds a doc. Corpus-
+    * independent by construction (pure hash of the id), which is what
+    * makes "which shards did these docs live in" answerable without a
+    * corpus pass. */
+  private[graft] def epochShardCol(epoch: Long, docId: Column,
+      shards: Long): Column = {
+    val perm = epochPermCol(epoch, docId)
+    val hexVal: Column => Column =
+      c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
+    (hexVal(substring(perm, 1, 1)) * 4096 +
+      hexVal(substring(perm, 2, 1)) * 256 +
+      hexVal(substring(perm, 3, 1)) * 16 +
+      hexVal(substring(perm, 4, 1))) % shards
+  }
+
   /** Frame-parameterized core of c15 — also the shard-file writer's
     * entry ([[graft.runner.CurationPipeline]] feeds it the materialized
     * trimmed corpus rather than re-deriving the trim). */
@@ -1068,17 +1093,10 @@ object CurationModels {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, s"shard count must be positive, got $shards")
-    val hexVal: Column => Column =
-      c => (instr(lit("0123456789abcdef"), c) - 1).cast(LongType)
     docs
       .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
-      .withColumn("perm",
-        md5(concat(lit(epoch.toString), lit(":"), $"doc_id".cast(StringType))))
-      .withColumn("shard",
-        (hexVal(substring($"perm", 1, 1)) * 4096 +
-          hexVal(substring($"perm", 2, 1)) * 256 +
-          hexVal(substring($"perm", 3, 1)) * 16 +
-          hexVal(substring($"perm", 4, 1))) % shards)
+      .withColumn("perm", epochPermCol(epoch, $"doc_id"))
+      .withColumn("shard", epochShardCol(epoch, $"doc_id", shards))
       .withColumn("shard_pos", row_number().over(
         Window.partitionBy($"shard").orderBy($"perm", $"doc_id"))
         .cast(LongType))
@@ -1226,6 +1244,61 @@ object CurationModels {
           .as("boundary_splits"))
       .select($"shard", $"n_docs", $"n_tokens", $"n_seqs",
         $"boundary_splits")
+  }
+
+  /** Resume-cursor interval: one restartable checkpoint per this many
+    * packed sequences. Demo-sized like [[EpochShards]]; production
+    * passes its own interval to the writer. */
+  private[graft] val EpochCursorSeqs = 4L
+
+  /** MID-SHARD RESUME CURSORS over an [[epochPackedFrom]]-shaped frame
+    * (the round-13 "missing #5"): per shard, a sorted array of
+    * `(seq, row, skip_tokens)` checkpoints at every `everySeqs`-th
+    * [[PackBudget]]-token sequence boundary. A dataloader that died
+    * mid-shard seeks to the greatest cursor ≤ its last-committed
+    * sequence, reads the shard file from row index `row` (0-based:
+    * `shard_pos - 1`), discards the first `skip_tokens` tokens of that
+    * row, and then streams EXACTLY the token suffix a full read would
+    * deliver from that sequence boundary (EpochShardWriterSpec pins
+    * the equality) — instead of re-reading from the file head.
+    *
+    * A checkpoint at sequence `s` (token offset `s·PackBudget`) belongs
+    * to the UNIQUE non-empty doc whose `[start_offset, end_offset)`
+    * half-open token range contains that offset — docs own disjoint
+    * ranges, so each doc emits the checkpoints landing inside its own
+    * range (a per-row `sequence()` over its cp window; zero-token docs
+    * own no tokens and emit none). One projection + the existing
+    * per-shard rollup — no extra pass over the corpus. */
+  private[graft] def epochCursorsFrom(packed: DataFrame,
+      everySeqs: Long = EpochCursorSeqs): DataFrame = {
+    import packed.sparkSession.implicits._
+    require(everySeqs > 0, s"cursor interval must be positive: $everySeqs")
+    val kb = everySeqs * PackBudget // tokens between checkpoints
+    packed
+      .withColumn("end_offset", $"start_offset" + $"n_tokens")
+      .withColumn("first_cp", expr(s"(start_offset + $kb - 1) div $kb"))
+      .withColumn("last_cp", expr(s"(end_offset - 1) div $kb"))
+      .filter($"n_tokens" > 0 && $"last_cp" >= $"first_cp")
+      .select($"shard", explode(sequence($"first_cp", $"last_cp")).as("cp"),
+        $"shard_pos", $"start_offset")
+      .select($"shard",
+        struct(($"cp" * everySeqs).as("seq"), $"shard_pos".as("row"),
+          ($"cp" * kb - $"start_offset").as("skip_tokens")).as("cursor"))
+      .groupBy($"shard")
+      .agg(sort_array(collect_list($"cursor")).as("cursors"))
+  }
+
+  /** [[epochManifestFrom]] plus the per-shard resume-cursor array — the
+    * persisted-manifest builder (`CurationPipeline` publishes this over
+    * the written shard files; the c17 query keeps the cursor-free
+    * rollup its oracle states). A shard can legitimately have no
+    * cursors (fewer than `everySeqs` sequences) → empty array. */
+  private[graft] def epochManifestWithCursorsFrom(packed: DataFrame,
+      everySeqs: Long = EpochCursorSeqs): DataFrame = {
+    import packed.sparkSession.implicits._
+    epochManifestFrom(packed)
+      .join(epochCursorsFrom(packed, everySeqs), Seq("shard"), "left")
+      .withColumn("cursors", coalesce($"cursors", array()))
   }
 
   /** c17: EPOCH-SHARD MANIFEST (beyond-reference) — the dataloader's

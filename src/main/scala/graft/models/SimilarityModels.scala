@@ -821,12 +821,12 @@ object SimilarityModels {
 
   /** s07: IVF-PQ with EXACT REFINE — the production ANN serving shape
     * (FAISS `IndexRefineFlat`): the compressed index produces a cheap
-    * ADC shortlist (top-20 ≈ 4·k), then ONLY those candidates are
-    * re-scored against their full-precision vectors and the true
-    * cosine picks the final top-5. Refine un-does the quantization
-    * error for everything the shortlist caught — recall rises toward
-    * the probe bound (what the coarse pruning admits) at the cost of
-    * |queries|·20 exact dot products.
+    * ADC shortlist (top-[[IvfPqRefineDepth]]), then ONLY those
+    * candidates are re-scored against their full-precision vectors and
+    * the true cosine picks the final top-5. Refine un-does the
+    * quantization error for everything the shortlist caught — recall
+    * rises toward the probe bound (what the coarse pruning admits) at
+    * the cost of |queries|·depth exact dot products.
     *
     * Scale: the re-rank gather is a hash join on the corpus's PRIMARY
     * KEY over a shortlist-sized side — a point-lookup-shaped join; no
@@ -835,11 +835,37 @@ object SimilarityModels {
     * refine similarity is s01's exact rounded cosine (ties by
     * cand_id), so the oracle replays it directly.
     */
+  /** ADC shortlist depth feeding s07's exact refine (4·k) — and the
+    * round-14 MEASURED finding that closes the remaining recall axes
+    * at this geometry (`ann_bench.json` r14 sweep, sf0.01):
+    *
+    *  - depth 20 / 40 / 80 ALL measure s07 recall@5 = 0.86 — the
+    *    refined tier is PROBE-BOUND, not shortlist-bound: everything
+    *    the nprobe=12 cells admit is already inside the raw top-20,
+    *    so deeper reranks (|queries|·depth exact gathers, FAISS's
+    *    k_factor) buy nothing here. Kept at 20, the cheapest bound-
+    *    reaching depth.
+    *  - multi-dim residual subspaces measured OUT as well: 32×2-dim
+    *    k=64 drops raw s06 0.82 → 0.74, 8×8-dim k=16 craters it to
+    *    0.38 (refined 0.86 / 0.70) — per-DIMENSION codebook
+    *    resolution is the binding raw constraint on this corpus's
+    *    axis-aligned residuals, exactly the round-13 OPQ finding from
+    *    the other direction; 64×1-dim k=64 stands.
+    *
+    * With nprobe=16's raw regression measured in round 13 (0.80),
+    * every untried axis at this geometry is now measured and the
+    * settled index (64×1×64, nprobe 12, refine 20: raw 0.82 /
+    * refined 0.86) is the Pareto point — raising the refined bound
+    * further means widening the probe set, a serving-cost knob the
+    * nprobe scaladoc already prices. */
+  private[graft] val IvfPqRefineDepth = 20
+
   def ivfPqRefinedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (base, cents, pqCents, codes) = ivfPqIndex(spark, sfDir)
     val shortlist =
-      adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes, k = 20)
+      adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes,
+        k = IvfPqRefineDepth)
         .select($"query_id", $"cand_id", $"sim_rank".as("adc_rank"))
     val cand = base.select($"vec_id".as("cand_id"), $"v".as("c_v"),
       $"norm".as("c_norm"))
@@ -868,7 +894,7 @@ object SimilarityModels {
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY ivfpq_sim DESC, cand_id) AS adc_rank
          |  FROM final
-         |  QUALIFY adc_rank <= 20),
+         |  QUALIFY adc_rank <= $IvfPqRefineDepth),
          |rerank AS (
          |  SELECT s.query_id, s.cand_id,
          |         cast(s.adc_rank AS BIGINT) AS adc_rank,

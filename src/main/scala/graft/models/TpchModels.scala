@@ -32,9 +32,12 @@ object TpchModels {
     // row's date_key, so the unioned group is exactly 2x the row count
     // with bal_sum = sum(sideA) + sum(sideB) — a tagged-side union would
     // read the fact twice and shuffle twice the rows for the same
-    // aggregate (the round-12 q08 finding). Sound because the fixture
-    // columns are non-null (a side whose sum is NULL-from-all-null would
-    // otherwise null the total where a true union keeps the other side).
+    // aggregate (the round-12 q08 finding). UNCONDITIONALLY sound
+    // (round-13 review closed the fixture-non-null precondition): a
+    // side whose sum is NULL-from-all-null contributes 0 instead of
+    // nulling the total — exactly what summing the true union does,
+    // where the other side's values survive — and a group null on BOTH
+    // sides stays NULL, the union's all-null sum.
     li.select(to_date($"l_shipdate").as("date_key"),
       $"l_extendedprice".cast(Money).cast(DecimalType(24, 4)).as("bal_a"),
       ($"l_extendedprice".cast(Money) *
@@ -42,7 +45,11 @@ object TpchModels {
         .cast(DecimalType(24, 4)).as("bal_b"))
       .groupBy($"date_key")
       .agg((count(lit(1)) * 2).as("obs_count"),
-        (sum($"bal_a") + sum($"bal_b")).as("bal_sum"))
+        when(sum($"bal_a").isNull && sum($"bal_b").isNull, lit(null))
+          .otherwise(
+            coalesce(sum($"bal_a"), lit(0).cast(DecimalType(24, 4))) +
+              coalesce(sum($"bal_b"), lit(0).cast(DecimalType(24, 4))))
+          .as("bal_sum"))
       // exact portable average: integer floor-division in micros — round()
       // on a double quotient tie-breaks differently across engines when the
       // scale-4 sums divide evenly (observed at sf0.01).

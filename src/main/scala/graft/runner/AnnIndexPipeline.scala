@@ -38,8 +38,18 @@ import graft.models.SimilarityModels
   * existing index, no corpus re-scan; the append is partition-local.
   */
 object AnnIndexPipeline {
+  /** The delete-count fields are zero except on [[AnnIndexPipeline
+    * .runDelete]] reports, where they surface what the id-validation
+    * guard did: `requestedDeletes` distinct ids in the batch,
+    * `validatedDeletes` of them entering the log (coded or already
+    * tombstoned), `droppedUnknownDeletes` silently-invalid ids — the
+    * round-13 review's observability ask: an operator fat-fingering a
+    * batch, or racing ingestion (the doc exists upstream but was never
+    * encoded), reads the drop count and retries after the next
+    * catch-up instead of learning nothing. */
   final case class Report(codebookCells: Long, pqCentroids: Long,
-      codedVectors: Long)
+      codedVectors: Long, requestedDeletes: Long = 0L,
+      validatedDeletes: Long = 0L, droppedUnknownDeletes: Long = 0L)
 }
 
 final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
@@ -109,12 +119,21 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     hadoopFs.exists(new org.apache.hadoop.fs.Path(targetPath(name)))
 
   /** The delete log, deduped. Missing table (pre-delete warehouse) =
-    * empty — the bootstrap posture the curation sidecars take. */
-  private def tombstones: org.apache.spark.sql.DataFrame =
+    * empty — the bootstrap posture the curation sidecars take. BECAUSE
+    * missing reads as empty, the accessor must resolve [[SwapWrite]]
+    * crash residue first: [[compactDeletes]] folds this PERMANENT log
+    * via SwapWrite, and a crash between its two renames leaves the dir
+    * absent with the only copy in the `.swap-` sibling — without
+    * recovery, deleted vectors would silently become searchable again
+    * and the append watermark would drop (the round-13 review's high
+    * finding). Idempotent and cheap when there is no residue. */
+  private def tombstones: org.apache.spark.sql.DataFrame = {
+    SwapWrite.recover(spark, targetPath("ann_tombstones"))
     if (fsExists("ann_tombstones"))
       spark.read.parquet(targetPath("ann_tombstones"))
         .select($"vec_id").distinct()
     else spark.range(0).select($"id".as("vec_id"))
+  }
 
   /** The searchable index: codes minus the delete log. */
   private def liveCodes: org.apache.spark.sql.DataFrame =
@@ -142,17 +161,23 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     // log. An unknown id (typo, or a vector not yet ingested) must NOT
     // advance the append watermark past vectors that were never
     // encoded — that would permanently skip later-arriving smaller ids
-    // with no error. Unknown ids are silently dropped: there is
-    // nothing to delete, and the log's only jobs are masking coded
-    // rows and keeping the watermark monotone over PRUNED coded ids.
+    // with no error. Unknown ids are DROPPED but COUNTED (round-13
+    // review): there is nothing to delete — the log's only jobs are
+    // masking coded rows and keeping the watermark monotone over
+    // PRUNED coded ids — but the caller must see the drop, because a
+    // delete racing ingestion is exactly the id that must be retried
+    // after the next catch-up encodes it.
     val known = spark.read.parquet(targetPath("ann_codes"))
       .select($"vec_id").unionByName(tombstones).distinct()
     val valid = requested.join(known, Seq("vec_id"), "left_semi")
+    val nRequested = requested.count()
+    val nValid = valid.count()
     // a delete batch is operationally tiny; the emptiness probe keeps
     // an all-unknown batch from appending a zero-row file to the log
-    if (valid.head(1).nonEmpty)
+    if (nValid > 0)
       valid.write.mode(SaveMode.Append).parquet(targetPath("ann_tombstones"))
-    report()
+    report().copy(requestedDeletes = nRequested, validatedDeletes = nValid,
+      droppedUnknownDeletes = nRequested - nValid)
   }
 
   /** Physically prune tombstoned rows from `ann_codes` via the
@@ -167,6 +192,8 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     * physical rows removed. */
   def compactDeletes(): Long = {
     SwapWrite.recover(spark, targetPath("ann_codes"))
+    // pre-round-13 protocol residue (sibling .delete-compact-ann_codes)
+    Compaction.migrateLegacyResidue(spark, targetPath("ann_codes"))
     if (!fsExists("ann_codes")) return 0L
     val before = spark.read.parquet(targetPath("ann_codes")).count()
     SwapWrite.overwrite(spark, targetPath("ann_codes"), liveCodes)

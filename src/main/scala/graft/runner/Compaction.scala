@@ -27,12 +27,53 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** One-time migration of PRE-round-13 compaction crash residue
+    * (round-13 review): the previous protocol wrote the rewrite into a
+    * `.compact-flat` subdir INSIDE the table dir (flat compaction) or
+    * a `.delete-compact-<name>` SIBLING (the ANN physical prune), then
+    * deleted the originals and moved the tmp files in. A warehouse
+    * that crashed in the crash-after-delete state holds its ONLY copy
+    * in that legacy tmp — which [[SwapWrite.recover]] does not
+    * recognize, so without this branch the table reads as empty and
+    * the stranded rows are never restored. Finish the old protocol's
+    * move: if the live dir holds no data files and a legacy tmp does,
+    * rename the tmp's data files in; any legacy tmp is then dropped
+    * (crash-before-delete leaves it a dead duplicate). Runs through
+    * the Hadoop FileSystem like everything else, and is a no-op a few
+    * exists-calls cheap once no legacy residue remains. */
+  def migrateLegacyResidue(spark: SparkSession, dirPath: String): Unit = {
+    val dir = new Path(dirPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(d: Path) =
+      if (!fs.exists(d)) Array.empty[Path]
+      else fs.listStatus(d)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    val legacyTmps = Seq(
+      new Path(dir, ".compact-flat"),
+      new Path(dir.getParent, s".delete-compact-${dir.getName}"))
+    legacyTmps.foreach { tmp =>
+      if (fs.exists(tmp)) {
+        val stranded = dataFiles(tmp)
+        if (dataFiles(dir).isEmpty && stranded.nonEmpty) {
+          fs.mkdirs(dir)
+          stranded.foreach { f =>
+            require(fs.rename(f, new Path(dir, f.getName)),
+              s"legacy compaction recovery: could not move $f into $dir")
+          }
+        }
+        fs.delete(tmp, true): Unit
+      }
+    }
+  }
+
   /** Compact one flat parquet dir. Returns the resulting data-file
     * count if a rewrite happened, None if the dir is absent or already
     * within budget (recovery still runs in that case). */
   def compactFlat(spark: SparkSession, dirPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Option[Int] = {
     SwapWrite.recover(spark, dirPath)
+    migrateLegacyResidue(spark, dirPath)
     val dir = new Path(dirPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return None

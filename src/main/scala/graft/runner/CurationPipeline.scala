@@ -78,12 +78,24 @@ import graft.models.{CurationModels, DedupModels, SimilarityModels}
   * state on the driver beyond the per-stage row counts in the report.
   */
 object CurationPipeline {
+  /** The delete-count fields are zero except on [[CurationPipeline
+    * .deleteDocs]] reports, where they surface the id-validation
+    * guard's outcome (round-13 review): `requestedDeletes` distinct
+    * ids in the batch, `validatedDeletes` of them entering the
+    * tombstone log (verdicted or already tombstoned),
+    * `droppedUnknownDeletes` unknown ids — a delete racing ingestion
+    * (the doc exists upstream but was never verdicted) shows up here
+    * and must be retried after the next catch-up, instead of being
+    * silently discarded. */
   final case class Report(
       verdictCounts: Map[String, Long],
       curatedRows: Long,
       packedRows: Long,
       boundarySplitDocs: Long,
-      trainPackedRows: Long)
+      trainPackedRows: Long,
+      requestedDeletes: Long = 0L,
+      validatedDeletes: Long = 0L,
+      droppedUnknownDeletes: Long = 0L)
 }
 
 final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
@@ -118,9 +130,17 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     * verdicted doc must not reopen the id range below it — a
     * still-present upstream copy would be re-ingested) and what
     * excludes a lagging upstream copy from the repair's corpus view.
-    * Missing table (pre-delete warehouse) = empty. */
+    * Missing table (pre-delete warehouse) = empty — which is exactly
+    * why the accessor runs [[SwapWrite.recover]] first: [[compact]]
+    * rewrites this PERMANENT log via SwapWrite, and a crash between
+    * its two renames leaves the dir absent with the only copy in the
+    * `.swap-` sibling. Without recovery the missing→empty fallback
+    * would silently drop the watermark and resurrect erased docs (the
+    * round-13 review's high finding); recover is idempotent and a few
+    * FileSystem.exists calls when there is no residue. */
   private def curationTombstones: DataFrame = {
     import org.apache.spark.sql.functions.col
+    SwapWrite.recover(spark, targetPath("curation_tombstones"))
     if (pathExists(targetPath("curation_tombstones")))
       spark.read.parquet(targetPath("curation_tombstones"))
         .select(col("doc_id")).distinct()
@@ -259,6 +279,59 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         .parquet(targetPath("train_split_packing")).count())
   }
 
+  /** Re-canonicalize fingerprint groups whose canonical is tombstoned
+    * and repair the funnel verdicts from STORED per-doc flags against
+    * the given post-tombstone corpus — steps 2–3 of [[deleteDocs]],
+    * shared with [[run]] (a full rebuild over an upstream snapshot
+    * that still contains tombstoned docs must exclude them — the log
+    * is PERMANENT; round-13 review). Pure state derivation: detection
+    * keys on the full log, not any particular batch, so re-runs (and
+    * runs where the upstream already dropped the docs) land the
+    * identical tables. Both table swaps ride [[SwapWrite]]. */
+  private def repairVerdicts(corpus: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    SwapWrite.recover(spark, targetPath("curation_groups"))
+    SwapWrite.recover(spark, targetPath("curation_funnel"))
+    val funnel0 = spark.read.parquet(targetPath("curation_funnel"))
+    val groups = spark.read.parquet(targetPath("curation_groups"))
+    val fps = CurationModels.fingerprintsOf(corpus)
+      .select($"doc_id", $"fp")
+    val orphanFps = groups
+      .join(curationTombstones
+          .withColumnRenamed("doc_id", "canonical_doc_id"),
+        Seq("canonical_doc_id"), "left_semi")
+      .select($"fp")
+    // smallest SURVIVING member founds the group anew; a group with no
+    // survivor leaves the bookkeeping table
+    val newCanon = fps
+      .join(orphanFps.hint("broadcast"), Seq("fp"), "left_semi")
+      .groupBy($"fp").agg(min($"doc_id").as("canonical_doc_id"))
+    SwapWrite.overwrite(spark, targetPath("curation_groups"),
+      groups.join(orphanFps, Seq("fp"), "left_anti")
+        .unionByName(newCanon))
+    // funnel repair: deleted rows leave; a surviving duplicate whose
+    // canonical died re-verdicts (possibly to kept). Per-doc flags
+    // (rep/contam/sem/sample) are immutable — no text reprocessing.
+    val groupsNew = spark.read.parquet(targetPath("curation_groups"))
+    val repaired = funnel0
+      .join(curationTombstones, Seq("doc_id"), "left_anti")
+      .join(fps, Seq("doc_id"))
+      .join(groupsNew, Seq("fp"))
+      .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
+      .withColumn("verdict",
+        when($"source" === CurationModels.EvalSource, "eval")
+          .when($"is_duplicate", "duplicate")
+          .when($"rep_flagged", "repetitive")
+          .when($"contaminated", "contaminated")
+          .when($"sem_contaminated", "sem_contaminated")
+          .when(!$"sample_kept", "sampled_out")
+          .otherwise("kept"))
+      .select($"doc_id", $"lang", $"source", $"is_duplicate",
+        $"rep_flagged", $"contaminated", $"sem_contaminated",
+        $"sample_kept", $"verdict")
+    SwapWrite.overwrite(spark, targetPath("curation_funnel"), repaired)
+  }
+
   def run(sfDir: String): CurationPipeline.Report = {
     // --- 1. funnel verdicts
     CurationModels.curationFunnel(spark, sfDir)
@@ -297,8 +370,25 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         $"v".as("evv"), $"norm".as("en"))
       .write.mode(SaveMode.Overwrite)
       .parquet(targetPath("curation_eval_vecs"))
+    // --- 1d. the tombstone log is PERMANENT — it survives full
+    // rebuilds (round-13 review): an upstream snapshot that still
+    // carries erased docs must not resurrect them, so the funnel/groups
+    // built above (over the raw snapshot) repair against the log before
+    // anything derives from them. A warehouse with no tombstones (the
+    // common case, and every pre-erasure fixture) skips this entirely.
+    // Epoch shard files need no purge here: [[deleteDocs]] already
+    // regenerated them when the tombstones were logged.
+    val corpus =
+      if (curationTombstones.head(1).isEmpty)
+        Tables.documents(spark, sfDir)
+      else {
+        val c = Tables.documents(spark, sfDir)
+          .join(curationTombstones, Seq("doc_id"), "left_anti")
+        repairVerdicts(c)
+        c
+      }
     // --- 2..4: every table derived from the verdicts + the raw corpus
-    rebuildDerived(Tables.documents(spark, sfDir))
+    rebuildDerived(corpus)
     report()
   }
 
@@ -718,12 +808,7 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       shards: Long = CurationModels.EpochShards)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val trainIds = spark.read.parquet(targetPath("curation_splits"))
-      .filter($"split" === "train").select($"doc_id")
-    val trainDocs = Tables
-      .documents(spark, targetPath("span_trimmed_corpus"))
-      .join(trainIds, Seq("doc_id"), "left_semi")
+    val trainDocs = trainTrimmedDocs()
     val packed = CurationModels.epochPackedFrom(
       CurationModels.epochShuffleFrom(trainDocs, epoch, shards))
       // the PAYLOAD rides the shard row (trimmed text beside the
@@ -739,19 +824,42 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .sortWithinPartitions($"shard", $"shard_pos")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
-    val manifest = CurationModels.epochManifestFrom(
-      spark.read.parquet(targetPath(s"epoch_shards/epoch=$epoch"))
-        .withColumn("shard", $"shard".cast("long")))
+    publishEpochManifest(epoch, shards)
+  }
+
+  /** The span-trimmed corpus restricted to train-labeled docs — what
+    * epoch shard files carry (the c12 guarantee: val/test text cannot
+    * enter a shard by construction). */
+  private def trainTrimmedDocs(): DataFrame = {
+    val trainIds = spark.read.parquet(targetPath("curation_splits"))
+      .filter($"split" === "train").select($"doc_id")
+    Tables.documents(spark, targetPath("span_trimmed_corpus"))
+      .join(trainIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** Recompute and publish the manifest partition for one epoch FROM
+    * THE WRITTEN SHARD FILES (shared by the full writer and the
+    * erasure path's partial rewrite, so files and manifest can never
+    * disagree), including the per-shard resume-cursor array
+    * ([[CurationModels.epochCursorsFrom]]). One column-pruned scan of
+    * the epoch's files — the payload column is never read. Returns the
+    * epoch's manifest rows in canonical column order. */
+  private def publishEpochManifest(epoch: Long, geometry: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read
+      .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
+      .withColumn("shard", $"shard".cast("long"))
+    CurationModels.epochManifestWithCursorsFrom(rows)
       .withColumn("epoch", lit(epoch))
       .select($"epoch", $"shard", $"n_docs", $"n_tokens", $"n_seqs",
-        $"boundary_splits")
-    manifest
+        $"boundary_splits", $"cursors")
       // the GEOMETRY rides the persisted manifest (not the returned
       // frame): a small corpus can leave a shard empty, so counting
       // manifest rows under-reads the shard parameter — and the
       // erasure path must regenerate each epoch at its ORIGINAL
       // geometry (deleteDocs reads this column back)
-      .withColumn("geometry", lit(shards))
+      .withColumn("geometry", lit(geometry))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch")
@@ -761,7 +869,64 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     spark.read.parquet(targetPath("epoch_shard_manifest"))
       .filter($"epoch" === epoch)
       .select($"epoch".cast("long").as("epoch"), $"shard", $"n_docs",
-        $"n_tokens", $"n_seqs", $"boundary_splits")
+        $"n_tokens", $"n_seqs", $"boundary_splits", $"cursors")
+  }
+
+  /** Regenerate ONLY the given shards of one materialized epoch — the
+    * erasure path's scoped rewrite (round-13 "next" #1). Sound because
+    * shards are INDEPENDENT by construction: a doc's shard is a pure
+    * hash of (epoch, doc_id) ([[CurationModels.epochShardCol]] — the
+    * writer's own assignment function), and shard_pos / offsets /
+    * sequence windows are all computed per shard
+    * ([[CurationModels.epochPackedFrom]] windows partition by shard),
+    * so removing or changing docs in shard A cannot move any byte in
+    * shard B. Untouched shard partitions keep their original FILES
+    * (dynamic partition overwrite replaces only written partitions;
+    * CurationErasureSpec pins byte-identity); a touched shard whose
+    * docs all died has its partition dir deleted outright — dynamic
+    * overwrite never rewrites a partition it emits no rows for, and a
+    * stale payload-bearing dir is exactly what erasure must not leave.
+    * The manifest partition then recomputes from the files. */
+  private def rewriteEpochShards(epoch: Long, shards: Long,
+      touched: Seq[Long]): Unit = {
+    import org.apache.spark.sql.functions._
+    val trainDocs = trainTrimmedDocs()
+    // the shard IN-list filters BELOW the per-shard windows (predicate
+    // on the window partition key), so only touched shards sort/pack
+    val packed = CurationModels.epochPackedFrom(
+      CurationModels.epochShuffleFrom(trainDocs, epoch, shards)
+        .filter($"shard".isin(touched: _*)))
+      .join(trainDocs.select($"doc_id", $"text", $"lang"), Seq("doc_id"))
+      .select($"shard", $"shard_pos", $"doc_id", $"lang", $"text",
+        $"n_tokens", $"start_offset", $"first_seq", $"last_seq",
+        $"boundary_split")
+      .persist() // two consumers: the file write + the emptied-shard probe
+    try {
+      packed
+        .repartition(math.max(1, touched.size), $"shard")
+        .sortWithinPartitions($"shard", $"shard_pos")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
+      val nonEmpty = packed.select($"shard").distinct()
+        .as[Long].collect().toSet
+      touched.filterNot(nonEmpty).foreach { s =>
+        deletePath(targetPath(s"epoch_shards/epoch=$epoch/shard=$s"))
+      }
+    } finally packed.unpersist(): Unit
+    // an epoch whose LAST docs died leaves no shard dirs at all — drop
+    // the dir and its manifest partition rather than publish over
+    // nothing (read.parquet over an empty partitioned dir throws)
+    val (epochDir, fs) = hadoopPath(targetPath(s"epoch_shards/epoch=$epoch"))
+    val anyShardLeft = fs.exists(epochDir) &&
+      fs.listStatus(epochDir).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("shard="))
+    if (anyShardLeft) publishEpochManifest(epoch, shards): Unit
+    else {
+      deletePath(targetPath(s"epoch_shards/epoch=$epoch"))
+      deletePath(targetPath(s"epoch_shard_manifest/epoch=$epoch"))
+    }
   }
 
   /** GDPR/takedown ERASURE through the curation document family — the
@@ -803,19 +968,35 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     *      regeneration IS the provably-equal path — and its cost (one
     *      derived-table refresh per erasure BATCH, run monthly, never
     *      per id) is the reference's own repair posture;
-    *   5. every MATERIALIZED EPOCH SHARD set regenerates at its
-    *      recorded geometry — shard rows carry the document payload,
-    *      so they are the one surface erased text would otherwise
-    *      survive on. (A mere append catch-up leaves epochs alone:
-    *      staleness there means missing NEW docs, a trainer refresh
-    *      decision — erasure must purge, retention is the violation.)
+    *   5. every MATERIALIZED EPOCH SHARD set purges at its recorded
+    *      geometry — shard rows carry the document payload, so they
+    *      are the one surface erased text would otherwise survive on.
+    *      SCOPED to what actually changed (round-13 "next" #1): the
+    *      pre-repair train-trimmed state is snapshotted as
+    *      (doc_id, text-hash, lang), diffed against the rebuilt state,
+    *      and only shards CONTAINING a changed doc rewrite — shard
+    *      membership is a pure hash of (epoch, doc_id)
+    *      ([[CurationModels.epochShardCol]], the writer's own
+    *      function) and all per-shard numbers are shard-local, so an
+    *      untouched shard is provably byte-identical and its file
+    *      never moves. Epoch dirs with NO manifest row (a
+    *      [[writeEpochShards]] that crashed before its manifest write)
+    *      are unpublished payload and are deleted outright. (A mere
+    *      append catch-up leaves epochs alone: staleness there means
+    *      missing NEW docs, a trainer refresh decision — erasure must
+    *      purge, retention is the violation.)
     *
     * Mutation safety: the log append lands first; groups and funnel
     * swap via [[SwapWrite]] (no crash point loses committed rows);
     * the derived tail is deterministic in (funnel, corpus). A crash
     * anywhere is recovered by RE-RUNNING deleteDocs with the same ids
     * (already-tombstoned ids stay valid, the repair re-derives from
-    * current state — every step is idempotent).
+    * current state — every step is idempotent). The epoch-scoping
+    * snapshot keeps that true for step 5: it is taken only when ABSENT
+    * (a leftover snapshot is an interrupted erasure's older pre-state,
+    * still the right diff base) and deleted only after the purge
+    * completes, so a crash between rebuild and purge cannot make the
+    * re-run see "nothing changed" over already-rebuilt tables.
     *
     * `sfDir` is the current corpus snapshot; deleted docs may or may
     * not still be present in it (the log excludes them either way),
@@ -837,11 +1018,22 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     SwapWrite.recover(spark, targetPath("curation_funnel"))
     val funnel0 = spark.read.parquet(targetPath("curation_funnel"))
     val reqIds = ids.select($"doc_id".cast("long").as("doc_id")).distinct()
+      .persist()
     val known = funnel0.select($"doc_id").unionByName(curationTombstones)
       .distinct()
     val delIds = reqIds.join(known, Seq("doc_id"), "left_semi").persist()
     try {
-      if (delIds.head(1).isEmpty) return report() // nothing to erase
+      // delete observability (round-13 review): the unknown-id guard
+      // below is correctness-critical (an unverdicted id must not
+      // advance the append watermark) but must not be SILENT — the
+      // caller sees how many ids were dropped and retries them after
+      // the next catch-up verdicts the docs
+      val nRequested = reqIds.count()
+      val nValid = delIds.count()
+      def counted(r: CurationPipeline.Report): CurationPipeline.Report =
+        r.copy(requestedDeletes = nRequested, validatedDeletes = nValid,
+          droppedUnknownDeletes = nRequested - nValid)
+      if (nValid == 0) return counted(report()) // nothing known to erase
       // frozen-eval guard: erasing an eval doc would change the
       // benchmark reference and silently flip history's contamination
       // flags — that requires an explicit fresh run(), not an erasure
@@ -854,68 +1046,140 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       // repair below crashes (re-run deleteDocs with the same ids)
       delIds.write.mode(SaveMode.Append)
         .parquet(targetPath("curation_tombstones"))
+      // pre-rebuild snapshot of the train-trimmed state — the diff
+      // base for the scoped epoch purge (step 5). Taken only when
+      // ABSENT: a leftover snapshot means a prior erasure crashed
+      // before its purge completed, and that OLDER pre-state is still
+      // the right base (the rebuilt tables below would diff as
+      // "unchanged" and the purge would skip shards that still hold
+      // erased text)
+      // a REGULAR (non-dot) table name: Spark's datasource path checks
+      // treat dot-prefixed dirs as hidden, and the one table the purge
+      // protocol depends on must never read ambiguously
+      val prevPath = targetPath("erasure_prev_train")
+      if (!pathExists(prevPath)) snapshotTrainTrimmed(prevPath)
       // the logical post-delete corpus: processed docs minus the log
       val wm = funnel0.select($"doc_id").unionByName(curationTombstones)
         .agg(max($"doc_id")).head().getLong(0)
       val corpus = Tables.documents(spark, sfDir)
         .filter($"doc_id" <= wm)
         .join(curationTombstones, Seq("doc_id"), "left_anti")
-      // 2. re-canonicalize orphaned fingerprint groups (detection keys
-      // on the FULL log, not this batch, so a crashed prior run's
-      // leftover orphans repair too)
-      val groups = spark.read.parquet(targetPath("curation_groups"))
-      val fps = CurationModels.fingerprintsOf(corpus)
-        .select($"doc_id", $"fp")
-      val orphanFps = groups
-        .join(curationTombstones
-            .withColumnRenamed("doc_id", "canonical_doc_id"),
-          Seq("canonical_doc_id"), "left_semi")
-        .select($"fp")
-      val newCanon = fps
-        .join(orphanFps.hint("broadcast"), Seq("fp"), "left_semi")
-        .groupBy($"fp").agg(min($"doc_id").as("canonical_doc_id"))
-      SwapWrite.overwrite(spark, targetPath("curation_groups"),
-        groups.join(orphanFps, Seq("fp"), "left_anti")
-          .unionByName(newCanon))
-      // 3. funnel repair from stored flags + the remapped groups: pure
-      // state derivation (no dependence on "what changed this call"),
-      // so a re-run lands the identical table
-      val groupsNew = spark.read.parquet(targetPath("curation_groups"))
-      val repaired = funnel0
-        .join(curationTombstones, Seq("doc_id"), "left_anti")
-        .join(fps, Seq("doc_id"))
-        .join(groupsNew, Seq("fp"))
-        .withColumn("is_duplicate", $"doc_id" =!= $"canonical_doc_id")
-        .withColumn("verdict",
-          when($"source" === CurationModels.EvalSource, "eval")
-            .when($"is_duplicate", "duplicate")
-            .when($"rep_flagged", "repetitive")
-            .when($"contaminated", "contaminated")
-            .when($"sem_contaminated", "sem_contaminated")
-            .when(!$"sample_kept", "sampled_out")
-            .otherwise("kept"))
-        .select($"doc_id", $"lang", $"source", $"is_duplicate",
-          $"rep_flagged", $"contaminated", $"sem_contaminated",
-          $"sample_kept", $"verdict")
-      SwapWrite.overwrite(spark, targetPath("curation_funnel"), repaired)
+      // 2-3. re-canonicalize orphaned fingerprint groups + repair the
+      // funnel from stored flags (detection keys on the FULL log, not
+      // this batch, so a crashed prior run's leftover orphans repair
+      // too); shared with run()'s tombstone-honoring rebuild
+      repairVerdicts(corpus)
       // 4. regenerate every derived table (incl. both bloom sidecars)
       // from the repaired verdicts over the post-delete corpus
       rebuildDerived(corpus)
-      // 5. epoch shard files are derived tables too — and the ONE
-      // place erased text would otherwise survive on disk (shard rows
-      // carry the document payload). Regenerate every materialized
-      // epoch at its recorded geometry. Contrast with the append
-      // path: a catch-up leaves existing epochs alone (staleness =
-      // missing NEW docs, a trainer refresh decision), but erasure
-      // MUST purge — retention is the compliance violation.
-      if (pathExists(targetPath("epoch_shard_manifest"))) {
+      // 5. purge erased payload from the materialized epoch shard
+      // files — scoped to the shards that actually changed (see the
+      // class scaladoc); the snapshot is consumed and only then
+      // dropped, completing the crash-recovery protocol
+      purgeEpochShards(prevPath)
+      deletePath(prevPath)
+      counted(report())
+    } finally { delIds.unpersist(); reqIds.unpersist(): Unit }
+  }
+
+  /** Materialize the CURRENT train-trimmed state as
+    * `(doc_id, th = md5(text), lang)` — the scoped purge's diff base.
+    * Hash-grain, not payload-grain: corpus-sized in rows but kilobyte
+    * rows, so the snapshot costs one column-pruned scan + a small
+    * write, against the corpus×epochs write it saves. Skipped (and the
+    * purge falls back to full regeneration) on a warehouse predating
+    * the span/split tables. */
+  private def snapshotTrainTrimmed(path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    if (pathExists(targetPath("span_trimmed_corpus")) &&
+      pathExists(targetPath("curation_splits")))
+      trainTrimmedDocs()
+        .select($"doc_id", md5($"text").as("th"), $"lang")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** `epoch=N` partition dirs under `table` (for `epoch_shards`,
+    * authoritative for PAYLOAD presence — the manifest can lag a
+    * crashed writer; for the manifest table, guards the parquet read:
+    * a fully-vacuumed manifest dir has no partitions left to infer a
+    * schema from). */
+  private def epochDirsOf(table: String): Seq[Long] = {
+    val (root, fs) = hadoopPath(targetPath(table))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong).sorted
+  }
+  private def diskEpochs(): Seq[Long] = epochDirsOf("epoch_shards")
+
+  /** Step 5 of [[deleteDocs]]: remove erased payload from every
+    * materialized epoch. Enumerates epochs from the manifest AND the
+    * shard directory listing (round-13 review: a [[writeEpochShards]]
+    * that crashed between its file write and its manifest write leaves
+    * payload the manifest doesn't know about — those unpublished dirs
+    * are deleted outright). Published epochs rewrite ONLY the shards
+    * containing a doc from the pre/post diff under `prevPath`; with no
+    * usable diff base the epoch conservatively regenerates in full. */
+  private def purgeEpochShards(prevPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val manifested: Map[Long, Long] =
+      if (epochDirsOf("epoch_shard_manifest").nonEmpty)
         spark.read.parquet(targetPath("epoch_shard_manifest"))
           .groupBy($"epoch".cast("long").as("e"))
           .agg(max($"geometry").as("g"))
-          .as[(Long, Long)].collect().sortBy(_._1)
-          .foreach { case (e, g) => writeEpochShards(e, g): Unit }
+          .as[(Long, Long)].collect().toMap
+      else Map.empty
+    diskEpochs().filterNot(manifested.contains).foreach { e =>
+      deletePath(targetPath(s"epoch_shards/epoch=$e"))
+    }
+    if (manifested.isEmpty) return
+    val changedOpt: Option[DataFrame] =
+      if (!pathExists(prevPath)) None
+      else {
+        val prev = spark.read.parquet(prevPath)
+          .select($"doc_id", $"th".as("pth"), $"lang".as("plang"))
+        val cur = trainTrimmedDocs()
+          .select($"doc_id", md5($"text").as("th"), $"lang")
+        // changed = entered ∪ left ∪ text-or-lang differs: exactly the
+        // docs whose shard rows could differ from the previous files
+        Some(prev.join(cur, Seq("doc_id"), "full_outer")
+          .filter(!($"pth" <=> $"th") || !($"plang" <=> $"lang"))
+          .select($"doc_id").persist())
       }
-      report()
-    } finally delIds.unpersist(): Unit
+    try {
+      val (_, fs) = hadoopPath(targetPath("epoch_shards"))
+      manifested.toSeq.sortBy(_._1).foreach { case (e, g) =>
+        val dirThere = fs.exists(
+          new org.apache.hadoop.fs.Path(targetPath(s"epoch_shards/epoch=$e")))
+        changedOpt match {
+          case Some(changed) if dirThere =>
+            // membership via the writer's own hash — corpus-free
+            val touched = changed
+              .select(CurationModels.epochShardCol(e, $"doc_id", g).as("s"))
+              .distinct().as[Long].collect().toSeq.sorted
+            if (touched.nonEmpty) rewriteEpochShards(e, g, touched)
+          case _ => writeEpochShards(e, g): Unit // no diff base / no files
+        }
+      }
+    } finally changedOpt.foreach(_.unpersist(): Unit)
+  }
+
+  /** EPOCH RETENTION (round-13 "missing #2"): materialized epochs
+    * carry the full train-split text payload and otherwise accumulate
+    * forever. Drop every epoch NOT in `keep` — shard files and
+    * manifest partition both — and return the dropped epoch numbers.
+    * Kept epochs' files never move (byte-identity spec-pinned);
+    * unpublished orphan dirs (no manifest row) count as droppable
+    * epochs like any other. Idempotent: re-vacuuming with the same
+    * keep set is a no-op returning empty. */
+  def vacuumEpochs(keep: Seq[Long]): Seq[Long] = {
+    val keepSet = keep.toSet
+    val drop = (diskEpochs() ++ epochDirsOf("epoch_shard_manifest"))
+      .distinct.filterNot(keepSet).sorted
+    drop.foreach { e =>
+      deletePath(targetPath(s"epoch_shards/epoch=$e"))
+      deletePath(targetPath(s"epoch_shard_manifest/epoch=$e"))
+    }
+    drop
   }
 }

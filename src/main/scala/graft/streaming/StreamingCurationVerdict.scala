@@ -29,23 +29,31 @@ import graft.models.{CurationModels, DedupModels, SimilarityModels}
   *    pins equality on batches without internal dups);
   *  - repetition (c03): per-row token algebra, lifted verbatim;
   *  - decontamination (c01): the doc's distinct 5-gram digests probed
-  *    against the eval gram set as a PLAN-LITERAL hash map — the eval
-  *    reference is benchmark-sized and frozen by contract (the same
-  *    argument that broadcast-freezes it in the batch leg), so the
-  *    O(1)-per-gram in-row lookup replaces a join against the stream;
+  *    against the eval gram set carried as ONE aggregated map row on a
+  *    BROADCAST stream-static join (round-13 review: the previous
+  *    plan-literal map serialized the whole gram set into every task
+  *    binary — a real eval suite at 10⁵–10⁶ grams is a task-size /
+  *    latency hazard; a broadcast ships once per executor, the idiom
+  *    the batch leg already uses). The probe itself stays in-row — a
+  *    per-doc hit COUNT can't be a streaming re-aggregation in append
+  *    mode without a watermark;
   *  - semantic decontamination (c11): the doc's vector (a
   *    stream-static join against the embeddings table) is argmax-
-  *    assigned to its frozen IVF cell (literal-struct construction,
-  *    spec-pinned in StreamingAnnEncode/StreamingDomainMix) and
-  *    compared against the frozen per-cell eval vectors — a k-row
-  *    literal map — at the batch rounding and threshold;
+  *    assigned to its frozen IVF cell (literal-struct construction
+  *    over the 16-row codebook — bounded by construction, spec-pinned
+  *    in StreamingAnnEncode/StreamingDomainMix) and compared against
+  *    the frozen eval vectors via a stream-static LEFT join keyed on
+  *    the cell (eval vectors are benchmark-sized like the grams — same
+  *    broadcast treatment, and the cell key makes it a natural equi-
+  *    join), at the batch rounding and threshold;
   *  - sampling (c02): the doc's own md5 coin, the shared
   *    `CurationModels.sampleKept` column.
   *
-  * Scale: one stream-static hash join on fp + one on doc_id; every
-  * reference that rides the plan as a literal is snapshot-frozen and
-  * kilobyte-to-megabyte-sized by construction (eval grams, 16-cell
-  * codebook, eval vectors). No shuffle of the stream, no state.
+  * Scale: stream-static hash joins on fp / doc_id / cell plus one
+  * single-row broadcast (the gram map); the only plan LITERALS left
+  * are the 16-row coarse codebook structs — StreamingCurationVerdictSpec
+  * asserts no map literal of any cardinality rides the plan. No
+  * shuffle of the stream, no state.
   */
 object StreamingCurationVerdict {
 
@@ -70,24 +78,33 @@ object StreamingCurationVerdict {
       warehouseDir: String, embeddings: DataFrame): DataFrame = {
     import spark.implicits._
 
-    // ---- frozen references → plan literals / static join sides
+    // ---- frozen references → static join sides (gram set and eval
+    // vectors ride BROADCAST joins, never task-serialized literals;
+    // only the 16-row codebook stays a plan literal)
     val groups = spark.read.parquet(s"$warehouseDir/curation_groups")
       .select($"fp", lit(true).as("known_fp"))
-    val evalGramMap = typedLit(
-      spark.read.parquet(s"$warehouseDir/curation_eval_grams")
-        .select($"gram").as[String].collect()
-        .map(_ -> true).toMap)
+    // the whole eval gram set folded into ONE map row: the stream
+    // cross-broadcasts it on a constant key, so every row probes the
+    // same executor-resident map — the stream-static analog of the
+    // batch leg's broadcast semi-join
+    val evalGramRef = spark.read
+      .parquet(s"$warehouseDir/curation_eval_grams")
+      .select($"gram").distinct()
+      .agg(map_from_entries(collect_list(struct($"gram", lit(true))))
+        .as("eval_gram_map"))
+      .withColumn("one", lit(1))
     val cents = spark.read.parquet(s"$warehouseDir/curation_ivf_cents")
       .select($"cid", $"cv", $"cnorm")
       .as[(Long, Seq[Double], Double)].collect()
       .map { case (cid, cv, n) => (cid, cv.toArray, n) }
       .sortBy(_._1)
-    val evalByCell = typedLit(
-      spark.read.parquet(s"$warehouseDir/curation_eval_vecs")
-        .select($"cell", $"evv", $"en")
-        .as[(Long, Seq[Double], Double)].collect()
-        .groupBy(_._1).view
-        .mapValues(_.toSeq.map(e => (e._2, e._3))).toMap)
+    // eval vectors grouped per cell — the cell assignment gives the
+    // stream a natural equi-key, so this is a plain stream-static
+    // LEFT join (docs in cells with no eval vector stay unflagged)
+    val evalVecsByCell = spark.read
+      .parquet(s"$warehouseDir/curation_eval_vecs")
+      .groupBy($"cell")
+      .agg(collect_list(struct($"evv", $"en")).as("evs"))
 
     val stream = spark.readStream.schema(docSchema).parquet(inputDir)
       .withColumn("toks", DedupModels.normTokens($"text"))
@@ -122,14 +139,18 @@ object StreamingCurationVerdict {
           element_at($"toks", i + 4))))))
       .otherwise(array().cast(ArrayType(StringType)))
     val withCont = withRep
+      .withColumn("one", lit(1))
+      .join(broadcast(evalGramRef), Seq("one"))
+      .drop("one")
       .withColumn("grams", gramArr)
       .withColumn("total_ngrams", size($"grams").cast(LongType))
       .withColumn("hit_ngrams",
         size(filter($"grams", g =>
-          coalesce(element_at(evalGramMap, g), lit(false))))
+          coalesce(element_at($"eval_gram_map", g), lit(false))))
           .cast(LongType))
       .withColumn("contaminated",
         $"total_ngrams" > 0 && $"hit_ngrams" * 5 >= $"total_ngrams")
+      .drop("eval_gram_map")
 
     // ---- c11 semantic leg: frozen-cell argmax (rounded cosine, ties
     // by LOWEST cid — cellTop2's rank, the StreamingDomainMix
@@ -152,14 +173,15 @@ object StreamingCurationVerdict {
         when($"v".isNull, lit(null).cast(LongType))
           .otherwise(-array_max(array(cellStructs.toIndexedSeq: _*))
             .getField("negcid")))
-      .withColumn("evs", element_at(evalByCell, $"cell"))
+      .join(broadcast(evalVecsByCell), Seq("cell"), "left")
       .withColumn("sem_contaminated",
         $"v".isNotNull && $"evs".isNotNull &&
           exists($"evs", e =>
-            round(aggregate(zip_with($"v", e.getField("_1"),
+            round(aggregate(zip_with($"v", e.getField("evv"),
               (x, y) => x * y), lit(0.0d), (a, x) => a + x)
-              / ($"vnorm" * e.getField("_2")), 6)
+              / ($"vnorm" * e.getField("en")), 6)
               >= SimilarityModels.SemContamTau))
+      .drop("evs")
 
     // ---- dup + sampling + the funnel CASE, batch order
     withSem

@@ -35,9 +35,12 @@ class AnnDeleteSpec extends AnyFunSuite {
     assert(before.size == nQueries * 5, "k=5 filled per query pre-delete")
 
     // delete three vectors that currently appear in results (forces
-    // re-ranking, not just absence)
+    // re-ranking, not just absence); a fully-known batch reports zero
+    // drops (round-13 review: delete observability)
     val victims = before.map(_._2).distinct.take(3)
-    pipe.runDelete(victims.toDF("vec_id"))
+    val delRep = pipe.runDelete(victims.toDF("vec_id"))
+    assert(delRep.requestedDeletes == 3L && delRep.validatedDeletes == 3L
+      && delRep.droppedUnknownDeletes == 0L, s"$delRep")
 
     val after = searchRows(pipe)
     assert(after.map(_._2).toSet.intersect(victims.toSet).isEmpty,
@@ -126,6 +129,28 @@ class AnnDeleteSpec extends AnyFunSuite {
     assert(searchRows(pipe) == want)
   }
 
+  test("a mid-swap crash on the tombstone LOG never reads as empty") {
+    // compactDeletes folds ann_tombstones via SwapWrite; a crash
+    // between its two renames leaves the dir ABSENT with the only copy
+    // in the .swap- sibling. The accessor's missing→empty bootstrap
+    // fallback must NOT win over recovery (round-13 high finding) —
+    // deleted vectors would silently become searchable again
+    val wh = Files.createTempDirectory("graft-ann-del5").toString
+    val pipe = new AnnIndexPipeline(spark, wh)
+    pipe.run(sfDir)
+    val victims = searchRows(pipe).map(_._2).distinct.take(2)
+    pipe.runDelete(victims.toDF("vec_id"))
+    val want = searchRows(pipe)
+    assert(new java.io.File(s"$wh/ann_tombstones")
+      .renameTo(new java.io.File(s"$wh/.swap-ann_tombstones")))
+    assert(searchRows(pipe) == want,
+      "search must recover the mid-swap log before masking")
+    assert(new java.io.File(s"$wh/ann_tombstones").exists(),
+      "recovery must restore the log dir")
+    assert(searchRows(pipe).map(_._2).toSet
+      .intersect(victims.toSet).isEmpty, "victims stay dead")
+  }
+
   test("deleting an unknown id does not advance the append watermark") {
     val wh = Files.createTempDirectory("graft-ann-del4").toString
     val pipe = new AnnIndexPipeline(spark, wh)
@@ -136,10 +161,15 @@ class AnnDeleteSpec extends AnyFunSuite {
     val half = Files.createTempDirectory("graft-ann-half").toString
     all.filter($"vec_id" <= cut).write.parquet(s"$half/embeddings.parquet")
     pipe.run(half)
-    pipe.runDelete(Seq(Long.MaxValue - 1, 999999999L).toDF("vec_id"))
+    val rep = pipe.runDelete(
+      Seq(Long.MaxValue - 1, 999999999L).toDF("vec_id"))
     assert(!new java.io.File(s"$wh/ann_tombstones").exists() ||
       spark.read.parquet(s"$wh/ann_tombstones").count() == 0,
       "unknown ids must not enter the log")
+    // ...but the drop is VISIBLE (round-13 review): the all-unknown
+    // batch reports exactly what it discarded
+    assert(rep.requestedDeletes == 2L && rep.validatedDeletes == 0L &&
+      rep.droppedUnknownDeletes == 2L, s"$rep")
     // the upper half arrives later: catch-up must still encode it
     val r = pipe.runIncremental(sfDir)
     assert(r.codedVectors == all.count(),

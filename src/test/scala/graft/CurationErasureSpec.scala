@@ -134,10 +134,16 @@ class CurationErasureSpec extends AnyFunSuite {
     assert(!trimmedPre.contains("spansh0"),
       s"503's shared span must be trimmed pre-delete, got: $trimmedPre")
 
-    // unknown ids are rejected from the log (watermark protection)
-    pipeA.deleteDocs(fixAll, Seq(999999L).toDF("doc_id"))
+    // unknown ids are rejected from the log (watermark protection) —
+    // and the rejection is VISIBLE in the report (round-13 review:
+    // silently-lossy deletes are operationally blind)
+    val unknownRep = pipeA.deleteDocs(fixAll, Seq(999999L).toDF("doc_id"))
     assert(!new java.io.File(s"$whA/curation_tombstones").exists() ||
       spark.read.parquet(s"$whA/curation_tombstones").count() == 0)
+    assert(unknownRep.requestedDeletes == 1L &&
+      unknownRep.validatedDeletes == 0L &&
+      unknownRep.droppedUnknownDeletes == 1L,
+      s"the all-unknown batch must surface its drop count: $unknownRep")
 
     // eval-sourced ids are refused loudly
     val evalId = funnelPre.collectFirst {
@@ -161,10 +167,73 @@ class CurationErasureSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$whA/epoch_shards/epoch=0")
       .filter($"doc_id".isin(delTrain: _*)).count() > 0,
       "fixture: a to-be-erased doc must ride the epoch shards")
+    // a second epoch at WIDE geometry: with 16 shards and a handful of
+    // changed docs, some shards provably contain none of them — the
+    // scoped purge must leave those FILES untouched (round-13 "next"
+    // #1's byte-identity criterion)
+    pipeA.writeEpochShards(1L, shards = 16L)
+    def shardFiles(epoch: Long): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"$whA/epoch_shards/epoch=$epoch"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    def shardRows(epoch: Long): Map[Long, Seq[String]] =
+      spark.read.parquet(s"$whA/epoch_shards/epoch=$epoch")
+        .select($"shard".cast("long"), $"shard_pos", $"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.toString))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val e1FilesPre = shardFiles(1L)
+    val e1RowsPre = shardRows(1L)
+    // an ORPHAN epoch dir — shard files written, manifest write never
+    // landed (the interrupted-writer crash state): unpublished payload
+    // the purge must delete outright (round-13 review, medium)
+    pipeA.writeEpochShards(2L, shards = 2L)
+    val (mPath, mFs) = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$whA/epoch_shard_manifest/epoch=2")
+      (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    assert(mFs.delete(mPath, true))
 
     // THE ERASURE (docs still present in fixAll - upstream lag)
-    pipeA.deleteDocs(fixAll, delIds.toDF("doc_id"))
+    val delRep = pipeA.deleteDocs(fixAll, delIds.toDF("doc_id"))
+    assert(delRep.requestedDeletes == 3L && delRep.validatedDeletes == 3L
+      && delRep.droppedUnknownDeletes == 0L,
+      s"a fully-known batch reports zero drops: $delRep")
     pipeB.run(fixMinus)
+
+    // the orphan epoch (payload with no manifest row) is gone outright
+    assert(!new java.io.File(s"$whA/epoch_shards/epoch=2").exists(),
+      "unpublished epoch dirs must purge — their shard files carry " +
+        "payload the manifest doesn't know about")
+
+    // scoped purge, epoch 1 @ 16 shards: rows equal a fresh emit over
+    // the minus corpus, AND every shard whose row content is unchanged
+    // kept its exact file (same path, length, mtime — never rewritten)
+    val e1RowsPost = shardRows(1L)
+    pipeB.writeEpochShards(1L, shards = 16L)
+    val e1RowsWant = spark.read.parquet(s"$whB/epoch_shards/epoch=1")
+      .select($"shard".cast("long"), $"shard_pos", $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.toString))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(e1RowsPost == e1RowsWant,
+      "scoped rewrite must land exactly the fresh-emit content")
+    val untouchedShards = e1RowsPre.keySet
+      .filter(s => e1RowsPost.get(s) == e1RowsPre.get(s))
+    assert(untouchedShards.nonEmpty,
+      "fixture: 16-shard geometry must leave some shards untouched")
+    val e1FilesPost = shardFiles(1L)
+    untouchedShards.foreach { s =>
+      val pre = e1FilesPre.filter(_._1.contains(s"shard=$s/"))
+      val post = e1FilesPost.filter(_._1.contains(s"shard=$s/"))
+      assert(pre == post && pre.nonEmpty,
+        s"untouched shard $s files must keep their bytes: $pre vs $post")
+    }
+    assert(untouchedShards != e1RowsPre.keySet,
+      "fixture: the erasure must actually touch some shard")
 
     // the epoch regenerated at its recorded geometry, erased text gone,
     // and the shard content equals a fresh emit over the minus corpus
@@ -216,5 +285,19 @@ class CurationErasureSpec extends AnyFunSuite {
     allTables.foreach(t => assertTableEqual(whA, whB, t))
     assertBloomEqual(whA, whB, "curation_segment_bloom")
     assertBloomEqual(whA, whB, "curation_span_bloom")
+
+    // --- mid-swap crash on the tombstone LOG (round-13 high finding):
+    // compact() folds the log via SwapWrite; between its two renames
+    // the dir is ABSENT with the only copy in the .swap- sibling. The
+    // missing→empty bootstrap fallback must NOT win over recovery —
+    // with an empty log these already-tombstoned ids would read as
+    // unknown (validated=0) and history would silently reopen
+    assert(new java.io.File(s"$whA/curation_tombstones")
+      .renameTo(new java.io.File(s"$whA/.swap-curation_tombstones")))
+    val recRep = pipeA.deleteDocs(fixAll, delIds.toDF("doc_id"))
+    assert(recRep.validatedDeletes == 3L,
+      s"tombstone accessor must recover the mid-swap log: $recRep")
+    assert(new java.io.File(s"$whA/curation_tombstones").exists())
+    allTables.foreach(t => assertTableEqual(whA, whB, t))
   }
 }

@@ -215,6 +215,53 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(parentB.listFiles().map(_.getName).toSet == Set("tbl"))
   }
 
+  test("legacy (pre-SwapWrite) compaction residue migrates: stranded tmp data restores") {
+    import graft.runner.Compaction
+    def rows(p: String): Set[Long] =
+      spark.read.parquet(p).as[Long].collect().toSet
+    def moveDataFiles(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles()
+        .filter(f => f.isFile && (f.getName.endsWith(".parquet") ||
+          f.getName.endsWith(".crc")))
+        .foreach(f => assert(f.renameTo(new java.io.File(dst, f.getName))))
+    }
+
+    // old FLAT protocol, crash-after-delete: the table dir was emptied
+    // and <dir>/.compact-flat holds the ONLY copy — an upgraded sweep
+    // must finish the old move, not read the table as empty
+    val d1 = Files.createTempDirectory("graft-legacy1").toString + "/tbl"
+    (0L until 30L).toDF("v").coalesce(1).write.parquet(d1)
+    val want1 = rows(d1)
+    moveDataFiles(new java.io.File(d1), new java.io.File(d1, ".compact-flat"))
+    Compaction.compactFlat(spark, d1)
+    assert(rows(d1) == want1, "stranded legacy rows must restore")
+    assert(!new java.io.File(d1, ".compact-flat").exists())
+
+    // old ANN prune protocol, crash-after-delete: the SIBLING
+    // .delete-compact-<name> dir holds the only copy
+    val d2 = Files.createTempDirectory("graft-legacy2").toString + "/tbl"
+    (100L until 140L).toDF("v").coalesce(1).write.parquet(d2)
+    val want2 = rows(d2)
+    val parent2 = new java.io.File(d2).getParentFile
+    moveDataFiles(new java.io.File(d2),
+      new java.io.File(parent2, ".delete-compact-tbl"))
+    Compaction.migrateLegacyResidue(spark, d2)
+    assert(rows(d2) == want2, "stranded sibling-tmp rows must restore")
+    assert(!new java.io.File(parent2, ".delete-compact-tbl").exists())
+
+    // crash-BEFORE-delete: the live dir still has data; the legacy tmp
+    // is a dead duplicate and is dropped without touching the table
+    val d3 = Files.createTempDirectory("graft-legacy3").toString + "/tbl"
+    (200L until 220L).toDF("v").coalesce(1).write.parquet(d3)
+    val want3 = rows(d3)
+    spark.read.parquet(d3).limit(5).write
+      .parquet(new java.io.File(d3, ".compact-flat").getAbsolutePath)
+    Compaction.compactFlat(spark, d3)
+    assert(rows(d3) == want3, "a dead-duplicate legacy tmp must not win")
+    assert(!new java.io.File(d3, ".compact-flat").exists())
+  }
+
   test("incremental over a pre-span-stage warehouse bootstraps the span tables first") {
     // MIGRATION path: a warehouse built before the span-trim stage
     // existed has no span tables and its packing tables were packed

@@ -34,6 +34,8 @@ class EpochShardWriterSpec extends AnyFunSuite {
     val pipe = new CurationPipeline(spark, wh)
     val shards = 4L
     val manifest = pipe.writeEpochShards(epoch = 0L, shards = shards)
+      .select($"epoch", $"shard", $"n_docs", $"n_tokens", $"n_seqs",
+        $"boundary_splits")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
       .sortBy(_._2)
 
@@ -122,5 +124,86 @@ class EpochShardWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/epoch_shard_manifest")
       .select($"epoch").distinct().count() == 2L,
       "both epochs' manifest rows must coexist")
+  }
+
+  test("resume cursors: seeking to a cursor reads exactly the suffix a full read delivers") {
+    val wh = makeWarehouse()
+    val pipe = new CurationPipeline(spark, wh)
+    pipe.writeEpochShards(0L, shards = 2L)
+    val manifest: Map[Long, Seq[(Long, Long, Long)]] =
+      spark.read.parquet(s"$wh/epoch_shard_manifest")
+        .filter($"epoch" === 0)
+        .select($"shard", $"cursors")
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(c => (c.getLong(0), c.getLong(1), c.getLong(2))).toSeq
+        }.toMap
+    assert(manifest.values.exists(_.nonEmpty),
+      "fixture must produce at least one checkpoint (shards carry " +
+        "more than EpochCursorSeqs sequences at 2-shard geometry)")
+    manifest.foreach { case (s, cursors) =>
+      // the shard's rows in stored (shard_pos) order; the symbolic
+      // token stream (doc_id, k) for k < n_tokens is equality-exact
+      // without re-tokenizing the payload
+      val rows = spark.read.parquet(s"$wh/epoch_shards/epoch=0")
+        .filter($"shard" === s)
+        .select($"shard_pos", $"doc_id", $"n_tokens")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      def stream(from: Seq[(Long, Long, Long)]): Seq[(Long, Long)] =
+        from.flatMap(r => (0L until r._3).map(k => (r._2, k)))
+      val full = stream(rows.toIndexedSeq)
+      // cursors are sorted, unique per sequence, and aligned to the
+      // checkpoint interval
+      assert(cursors.map(_._1) == cursors.map(_._1).sorted)
+      assert(cursors.map(_._1).distinct.size == cursors.size)
+      cursors.foreach { case (seq, row, skip) =>
+        assert(seq % CurationModels.EpochCursorSeqs == 0,
+          s"checkpoints sit on the cursor interval, got seq=$seq")
+        val seekPos = seq * CurationModels.PackBudget
+        // full read from the sequence boundary...
+        val wantSuffix = full.drop(seekPos.toInt)
+        // ...must equal: open the file at row index `row`, discard
+        // `skip` tokens, stream on
+        val viaCursor = stream(rows.filter(_._1 >= row).toIndexedSeq)
+          .drop(skip.toInt)
+        assert(viaCursor == wantSuffix,
+          s"shard $s cursor (seq=$seq,row=$row,skip=$skip) must " +
+            "deliver the exact suffix")
+        // the cursor lands INSIDE its row (no dead rows to skip over)
+        val owner = rows.find(_._1 == row).get
+        assert(skip >= 0 && skip < owner._3,
+          s"skip=$skip must fall within the owning doc (${owner._3})")
+      }
+    }
+  }
+
+  test("vacuumEpochs drops exactly the unkept epochs from files and manifest, idempotently") {
+    val wh = makeWarehouse()
+    val pipe = new CurationPipeline(spark, wh)
+    pipe.writeEpochShards(0L, shards = 2L)
+    pipe.writeEpochShards(1L, shards = 3L)
+    pipe.writeEpochShards(2L, shards = 2L)
+    def fileStats(epoch: Long): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"$wh/epoch_shards/epoch=$epoch"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    val keptStats = fileStats(1L)
+    val dropped = pipe.vacuumEpochs(keep = Seq(1L))
+    assert(dropped == Seq(0L, 2L), s"dropped=$dropped")
+    assert(!new java.io.File(s"$wh/epoch_shards/epoch=0").exists())
+    assert(!new java.io.File(s"$wh/epoch_shards/epoch=2").exists())
+    assert(spark.read.parquet(s"$wh/epoch_shard_manifest")
+      .select($"epoch".cast("long")).distinct().as[Long].collect().toSeq
+      == Seq(1L), "manifest must only know the kept epoch")
+    // the kept epoch's files never move: byte-identity by stat
+    assert(fileStats(1L) == keptStats,
+      "vacuum must not rewrite kept epochs")
+    // idempotent
+    assert(pipe.vacuumEpochs(keep = Seq(1L)).isEmpty)
+    assert(fileStats(1L) == keptStats)
   }
 }

@@ -53,10 +53,11 @@ class IvfPqAnnSpec extends AnyFunSuite {
     assert(rRef > rAdc, s"refine did not improve recall ($rRef vs $rAdc)")
     // every refined hit comes from the probe-admitted shortlist: a
     // refined candidate the raw ADC ranking could never order above
-    // rank 20 must not appear
-    val short20 = SimilarityModels.ivfPqRefinedTopK(spark, sfDir)
+    // the shortlist depth must not appear
+    val shortRanks = SimilarityModels.ivfPqRefinedTopK(spark, sfDir)
       .select($"adc_rank").as[Long].collect()
-    assert(short20.forall(r => r >= 1 && r <= 20))
+    assert(shortRanks.forall(r =>
+      r >= 1 && r <= SimilarityModels.IvfPqRefineDepth))
   }
 
   test("family recall floors match the committed ann_bench table") {

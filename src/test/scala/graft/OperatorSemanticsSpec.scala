@@ -18,6 +18,34 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(a.union(b).count() == 4) // UNION ALL
   }
 
+  test("q08 one-scan rewrite keeps UNION ALL sum semantics on all-null sides") {
+    // the one-scan rewrite computes sum(bal_a)+sum(bal_b) per group; a
+    // TRUE union-all sum ignores one side's nulls and keeps the other,
+    // and is NULL only when BOTH sides are all-null (round-13 review:
+    // the rewrite must hold without the fixture's non-null guarantee).
+    // Null discount ⇒ bal_b null while bal_a stays real.
+    val li = Seq(
+      // group 1: discount null on every row — side B is all-null
+      ("2024-01-01", Some(java.math.BigDecimal.valueOf(10.00)), None),
+      ("2024-01-01", Some(java.math.BigDecimal.valueOf(4.00)), None),
+      // group 2: mixed — one row's side B real
+      ("2024-01-02", Some(java.math.BigDecimal.valueOf(8.00)),
+        Some(0.25)),
+      // group 3: price null too — BOTH sides all-null
+      ("2024-01-03",
+        None: Option[java.math.BigDecimal], None: Option[Double]))
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+    val got = graft.models.TpchModels.unionAllBalancesFrom(li)
+      .select($"date_key".cast("string"), $"avg_balance".cast("string"))
+      .as[(String, String)].collect().toMap
+    // group 1: union-all sum over {10, 4, null, null} = 14 over 4 obs
+    assert(got("2024-01-01") == "3.500000", s"got $got")
+    // group 2: {8, 8*(1-0.25)} = 14 over 2 obs
+    assert(got("2024-01-02") == "7.000000", s"got $got")
+    // group 3: all values null on both sides → the union's sum is NULL
+    assert(got("2024-01-03") == null, s"got $got")
+  }
+
   test("dense_rank keeps value ties in top-k (vs row_number)") {
     val df = Seq(("d1", "a", 10), ("d1", "b", 10), ("d1", "c", 5))
       .toDF("date_key", "app", "payout")

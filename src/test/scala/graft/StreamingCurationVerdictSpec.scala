@@ -107,5 +107,25 @@ class StreamingCurationVerdictSpec extends AnyFunSuite {
     assert(Set("duplicate", "repetitive", "contaminated",
       "sem_contaminated", "sampled_out", "kept").subsetOf(verdicts),
       s"fixture must cover all classes, got $verdicts")
+
+    // round-13 ask #4: NO map literal of any cardinality rides the
+    // streaming plan — the eval gram set and eval vectors reach tasks
+    // via broadcast stream-static joins, never task-serialized plan
+    // literals (a 10⁵–10⁶-gram eval suite in every task binary is the
+    // hazard); the only remaining literals are the 16-row codebook
+    // structs. Asserted on the analyzed plan so a regression to
+    // typedLit(Map(...)) fails here regardless of physical planning.
+    val plan = StreamingCurationVerdict
+      .verdictStream(spark, inDir, wh, embAll).queryExecution.analyzed
+    val mapLiterals = plan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+          => l
+      })
+    }.flatten
+    assert(mapLiterals.isEmpty,
+      s"streaming verdict plan carries ${mapLiterals.size} map " +
+        "literal(s) — eval references must ride broadcast joins")
   }
 }
