@@ -23,8 +23,10 @@ object Bench {
     // r12 endpoint-only pair MISSED a mid-run contended stretch (c10 at
     // 14.3s driver vs 0.54s clean with both endpoints reading clean).
     // The interleaved series brackets every query within ~10 slots, so
-    // a contended stretch is mechanically identifiable: discount
-    // queries whose bracketing probes exceed ~2x the series median.
+    // a contended stretch is mechanically identifiable — and the
+    // artifact applies the rule ITSELF (value_steady/contended below):
+    // discount queries whose bracketing probes spike both >2x the
+    // series median and >2s above it.
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     def sentinelProbe(): Unit = {
       val t0 = System.nanoTime()
@@ -99,10 +101,15 @@ object Bench {
     // bracketing-probe rule IN the artifact, so a gate or judge reads
     // steady-state without manual forensics. Query idx runs between
     // probe idx/10 and the next probe (the post-run probe closes the
-    // last bracket); a query whose EITHER bracketing probe exceeds 2x
-    // the series median ran during a contended stretch of the box —
-    // same plan, same bytes, so the probe drift measures the host, not
-    // the code. "contended" lists the discounted queries;
+    // last bracket); a query whose EITHER bracketing probe spikes ran
+    // during a contended stretch of the box — same plan, same bytes,
+    // so the probe drift measures the host, not the code. A spike is
+    // BOTH relative (>2x the series median) AND absolute (>2s over
+    // it): the stretches this exists for read 10-80x median
+    // (r10-r13's phantom regressions), while sub-second jitter around
+    // a ~0.3s probe is normal shared-box variance — a relative-only
+    // rule flagged 44% of a near-clean run and made the steady sum
+    // meaningless. "contended" lists the discounted queries;
     // "value_steady" sums the rest (its denominator is
     // "steady_queries_run" — compare like with like across rounds).
     val probeMedian = {
@@ -111,10 +118,12 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    def spiky(p: Double): Boolean =
+      p > 2.0 * probeMedian && p - probeMedian > 2.0
     def bracketContended(idx: Int): Boolean = {
       val left = sentinels(math.min(idx / 10, sentinels.size - 1))
       val right = sentinels(math.min(idx / 10 + 1, sentinels.size - 1))
-      math.max(left, right) > 2.0 * probeMedian
+      spiky(left) || spiky(right)
     }
     val contended = results.zipWithIndex.collect {
       case ((name, _), idx) if bracketContended(idx) => name

@@ -141,6 +141,7 @@ object SparkEntry {
     "c15_epoch_shuffle" -> (CurationModels.epochShuffle _),
     "c16_fim_transform" -> (CurationModels.fimTransform _),
     "c17_epoch_shard_manifest" -> (CurationModels.epochShardManifest _),
+    "c18_epoch_resume_cursors" -> (CurationModels.epochResumeCursors _),
     "t01_lang_profile" -> (TextModels.langProfile _),
     "t02_lang_id_heuristic" -> (TextModels.langIdHeuristic _),
     "t03_quality_score" -> (TextModels.qualityScore _),
@@ -349,6 +350,7 @@ object SparkEntry {
     "c15_epoch_shuffle" -> CurationModels.epochShuffleOracle,
     "c16_fim_transform" -> CurationModels.fimTransformOracle,
     "c17_epoch_shard_manifest" -> CurationModels.epochShardManifestOracle,
+    "c18_epoch_resume_cursors" -> CurationModels.epochResumeCursorsOracle,
     "t01_lang_profile" -> TextModels.langProfileOracle,
     "t02_lang_id_heuristic" -> TextModels.langIdHeuristicOracle,
     "t03_quality_score" -> TextModels.qualityScoreOracle,

@@ -1354,6 +1354,62 @@ object CurationModels {
        |FROM q GROUP BY 1""".stripMargin
   }
 
+  /** c18: EPOCH RESUME CURSORS (beyond-reference, r14) — the
+    * [[epochCursorsFrom]] checkpoint math flattened to rows so the
+    * DuckDB oracle hash-gates it: for epoch 0 at the demo geometry,
+    * every `(shard, seq, row_pos, skip_tokens)` restart point a
+    * dataloader can seek to (see [[epochCursorsFrom]] for the seek
+    * contract; EpochShardWriterSpec pins suffix equality against the
+    * written files — this query pins the ARITHMETIC against an
+    * independent engine). Same scale shape as c17: stateless
+    * permutation, per-shard running-offset window, one in-row
+    * `sequence()` per doc. */
+  def epochResumeCursors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    epochCursorsFrom(epochPackedFrom(
+      epochShuffleFrom(trimmedDocs(spark, sfDir), epoch = 0L)))
+      .select($"shard", explode($"cursors").as("c"))
+      .select($"shard", $"c.seq".as("seq"), $"c.row".as("row_pos"),
+        $"c.skip_tokens".as("skip_tokens"))
+  }
+
+  val epochResumeCursorsOracle: String = {
+    def hexAt(i: Int): String =
+      s"(strpos('0123456789abcdef', substr(perm, $i, 1)) - 1)"
+    val kb = EpochCursorSeqs * PackBudget
+    s"""WITH ${DedupModels.spanTrimSqlCtes},
+       |d AS (SELECT doc_id,
+       |             cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             md5('0:' || cast(doc_id AS VARCHAR)) AS perm
+       |      FROM trimmed),
+       |s AS (SELECT *,
+       |             (${hexAt(1)} * 4096 + ${hexAt(2)} * 256 +
+       |              ${hexAt(3)} * 16 + ${hexAt(4)}) % $EpochShards AS shard
+       |      FROM d),
+       |p AS (SELECT shard, n_tokens,
+       |             row_number() OVER (PARTITION BY shard
+       |               ORDER BY perm, doc_id) AS shard_pos
+       |      FROM s),
+       |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+       |               ORDER BY shard_pos ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW) AS end_offset
+       |      FROM p),
+       |q AS (SELECT shard, shard_pos,
+       |             cast(end_offset - n_tokens AS BIGINT) AS start_offset,
+       |             cast((end_offset - n_tokens + $kb - 1) // $kb AS BIGINT)
+       |               AS first_cp,
+       |             cast((end_offset - 1) // $kb AS BIGINT) AS last_cp
+       |      FROM o WHERE n_tokens > 0),
+       |e AS (SELECT shard, shard_pos, start_offset,
+       |             unnest(range(first_cp, last_cp + 1)) AS cp
+       |      FROM q WHERE last_cp >= first_cp)
+       |SELECT cast(shard AS BIGINT) AS shard,
+       |       cast(cp * $EpochCursorSeqs AS BIGINT) AS seq,
+       |       cast(shard_pos AS BIGINT) AS row_pos,
+       |       cast(cp * $kb - start_offset AS BIGINT) AS skip_tokens
+       |FROM e""".stripMargin
+  }
+
   val epochShuffleOracle: String = {
     def hexAt(i: Int): String =
       s"(strpos('0123456789abcdef', substr(perm, $i, 1)) - 1)"
