@@ -712,9 +712,10 @@ object SimilarityModels {
     * `graft.runner.AnnIndexPipeline.search` (materialized index) —
     * AnnIndexPipelineSpec pins the two byte-identical. */
   private[graft] def adcSearch(queries: DataFrame, cents: DataFrame,
-      pqCents: DataFrame, codes: DataFrame, k: Int): DataFrame = {
+      pqCents: DataFrame, codes: DataFrame, k: Int,
+      nprobe: Int = IvfPqNprobe): DataFrame = {
     import queries.sparkSession.implicits._
-    adcScored(queries, cents, pqCents, codes)
+    adcScored(queries, cents, pqCents, codes, nprobe)
       .withColumn("rk", row_number().over(
         Window.partitionBy($"query_id").orderBy($"ivfpq_sim".desc, $"cand_id")))
       .filter($"rk" <= k)
@@ -728,14 +729,15 @@ object SimilarityModels {
     * the FILTERED candidate set (ranking first and filtering after
     * would under-fill k, the classic filtered-vector-search bug). */
   private[graft] def adcScored(queries: DataFrame, cents: DataFrame,
-      pqCents: DataFrame, codes: DataFrame): DataFrame = {
+      pqCents: DataFrame, codes: DataFrame,
+      nprobe: Int = IvfPqNprobe): DataFrame = {
     import queries.sparkSession.implicits._
     val dotA = dotArr _
     val ms = explode(sequence(lit(0), lit(IvfPqM - 1))).as("m")
     val dec = (c: Column) => c.cast(DecimalType(28, 9))
     // probed cells with the dot(q, cent) term, plus the per-query ADC
     // lookup table (|queries| × IvfPqM × IvfPqResidualK rows)
-    val qprobe = cellTopN(queries, cents, IvfPqNprobe)
+    val qprobe = cellTopN(queries, cents, nprobe)
       .join(broadcast(cents), Seq("cid"))
       .select($"vec_id".as("query_id"), $"cid".as("cell"),
         $"norm".as("q_norm"), dec(round(dotA($"v", $"cv"), 9)).as("qc_dot"))

@@ -102,14 +102,26 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     * AnnIndexPipelineSpec pins search-over-materialized byte-identical
     * to `SimilarityModels.ivfPqAnnTopK`. Tombstoned vectors are masked
     * BEFORE ranking (the s10 lesson: filtering after top-k under-fills
-    * k), so a delete takes effect at the very next query. */
-  def search(queries: org.apache.spark.sql.DataFrame, k: Int = 5)
+    * k), so a delete takes effect at the very next query.
+    *
+    * `nprobe` is the PER-QUERY recall/latency knob (FAISS's own
+    * serving convention — index frozen, probe width chosen at query
+    * time): the round-13/14 sweeps measured recall at this geometry as
+    * probe-bound (raw 0.82 @ 12; refine plateaus at 0.86 for any
+    * shortlist depth; nprobe 16 lifts REFINED recall to 0.88 while the
+    * ADC scan grows linearly in probed cells), so a caller wanting
+    * more recall pays exactly here — no retrain, no re-encode,
+    * answers stay a subset of the probed cells by construction
+    * (AnnDeleteSpec/AnnIndexPipelineSpec invariants hold for any
+    * width). */
+  def search(queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      nprobe: Int = SimilarityModels.IvfPqNprobe)
       : org.apache.spark.sql.DataFrame =
     SimilarityModels.adcSearch(
       SimilarityModels.doubledEmb(queries),
       spark.read.parquet(targetPath("ann_coarse_codebook")),
       spark.read.parquet(targetPath("ann_pq_codebook")),
-      liveCodes, k)
+      liveCodes, k, nprobe)
 
   private def hadoopFs: org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(warehouseDir)

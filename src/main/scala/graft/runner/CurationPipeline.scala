@@ -864,11 +864,15 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch")
       .parquet(targetPath("epoch_shard_manifest"))
-    // read-back: partition discovery appends `epoch` and types it int —
-    // restore the canonical column order and long type
-    spark.read.parquet(targetPath("epoch_shard_manifest"))
-      .filter($"epoch" === epoch)
-      .select($"epoch".cast("long").as("epoch"), $"shard", $"n_docs",
+    // read-back from THIS epoch's partition dir (not the whole table:
+    // a pre-cursor-era manifest partition lacking the cursors column
+    // could win the cross-partition schema inference and break the
+    // select; the dir just written has a uniform schema by
+    // construction), restoring the canonical column order
+    spark.read
+      .parquet(targetPath(s"epoch_shard_manifest/epoch=$epoch"))
+      .withColumn("epoch", lit(epoch))
+      .select($"epoch", $"shard", $"n_docs",
         $"n_tokens", $"n_seqs", $"boundary_splits", $"cursors")
   }
 

@@ -107,5 +107,30 @@ class AnnIndexPipelineSpec extends AnyFunSuite {
         $"ivfpq_sim".cast("string"), $"sim_rank")
       .collect().map(_.mkString("|")).sorted.toSeq
     assert(served.nonEmpty && served == inline)
+
+    // the query-time nprobe knob (FAISS serving convention): a wider
+    // probe scores a SUPERSET of candidates, so per-query the top ADC
+    // similarity is monotonically non-decreasing in probe width, k
+    // stays filled, and the full-width search (all cells) bounds both
+    import graft.models.SimilarityModels.{IvfPqCells, IvfPqNprobe}
+    def top1(nprobe: Int): Map[Long, BigDecimal] =
+      pipe.search(queries, k = 5, nprobe = nprobe)
+        .filter($"sim_rank" === 1)
+        .select($"query_id", $"ivfpq_sim")
+        .as[(Long, BigDecimal)].collect().toMap
+    val narrow = top1(2)
+    val default = top1(IvfPqNprobe)
+    val full = top1(IvfPqCells)
+    assert(default.keySet == narrow.keySet && full.keySet == narrow.keySet)
+    narrow.keySet.foreach { q =>
+      assert(narrow(q) <= default(q) && default(q) <= full(q),
+        s"query $q: widening the probe must not lose the best " +
+          s"candidate (${narrow(q)} / ${default(q)} / ${full(q)})")
+    }
+    val kFilled = pipe.search(queries, k = 5, nprobe = 2)
+      .groupBy($"query_id").count().select($"count")
+      .as[Long].collect()
+    assert(kFilled.nonEmpty && kFilled.forall(_ == 5L),
+      "k stays filled at the narrowest probe on this fixture")
   }
 }
