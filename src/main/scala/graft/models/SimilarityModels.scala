@@ -644,7 +644,10 @@ object SimilarityModels {
       .withColumn("crk", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cell_sim".desc, $"cid")))
       .filter($"crk" <= n)
-      .select($"vec_id", $"v", $"norm", $"cid", $"crk")
+      // cell_sim rides along: crk=1's similarity IS the coarse
+      // assignment fit (the drift metric AnnIndexPipeline.driftReport
+      // aggregates); downstream consumers select named columns
+      .select($"vec_id", $"v", $"norm", $"cid", $"crk", $"cell_sim")
   }
 
   /** Query-side probe width of the IVF-PQ search (s06/s07 and the

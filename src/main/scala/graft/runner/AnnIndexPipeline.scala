@@ -216,6 +216,40 @@ final class AnnIndexPipeline(spark: SparkSession, warehouseDir: String) {
     before - spark.read.parquet(targetPath("ann_codes")).count()
   }
 
+  /** QUANTIZATION-DRIFT REPORT — the measurable half of the
+    * retrain-vs-append trade the class scaladoc states ("a drifted
+    * corpus is the signal for a fresh run()"): per cohort (vectors
+    * inside the frozen training prefix vs everything beyond it), the
+    * count and the mean/min COARSE ASSIGNMENT FIT — each vector's
+    * cosine to its nearest frozen centroid, the crk=1 similarity the
+    * encoder itself computes. Frozen codebooks represent what they
+    * trained on; when the post-train cohort's mean fit falls materially
+    * below the train-sample cohort's, newly-arriving vectors live in
+    * regions the coarse cells don't cover — recall decays exactly
+    * there (candidates are cell-pruned), and a fresh [[run]] is due.
+    * The classic production trigger (FAISS/Milvus re-train-on-drift),
+    * surfaced as a number instead of a scaladoc sentence.
+    *
+    * Reports on the CURRENT corpus snapshot (`sfDir`) against the
+    * materialized coarse codebook: one broadcast pass over the
+    * embeddings (16-row codebook, no shuffle of the corpus, codes
+    * untouched) — cheap enough to run with every catch-up. The
+    * thresholding is the caller's policy; this reports the cohorts. */
+  def driftReport(sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = SimilarityModels.doubledEmb(Tables.embeddings(spark, sfDir))
+    val cents = spark.read.parquet(targetPath("ann_coarse_codebook"))
+    SimilarityModels.cellTop2(base, cents)
+      .filter($"crk" === 1)
+      .withColumn("cohort",
+        when($"vec_id" < SimilarityModels.AnnTrainCap, "train_sample")
+          .otherwise("post_train"))
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n_vectors"),
+        avg($"cell_sim").as("mean_fit"),
+        min($"cell_sim").as("min_fit"))
+  }
+
   /** Append-only catch-up: encode vectors above the index watermark
     * against the FROZEN materialized codebooks. The watermark is the
     * max over CODES AND TOMBSTONES — after a physical prune removes

@@ -133,4 +133,73 @@ class AnnIndexPipelineSpec extends AnyFunSuite {
     assert(kFilled.nonEmpty && kFilled.forall(_ == 5L),
       "k stays filled at the narrowest probe on this fixture")
   }
+
+  test("driftReport: in-distribution appends stay fit-flat; out-of-cover vectors drop it") {
+    import graft.models.SimilarityModels
+    val wh = Files.createTempDirectory("graft-ann-drift").toString
+    val pipe = new AnnIndexPipeline(spark, wh)
+    pipe.run(sfDir)
+
+    def fits(dir: String): Map[String, (Long, Double)] =
+      pipe.driftReport(dir)
+        .select($"cohort", $"n_vectors", $"mean_fit")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val maxId = base.agg(max($"vec_id")).as[Long].head()
+    val baseline = fits(sfDir)
+
+    // IN-DISTRIBUTION appends: copies of existing corpus vectors under
+    // new ids — same distribution the codebook trained on, so the
+    // post-train cohort's mean fit stays in the train-sample cohort's
+    // neighborhood (identical vectors score identical fits)
+    val inDist = Files.createTempDirectory("graft-ann-indist").toString
+    base.unionByName(
+      base.filter($"vec_id" < 200)
+        .select(($"vec_id" + maxId + 1).as("vec_id"), $"embedding",
+          $"label"))
+      .write.parquet(s"$inDist/embeddings.parquet")
+    val rInDist = fits(inDist)
+
+    // OUT-OF-COVER appends: the spec picks, with the model's OWN frozen
+    // codebook, the unit one-hot directions the coarse cells cover
+    // WORST — provably-poor-fit vectors, the drift a frozen index
+    // cannot serve well
+    val cents = spark.read.parquet(s"$wh/ann_coarse_codebook")
+      .select($"cv", $"cnorm").as[(Seq[Double], Double)].collect()
+    val dim = cents.head._1.size
+    val worstDims = (0 until dim).sortBy { j =>
+      cents.map { case (cv, n) => math.abs(cv(j)) / n }.max
+    }.take(32)
+    val crafted = Seq.tabulate(256) { i =>
+      val j = worstDims(i % worstDims.size)
+      (maxId + 1 + i.toLong,
+        Array.tabulate(dim)(d => if (d == j) 1.0f else 0.0f).toSeq, 0)
+    }
+    val shifted = Files.createTempDirectory("graft-ann-shift").toString
+    base.unionByName(
+      crafted.toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+          $"label"))
+      .write.parquet(s"$shifted/embeddings.parquet")
+    val rShift = fits(shifted)
+
+    assert(baseline.contains("train_sample") && rInDist.contains("post_train"))
+    val trainFit = rInDist("train_sample")._2
+    val inDistFit = rInDist("post_train")._2
+    // the shifted warehouse's post-train cohort = snapshot tail + the
+    // crafted vectors; the in-distribution warehouse's is the fair
+    // comparison arm (same tail, benign appends)
+    val shiftFit = rShift("post_train")._2
+    assert(rShift("post_train")._1 ==
+      baseline.get("post_train").map(_._1).getOrElse(0L) + 256,
+      "every crafted vector must land in the post-train cohort")
+    assert(inDistFit > shiftFit,
+      s"out-of-cover appends must read as drift: in-dist $inDistFit " +
+        s"vs shifted $shiftFit (train $trainFit)")
+    assert(math.abs(inDistFit - trainFit) <
+      math.abs(shiftFit - trainFit),
+      "the shifted cohort must sit farther from the train-sample fit")
+  }
 }
