@@ -1085,6 +1085,22 @@ object CurationModels {
       hexVal(substring(perm, 4, 1))) % shards
   }
 
+  /** The projection half of [[epochShuffleFrom]] — `(doc_id, n_tokens)`
+    * without the per-shard window. This is the WHOLE document state an
+    * epoch shard row can depend on: shard membership and shard_pos are
+    * pure functions of (epoch, doc_id), offsets/sequences of the
+    * shard's (doc_id, n_tokens) multiset in permutation order, and the
+    * payload text is recoverable from n_tokens equality because a
+    * span-trim change ALWAYS changes the token count (a removal drops
+    * ≥1 token, a restore adds it back) while raw text and lang are
+    * immutable — which is what lets the erasure purge diff an epoch
+    * against its own files on these two columns alone. */
+  private[graft] def epochDocState(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      size(tokens($"text")).cast(LongType).as("n_tokens"))
+  }
+
   /** Frame-parameterized core of c15 — also the shard-file writer's
     * entry ([[graft.runner.CurationPipeline]] feeds it the materialized
     * trimmed corpus rather than re-deriving the trim). */
@@ -1093,8 +1109,7 @@ object CurationModels {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     require(shards > 0, s"shard count must be positive, got $shards")
-    docs
-      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
+    epochDocState(docs)
       .withColumn("perm", epochPermCol(epoch, $"doc_id"))
       .withColumn("shard", epochShardCol(epoch, $"doc_id", shards))
       .withColumn("shard_pos", row_number().over(
@@ -1254,13 +1269,17 @@ object CurationModels {
   /** MID-SHARD RESUME CURSORS over an [[epochPackedFrom]]-shaped frame
     * (the round-13 "missing #5"): per shard, a sorted array of
     * `(seq, row, skip_tokens)` checkpoints at every `everySeqs`-th
-    * [[PackBudget]]-token sequence boundary. A dataloader that died
-    * mid-shard seeks to the greatest cursor ≤ its last-committed
-    * sequence, reads the shard file from row index `row` (0-based:
-    * `shard_pos - 1`), discards the first `skip_tokens` tokens of that
-    * row, and then streams EXACTLY the token suffix a full read would
-    * deliver from that sequence boundary (EpochShardWriterSpec pins
-    * the equality) — instead of re-reading from the file head.
+    * [[PackBudget]]-token sequence boundary. `row` IS the owning doc's
+    * 1-BASED `shard_pos` — the same value stored on the shard rows
+    * themselves, so a reader matches `shard_pos >= row` (equivalently:
+    * 0-based physical file index `row - 1`, since rows are stored in
+    * shard_pos order starting at 1). A dataloader that died mid-shard
+    * seeks to the greatest cursor ≤ its last-committed sequence, reads
+    * the shard file from that row, discards the first `skip_tokens`
+    * tokens of it, and then streams EXACTLY the token suffix a full
+    * read would deliver from that sequence boundary
+    * (EpochShardWriterSpec pins the equality) — instead of re-reading
+    * from the file head.
     *
     * A checkpoint at sequence `s` (token offset `s·PackBudget`) belongs
     * to the UNIQUE non-empty doc whose `[start_offset, end_offset)`

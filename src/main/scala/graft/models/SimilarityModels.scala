@@ -824,22 +824,6 @@ object SimilarityModels {
     adcSearch(base.filter($"vec_id" < 10), cents, pqCents, codes, k = 5)
   }
 
-  /** s07: IVF-PQ with EXACT REFINE — the production ANN serving shape
-    * (FAISS `IndexRefineFlat`): the compressed index produces a cheap
-    * ADC shortlist (top-[[IvfPqRefineDepth]]), then ONLY those
-    * candidates are re-scored against their full-precision vectors and
-    * the true cosine picks the final top-5. Refine un-does the
-    * quantization error for everything the shortlist caught — recall
-    * rises toward the probe bound (what the coarse pruning admits) at
-    * the cost of |queries|·depth exact dot products.
-    *
-    * Scale: the re-rank gather is a hash join on the corpus's PRIMARY
-    * KEY over a shortlist-sized side — a point-lookup-shaped join; no
-    * full-precision vector outside the shortlist is ever touched, so
-    * the memory story of the 4-byte index stands. Determinism: the
-    * refine similarity is s01's exact rounded cosine (ties by
-    * cand_id), so the oracle replays it directly.
-    */
   /** ADC shortlist depth feeding s07's exact refine (4·k) — and the
     * round-14 MEASURED finding that closes the remaining recall axes
     * at this geometry (`ann_bench.json` r14 sweep, sf0.01):
@@ -865,6 +849,22 @@ object SimilarityModels {
     * nprobe scaladoc already prices. */
   private[graft] val IvfPqRefineDepth = 20
 
+  /** s07: IVF-PQ with EXACT REFINE — the production ANN serving shape
+    * (FAISS `IndexRefineFlat`): the compressed index produces a cheap
+    * ADC shortlist (top-[[IvfPqRefineDepth]]), then ONLY those
+    * candidates are re-scored against their full-precision vectors and
+    * the true cosine picks the final top-5. Refine un-does the
+    * quantization error for everything the shortlist caught — recall
+    * rises toward the probe bound (what the coarse pruning admits) at
+    * the cost of |queries|·depth exact dot products.
+    *
+    * Scale: the re-rank gather is a hash join on the corpus's PRIMARY
+    * KEY over a shortlist-sized side — a point-lookup-shaped join; no
+    * full-precision vector outside the shortlist is ever touched, so
+    * the memory story of the 4-byte index stands. Determinism: the
+    * refine similarity is s01's exact rounded cosine (ties by
+    * cand_id), so the oracle replays it directly.
+    */
   def ivfPqRefinedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (base, cents, pqCents, codes) = ivfPqIndex(spark, sfDir)

@@ -49,20 +49,42 @@ object Compaction {
       else fs.listStatus(d)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
-    val legacyTmps = Seq(
-      new Path(dir, ".compact-flat"),
-      new Path(dir.getParent, s".delete-compact-${dir.getName}"))
-    legacyTmps.foreach { tmp =>
-      if (fs.exists(tmp)) {
-        val stranded = dataFiles(tmp)
-        if (dataFiles(dir).isEmpty && stranded.nonEmpty) {
-          fs.mkdirs(dir)
-          stranded.foreach { f =>
-            require(fs.rename(f, new Path(dir, f.getName)),
-              s"legacy compaction recovery: could not move $f into $dir")
-          }
-        }
-        fs.delete(tmp, true): Unit
+    // every mutation below is a single WHOLE-DIRECTORY rename (or a
+    // delete of a provable duplicate), never a per-file move loop: a
+    // crash mid-loop would leave the live dir non-empty with the tmp
+    // still holding only-copy files, and the re-run would then read
+    // the live dir as authoritative and delete the tmp — losing rows
+    // (the round-14 self-review finding). Rename-or-nothing keeps
+    // every intermediate state re-enterable.
+    val childTmp = new Path(dir, ".compact-flat")
+    val siblingTmp = new Path(dir.getParent, s".delete-compact-${dir.getName}")
+    // normalize the child-shape residue to the sibling shape first (one
+    // atomic rename; the child cannot stay put — restoring the live dir
+    // around it would otherwise require deleting its own parent)
+    if (fs.exists(childTmp)) {
+      if (dataFiles(childTmp).isEmpty) fs.delete(childTmp, true): Unit
+      else {
+        require(!fs.exists(siblingTmp),
+          s"legacy compaction recovery: both $childTmp and $siblingTmp " +
+            "exist with data — refusing to guess which holds the table")
+        require(fs.rename(childTmp, siblingTmp),
+          s"legacy compaction recovery: could not stage $childTmp aside")
+      }
+    }
+    if (fs.exists(siblingTmp)) {
+      if (dataFiles(dir).nonEmpty || dataFiles(siblingTmp).isEmpty)
+        // crash-BEFORE-delete residue: the live dir holds every row and
+        // the tmp is a dead duplicate (old protocol deleted live files
+        // only after the tmp was fully written)
+        fs.delete(siblingTmp, true): Unit
+      else {
+        // crash-AFTER-delete residue: the tmp holds the ONLY copy. Drop
+        // the husk dir (no data files — just _SUCCESS/crc leftovers)
+        // and rename the tmp into place; a crash between the two
+        // re-enters cleanly (dir absent ⇒ dataFiles(dir) empty)
+        if (fs.exists(dir)) fs.delete(dir, true): Unit
+        require(fs.rename(siblingTmp, dir),
+          s"legacy compaction recovery: could not restore $dir")
       }
     }
   }

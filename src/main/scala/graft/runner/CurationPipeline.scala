@@ -824,7 +824,33 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       .sortWithinPartitions($"shard", $"shard_pos")
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
-    publishEpochManifest(epoch, shards)
+    publishOrDropEpoch(epoch, shards)
+  }
+
+  /** Publish the epoch's manifest partition from its written files —
+    * or, when the write emitted NO shards (empty train split; an
+    * erasure that removed the epoch's last docs), drop the epoch dir
+    * and its manifest partition instead of reading an empty
+    * partitioned dir (which throws) and returns the empty manifest
+    * frame. Shared tail of [[writeEpochShards]] and
+    * [[rewriteEpochShards]]. */
+  private def publishOrDropEpoch(epoch: Long, geometry: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (epochDir, fs) = hadoopPath(targetPath(s"epoch_shards/epoch=$epoch"))
+    val anyShard = fs.exists(epochDir) &&
+      fs.listStatus(epochDir).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("shard="))
+    if (anyShard) publishEpochManifest(epoch, geometry)
+    else {
+      deletePath(targetPath(s"epoch_shards/epoch=$epoch"))
+      deletePath(targetPath(s"epoch_shard_manifest/epoch=$epoch"))
+      spark.range(0).select(lit(0L).as("epoch"), lit(0L).as("shard"),
+        lit(0L).as("n_docs"), lit(0L).as("n_tokens"), lit(0L).as("n_seqs"),
+        lit(0L).as("boundary_splits"),
+        array(struct(lit(0L).as("seq"), lit(0L).as("row"),
+          lit(0L).as("skip_tokens"))).as("cursors"))
+    }
   }
 
   /** The span-trimmed corpus restricted to train-labeled docs — what
@@ -919,18 +945,7 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
         deletePath(targetPath(s"epoch_shards/epoch=$epoch/shard=$s"))
       }
     } finally packed.unpersist(): Unit
-    // an epoch whose LAST docs died leaves no shard dirs at all — drop
-    // the dir and its manifest partition rather than publish over
-    // nothing (read.parquet over an empty partitioned dir throws)
-    val (epochDir, fs) = hadoopPath(targetPath(s"epoch_shards/epoch=$epoch"))
-    val anyShardLeft = fs.exists(epochDir) &&
-      fs.listStatus(epochDir).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("shard="))
-    if (anyShardLeft) publishEpochManifest(epoch, shards): Unit
-    else {
-      deletePath(targetPath(s"epoch_shards/epoch=$epoch"))
-      deletePath(targetPath(s"epoch_shard_manifest/epoch=$epoch"))
-    }
+    publishOrDropEpoch(epoch, shards): Unit
   }
 
   /** GDPR/takedown ERASURE through the curation document family — the
@@ -972,35 +987,37 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     *      regeneration IS the provably-equal path — and its cost (one
     *      derived-table refresh per erasure BATCH, run monthly, never
     *      per id) is the reference's own repair posture;
-    *   5. every MATERIALIZED EPOCH SHARD set purges at its recorded
-    *      geometry — shard rows carry the document payload, so they
-    *      are the one surface erased text would otherwise survive on.
-    *      SCOPED to what actually changed (round-13 "next" #1): the
-    *      pre-repair train-trimmed state is snapshotted as
-    *      (doc_id, text-hash, lang), diffed against the rebuilt state,
-    *      and only shards CONTAINING a changed doc rewrite — shard
-    *      membership is a pure hash of (epoch, doc_id)
-    *      ([[CurationModels.epochShardCol]], the writer's own
-    *      function) and all per-shard numbers are shard-local, so an
-    *      untouched shard is provably byte-identical and its file
-    *      never moves. Epoch dirs with NO manifest row (a
-    *      [[writeEpochShards]] that crashed before its manifest write)
-    *      are unpublished payload and are deleted outright. (A mere
+    *   5. every MATERIALIZED EPOCH SHARD set is brought to the
+    *      post-delete corpus at its recorded geometry — shard rows
+    *      carry the document payload, so they are the one surface
+    *      erased text would otherwise survive on. SCOPED to what
+    *      actually differs (round-13 "next" #1): each epoch is diffed
+    *      against its OWN files on (doc_id, n_tokens) — the complete
+    *      shard-row state, since trims always move the token count
+    *      and raw text/lang are immutable — and only shards containing
+    *      a differing doc rewrite. Shard membership is a pure hash of
+    *      (epoch, doc_id) ([[CurationModels.epochShardCol]], the
+    *      writer's own function) and all per-shard numbers are
+    *      shard-local, so an undiffed shard is provably byte-identical
+    *      and its file never moves. Diffing against the files (not a
+    *      pre-repair snapshot) also folds in docs APPENDED since the
+    *      epoch was written, so a purged epoch always equals one
+    *      [[writeEpochShards]] emission over the current corpus —
+    *      never a mix of corpus versions. Epoch dirs with NO manifest
+    *      row (a writer that crashed before its manifest write) are
+    *      unpublished payload and are deleted outright. (A mere
     *      append catch-up leaves epochs alone: staleness there means
     *      missing NEW docs, a trainer refresh decision — erasure must
     *      purge, retention is the violation.)
     *
     * Mutation safety: the log append lands first; groups and funnel
     * swap via [[SwapWrite]] (no crash point loses committed rows);
-    * the derived tail is deterministic in (funnel, corpus). A crash
-    * anywhere is recovered by RE-RUNNING deleteDocs with the same ids
+    * the derived tail is deterministic in (funnel, corpus), and the
+    * epoch purge in (files, rebuilt tables). A crash anywhere is
+    * recovered by RE-RUNNING deleteDocs with the same ids
     * (already-tombstoned ids stay valid, the repair re-derives from
-    * current state — every step is idempotent). The epoch-scoping
-    * snapshot keeps that true for step 5: it is taken only when ABSENT
-    * (a leftover snapshot is an interrupted erasure's older pre-state,
-    * still the right diff base) and deleted only after the purge
-    * completes, so a crash between rebuild and purge cannot make the
-    * re-run see "nothing changed" over already-rebuilt tables.
+    * current state — every step is idempotent, and step 5 carries no
+    * cross-run state at all).
     *
     * `sfDir` is the current corpus snapshot; deleted docs may or may
     * not still be present in it (the log excludes them either way),
@@ -1050,18 +1067,6 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       // repair below crashes (re-run deleteDocs with the same ids)
       delIds.write.mode(SaveMode.Append)
         .parquet(targetPath("curation_tombstones"))
-      // pre-rebuild snapshot of the train-trimmed state — the diff
-      // base for the scoped epoch purge (step 5). Taken only when
-      // ABSENT: a leftover snapshot means a prior erasure crashed
-      // before its purge completed, and that OLDER pre-state is still
-      // the right base (the rebuilt tables below would diff as
-      // "unchanged" and the purge would skip shards that still hold
-      // erased text)
-      // a REGULAR (non-dot) table name: Spark's datasource path checks
-      // treat dot-prefixed dirs as hidden, and the one table the purge
-      // protocol depends on must never read ambiguously
-      val prevPath = targetPath("erasure_prev_train")
-      if (!pathExists(prevPath)) snapshotTrainTrimmed(prevPath)
       // the logical post-delete corpus: processed docs minus the log
       val wm = funnel0.select($"doc_id").unionByName(curationTombstones)
         .agg(max($"doc_id")).head().getLong(0)
@@ -1077,29 +1082,13 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       // from the repaired verdicts over the post-delete corpus
       rebuildDerived(corpus)
       // 5. purge erased payload from the materialized epoch shard
-      // files — scoped to the shards that actually changed (see the
-      // class scaladoc); the snapshot is consumed and only then
-      // dropped, completing the crash-recovery protocol
-      purgeEpochShards(prevPath)
-      deletePath(prevPath)
+      // files — each epoch diffed against its OWN files and scoped to
+      // the shards that actually differ (see the class scaladoc);
+      // purely derived from (files, rebuilt tables), so a crash
+      // anywhere re-runs to the same result with no recovery protocol
+      purgeEpochShards()
       counted(report())
     } finally { delIds.unpersist(); reqIds.unpersist(): Unit }
-  }
-
-  /** Materialize the CURRENT train-trimmed state as
-    * `(doc_id, th = md5(text), lang)` — the scoped purge's diff base.
-    * Hash-grain, not payload-grain: corpus-sized in rows but kilobyte
-    * rows, so the snapshot costs one column-pruned scan + a small
-    * write, against the corpus×epochs write it saves. Skipped (and the
-    * purge falls back to full regeneration) on a warehouse predating
-    * the span/split tables. */
-  private def snapshotTrainTrimmed(path: String): Unit = {
-    import org.apache.spark.sql.functions._
-    if (pathExists(targetPath("span_trimmed_corpus")) &&
-      pathExists(targetPath("curation_splits")))
-      trainTrimmedDocs()
-        .select($"doc_id", md5($"text").as("th"), $"lang")
-        .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
   /** `epoch=N` partition dirs under `table` (for `epoch_shards`,
@@ -1116,15 +1105,31 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
   }
   private def diskEpochs(): Seq[Long] = epochDirsOf("epoch_shards")
 
-  /** Step 5 of [[deleteDocs]]: remove erased payload from every
-    * materialized epoch. Enumerates epochs from the manifest AND the
-    * shard directory listing (round-13 review: a [[writeEpochShards]]
-    * that crashed between its file write and its manifest write leaves
+  /** Step 5 of [[deleteDocs]]: bring every materialized epoch to the
+    * CURRENT post-delete corpus (the same content [[writeEpochShards]]
+    * would emit today — the round-13 posture), rewriting only the
+    * shards that actually differ. Enumerates epochs from the manifest
+    * AND the shard directory listing (round-13 review: a writer that
+    * crashed between its file write and its manifest write leaves
     * payload the manifest doesn't know about — those unpublished dirs
-    * are deleted outright). Published epochs rewrite ONLY the shards
-    * containing a doc from the pre/post diff under `prevPath`; with no
-    * usable diff base the epoch conservatively regenerates in full. */
-  private def purgeEpochShards(prevPath: String): Unit = {
+    * are deleted outright).
+    *
+    * The diff base for each epoch is the epoch's OWN FILES, not a
+    * snapshot: a shard row depends on nothing but its shard's
+    * (doc_id, n_tokens) multiset in permutation order plus the doc's
+    * immutable raw text/lang, and a trim change ALWAYS moves n_tokens
+    * ([[CurationModels.epochDocState]]'s argument) — so comparing the
+    * files' (doc_id, n_tokens) against the current train-trimmed
+    * state catches every way a shard can be stale: erased docs,
+    * re-admitted docs, trim restores, AND docs appended by catch-ups
+    * since the epoch was written (a snapshot diff missed the last
+    * class and could leave an epoch mixing corpus versions — the
+    * round-14 self-review finding). Purely derived from current
+    * state: no scratch tables, no crash protocol, idempotent by
+    * construction. Cost per epoch: one two-column pruned read of its
+    * files (the payload column never loads) + the shared current
+    * projection. */
+  private def purgeEpochShards(): Unit = {
     import org.apache.spark.sql.functions._
     val manifested: Map[Long, Long] =
       if (epochDirsOf("epoch_shard_manifest").nonEmpty)
@@ -1137,35 +1142,35 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
       deletePath(targetPath(s"epoch_shards/epoch=$e"))
     }
     if (manifested.isEmpty) return
-    val changedOpt: Option[DataFrame] =
-      if (!pathExists(prevPath)) None
+    val (_, fs) = hadoopPath(targetPath("epoch_shards"))
+    // the current (doc_id, n_tokens) projection, MATERIALIZED once for
+    // all epochs (tokenization is the expensive half; a parquet
+    // scratch, not an executor cache — corpus-row-grain. No crash
+    // gating needed: it is unconditionally overwritten here before any
+    // read, so leftover state from a killed purge is inert)
+    val curPath = targetPath("erasure_doc_state")
+    CurationModels.epochDocState(trainTrimmedDocs())
+      .select($"doc_id", $"n_tokens".as("cur_tokens"))
+      .write.mode(SaveMode.Overwrite).parquet(curPath)
+    val cur = spark.read.parquet(curPath)
+    manifested.toSeq.sortBy(_._1).foreach { case (e, g) =>
+      val dirThere = fs.exists(
+        new org.apache.hadoop.fs.Path(targetPath(s"epoch_shards/epoch=$e")))
+      if (!dirThere) writeEpochShards(e, g): Unit // manifest row, no files
       else {
-        val prev = spark.read.parquet(prevPath)
-          .select($"doc_id", $"th".as("pth"), $"lang".as("plang"))
-        val cur = trainTrimmedDocs()
-          .select($"doc_id", md5($"text").as("th"), $"lang")
-        // changed = entered ∪ left ∪ text-or-lang differs: exactly the
-        // docs whose shard rows could differ from the previous files
-        Some(prev.join(cur, Seq("doc_id"), "full_outer")
-          .filter(!($"pth" <=> $"th") || !($"plang" <=> $"lang"))
-          .select($"doc_id").persist())
+        val onDisk = spark.read
+          .parquet(targetPath(s"epoch_shards/epoch=$e"))
+          .select($"doc_id", $"n_tokens".as("old_tokens"))
+        // changed = entered ∪ left ∪ token-count moved; shard
+        // membership via the writer's own hash — corpus-free
+        val touched = onDisk.join(cur, Seq("doc_id"), "full_outer")
+          .filter(!($"old_tokens" <=> $"cur_tokens"))
+          .select(CurationModels.epochShardCol(e, $"doc_id", g).as("s"))
+          .distinct().as[Long].collect().toSeq.sorted
+        if (touched.nonEmpty) rewriteEpochShards(e, g, touched)
       }
-    try {
-      val (_, fs) = hadoopPath(targetPath("epoch_shards"))
-      manifested.toSeq.sortBy(_._1).foreach { case (e, g) =>
-        val dirThere = fs.exists(
-          new org.apache.hadoop.fs.Path(targetPath(s"epoch_shards/epoch=$e")))
-        changedOpt match {
-          case Some(changed) if dirThere =>
-            // membership via the writer's own hash — corpus-free
-            val touched = changed
-              .select(CurationModels.epochShardCol(e, $"doc_id", g).as("s"))
-              .distinct().as[Long].collect().toSeq.sorted
-            if (touched.nonEmpty) rewriteEpochShards(e, g, touched)
-          case _ => writeEpochShards(e, g): Unit // no diff base / no files
-        }
-      }
-    } finally changedOpt.foreach(_.unpersist(): Unit)
+    }
+    deletePath(curPath)
   }
 
   /** EPOCH RETENTION (round-13 "missing #2"): materialized epochs

@@ -286,6 +286,19 @@ class CurationErasureSpec extends AnyFunSuite {
     assertBloomEqual(whA, whB, "curation_segment_bloom")
     assertBloomEqual(whA, whB, "curation_span_bloom")
 
+    // the re-issued erasure diffs each epoch against its OWN files, so
+    // docs appended by the interleaved catch-up above fold in too —
+    // the epoch equals one fresh writer emission over the CURRENT
+    // corpus, never a mix of corpus versions (round-14 review finding)
+    pipeB.writeEpochShards(0L, shards = 4L)
+    def epochRows(wh: String): Seq[String] =
+      sortedRows(spark.read.parquet(s"$wh/epoch_shards/epoch=0")
+        .select($"shard".cast("long").as("shard"), $"shard_pos",
+          $"doc_id", $"text"))
+    assert(epochRows(whA) == epochRows(whB),
+      "post-catch-up erasure must leave the epoch ≡ a fresh emit " +
+        "over the current corpus")
+
     // --- mid-swap crash on the tombstone LOG (round-13 high finding):
     // compact() folds the log via SwapWrite; between its two renames
     // the dir is ABSENT with the only copy in the .swap- sibling. The

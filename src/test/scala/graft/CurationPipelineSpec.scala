@@ -260,6 +260,22 @@ class CurationPipelineSpec extends AnyFunSuite {
     Compaction.compactFlat(spark, d3)
     assert(rows(d3) == want3, "a dead-duplicate legacy tmp must not win")
     assert(!new java.io.File(d3, ".compact-flat").exists())
+    assert(!new java.io.File(new java.io.File(d3).getParentFile,
+      ".delete-compact-tbl").exists(), "staged duplicate cleared too")
+
+    // the migration's own re-entry point: a crash AFTER it dropped the
+    // husk dir but BEFORE renaming the staged tmp in (live dir absent,
+    // sibling tmp holds the only copy) must restore on the next sweep —
+    // the whole-dir-rename protocol's only intermediate state
+    val d5 = Files.createTempDirectory("graft-legacy5").toString + "/tbl"
+    (300L until 330L).toDF("v").coalesce(1).write.parquet(d5)
+    val want5 = rows(d5)
+    val parent5 = new java.io.File(d5).getParentFile
+    assert(new java.io.File(d5)
+      .renameTo(new java.io.File(parent5, ".delete-compact-tbl")))
+    Compaction.migrateLegacyResidue(spark, d5)
+    assert(rows(d5) == want5, "mid-migration crash state must restore")
+    assert(!new java.io.File(parent5, ".delete-compact-tbl").exists())
   }
 
   test("incremental over a pre-span-stage warehouse bootstraps the span tables first") {

@@ -177,6 +177,26 @@ class EpochShardWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("an epoch over an empty train split publishes nothing and throws nothing") {
+    // the erasure purge's full-regeneration fallback can hit an epoch
+    // whose train corpus has emptied — the writer must drop the epoch
+    // (dir + manifest partition) instead of reading an empty
+    // partitioned dir (round-14 review finding)
+    val wh = Files.createTempDirectory("graft-esw-empty").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter($"doc_id" < 0) // empty, schema intact
+      .write.parquet(s"$wh/span_trimmed_corpus/documents.parquet")
+    CurationModels.splitLabelsFrom(docs.filter($"doc_id" < 0))
+      .write.parquet(s"$wh/curation_splits")
+    val pipe = new CurationPipeline(spark, wh)
+    val manifest = pipe.writeEpochShards(0L, shards = 2L)
+    assert(manifest.count() == 0, "empty epoch returns an empty manifest")
+    assert(!new java.io.File(s"$wh/epoch_shards/epoch=0").exists(),
+      "no payload dir may remain")
+    assert(!new java.io.File(s"$wh/epoch_shard_manifest/epoch=0").exists(),
+      "no manifest partition may remain")
+  }
+
   test("vacuumEpochs drops exactly the unkept epochs from files and manifest, idempotently") {
     val wh = makeWarehouse()
     val pipe = new CurationPipeline(spark, wh)
