@@ -186,7 +186,18 @@ object CompositeModels {
     * shuffled volume is 30×|distinct triples| — linear, no range BNLJ.
     */
   def monthlyActiveAccounts(spark: SparkSession, sfDir: String): DataFrame =
-    activeAccountsAppFromGrid(appActivityGrid(spark, sfDir), 29)
+    monthlyActiveAccountsShared(spark, sfDir)
+
+  /** Session-memoized (`Shared.materialized`) q34 rows — the reference
+    * PUBLISHES `monthly_active_accounts_app` as a table and
+    * `daily_summary_by_app` reads it (the registry model of the same
+    * name); here q34 and q40's monthly leg share one build the same
+    * way. */
+  private[graft] def monthlyActiveAccountsShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("q34_monthly_active_accounts", spark, sfDir) {
+      activeAccountsAppFromGrid(appActivityGrid(spark, sfDir), 29)
+    }
 
   /** Frame-parameterized variant for the model registry. */
   def monthlyActiveAccountsFrom(factIn: DataFrame): DataFrame =
@@ -430,14 +441,19 @@ object CompositeModels {
     val vf = KreModels.volatilityFactor(spark, sfDir)
     val payout = KreModels.dailyPayout(spark, sfDir)
     dailyKreSummaryFrom(factTxn(spark, sfDir),
-      appActivityGrid(spark, sfDir), aub, vf, payout)
+      appActivityGrid(spark, sfDir), aub, vf, payout,
+      monthlyIn = Some(EcosystemModels.ecoActiveMonthly(spark, sfDir)))
   }
 
   /** The q35 composite over already-built inputs (`factIn` = q01 rows,
     * `gridIn` = the [[appActivityGridFrom]] rows, `aubIn` = q28 rows,
-    * `vfIn` = q27 rows, `payoutIn` = q26 rows). */
+    * `vfIn` = q27 rows, `payoutIn` = q26 rows; `monthlyIn` optionally
+    * injects the already-materialized 30-day ecosystem actives —
+    * `EcosystemModels.ecoActiveMonthly` rows — instead of re-deriving
+    * them from the grid). */
   def dailyKreSummaryFrom(factIn: DataFrame, gridIn: DataFrame,
-      aubIn: DataFrame, vfIn: DataFrame, payoutIn: DataFrame): DataFrame = {
+      aubIn: DataFrame, vfIn: DataFrame, payoutIn: DataFrame,
+      monthlyIn: Option[DataFrame] = None): DataFrame = {
     import factIn.sparkSession.implicits._
     // no cache — same reasoning as activeAccountsAppFrom
     val fact = factIn
@@ -461,7 +477,8 @@ object CompositeModels {
     // each role leg, so a date whose whole 30-day window lacks a role is
     // DROPPED, not 0-filled — filter to reproduce that join semantics
     // exactly
-    val monthly = EcosystemModels.activeEcosystemFromGrid(gridIn, 29)
+    val monthly = monthlyIn
+      .getOrElse(EcosystemModels.activeEcosystemFromGrid(gridIn, 29))
       .filter($"active_spenders" > 0 && $"active_earners" > 0)
       .select($"date_key",
         $"active_users".as("monthly_active_users"),

@@ -235,8 +235,15 @@ object CurationModels {
     * higher-order functions — the operator is a stateless map; at
     * 100 TB it pipelines inside the scan with no exchange at all.
     */
+  /** Session-memoized (`Shared.materialized`): the per-doc signal table
+    * is read standalone (c03) AND as the funnel's `rep_flagged` leg
+    * (c06) — and the per-doc expressions (sorted-run fold, bigram
+    * explode) are the expensive part, so one materialization replaces
+    * two full corpus evaluations (the c01 precedent). */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionSignalsFrom(Tables.documents(spark, sfDir))
+    Shared.materialized("c03_repetition_signals", spark, sfDir) {
+      repetitionSignalsFrom(Tables.documents(spark, sfDir))
+    }
 
   /** Frame-parameterized variant (per-doc — incremental runs feed only
     * the NEW documents through it). */

@@ -89,6 +89,19 @@ object EcosystemModels {
     activeEcosystemFromGrid(
       CompositeModels.appActivityGrid(spark, sfDir), 6)
 
+  /** Session-memoized (`Shared.materialized`) 30-day ecosystem actives —
+    * the reference publishes `monthly_active_accounts_ecosystem` as a
+    * table (the registry's `monthly_active_ecosystem` model) and both
+    * wide API rows read it: q39's monthly leg and q35's
+    * monthly-actives join share this one build instead of each paying
+    * the ×30 explode over the grid. */
+  private[graft] def ecoActiveMonthly(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.models.Shared.materialized("eco_active_monthly", spark, sfDir) {
+      activeEcosystemFromGrid(
+        CompositeModels.appActivityGrid(spark, sfDir), 29)
+    }
+
   private def activeEcosystemOracle(lookback: Int): String = {
     val window =
       if (lookback == 0) "u.date_key = d.anchor_date"
@@ -132,14 +145,17 @@ object EcosystemModels {
     val fact = factTxn(spark, sfDir)
     val vf = KreModels.volatilityFactor(spark, sfDir)
     dailySummaryEcosystemFrom(fact,
-      CompositeModels.appActivityGrid(spark, sfDir), vf)
+      CompositeModels.appActivityGrid(spark, sfDir), vf,
+      monthlyIn = Some(ecoActiveMonthly(spark, sfDir)))
   }
 
   /** Frame-parameterized variant for the model registry (`gridIn` =
     * the shared activity grid; `vf` must carry
-    * (date_key, average_price)). */
+    * (date_key, average_price); `monthlyIn` optionally injects an
+    * already-materialized 30-day actives table — [[ecoActiveMonthly]]
+    * rows — instead of re-deriving it from the grid). */
   def dailySummaryEcosystemFrom(factIn: DataFrame, gridIn: DataFrame,
-      vf: DataFrame): DataFrame = {
+      vf: DataFrame, monthlyIn: Option[DataFrame] = None): DataFrame = {
     import factIn.sparkSession.implicits._
     val fact = factIn.select($"date_key", $"app_id", $"wallet_id",
       $"txn_type", $"amount")
@@ -163,7 +179,8 @@ object EcosystemModels {
       .select($"date_key", $"active_users".as("daily_active_users"),
         $"active_spenders".as("daily_active_spenders"),
         $"active_earners".as("daily_active_earners"))
-    val monthly = activeEcosystemFromGrid(gridIn, 29)
+    val monthly = monthlyIn
+      .getOrElse(activeEcosystemFromGrid(gridIn, 29))
       .select($"date_key", $"active_users".as("monthly_active_users"),
         $"active_spenders".as("monthly_active_spenders"),
         $"active_earners".as("monthly_active_earners"))
@@ -216,13 +233,19 @@ object EcosystemModels {
     dailySummaryByAppFrom(factTxn(spark, sfDir),
       CompositeModels.appActivityGrid(spark, sfDir),
       KreModels.volatilityFactor(spark, sfDir),
-      graft.catalog.Tables.nation(spark, sfDir))
+      graft.catalog.Tables.nation(spark, sfDir),
+      monthlyIn =
+        Some(CompositeModels.monthlyActiveAccountsShared(spark, sfDir)))
 
   /** Frame-parameterized variant for the model registry (`gridIn` =
     * the shared activity grid; `vf` carries (date_key, average_price);
-    * `nation` is the app dim). */
+    * `nation` is the app dim; `monthlyIn` optionally injects the
+    * already-materialized q34 rows — the published
+    * `monthly_active_accounts` table — instead of re-deriving them
+    * from the grid). */
   def dailySummaryByAppFrom(factIn: DataFrame, gridIn: DataFrame,
-      vf: DataFrame, nation: DataFrame): DataFrame = {
+      vf: DataFrame, nation: DataFrame,
+      monthlyIn: Option[DataFrame] = None): DataFrame = {
     import factIn.sparkSession.implicits._
     val fact = factIn.select($"date_key", $"app_id", $"wallet_id",
       $"txn_type", $"amount")
@@ -248,7 +271,8 @@ object EcosystemModels {
         $"active_users".as("daily_active_users"),
         $"active_earners".as("daily_active_earners"),
         $"active_spenders".as("daily_active_spenders"))
-    val monthly = CompositeModels.activeAccountsAppFromGrid(gridIn, 29)
+    val monthly = monthlyIn
+      .getOrElse(CompositeModels.activeAccountsAppFromGrid(gridIn, 29))
       .select($"date_key", $"app_id",
         $"active_users".as("monthly_active_users"),
         $"active_earners".as("monthly_active_earners"),
