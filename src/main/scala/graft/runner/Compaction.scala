@@ -37,10 +37,12 @@ object Compaction {
     * recognize, so without this branch the table reads as empty and
     * the stranded rows are never restored. Finish the old protocol's
     * move: if the live dir holds no data files and a legacy tmp does,
-    * rename the tmp's data files in; any legacy tmp is then dropped
-    * (crash-before-delete leaves it a dead duplicate). Runs through
-    * the Hadoop FileSystem like everything else, and is a no-op a few
-    * exists-calls cheap once no legacy residue remains. */
+    * rename the tmp's data files in. When BOTH hold data files the
+    * states are disambiguated by ROW CONTENT, never by listing alone
+    * (see the branch comment — the old per-file move loop makes
+    * "live non-empty" compatible with "tmp holds only-copies"). Runs
+    * through the Hadoop FileSystem like everything else, and is a
+    * no-op a few exists-calls cheap once no legacy residue remains. */
   def migrateLegacyResidue(spark: SparkSession, dirPath: String): Unit = {
     val dir = new Path(dirPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,12 +74,9 @@ object Compaction {
       }
     }
     if (fs.exists(siblingTmp)) {
-      if (dataFiles(dir).nonEmpty || dataFiles(siblingTmp).isEmpty)
-        // crash-BEFORE-delete residue: the live dir holds every row and
-        // the tmp is a dead duplicate (old protocol deleted live files
-        // only after the tmp was fully written)
+      if (dataFiles(siblingTmp).isEmpty)
         fs.delete(siblingTmp, true): Unit
-      else {
+      else if (dataFiles(dir).isEmpty) {
         // crash-AFTER-delete residue: the tmp holds the ONLY copy. Drop
         // the husk dir (no data files — just _SUCCESS/crc leftovers)
         // and rename the tmp into place; a crash between the two
@@ -85,6 +84,46 @@ object Compaction {
         if (fs.exists(dir)) fs.delete(dir, true): Unit
         require(fs.rename(siblingTmp, dir),
           s"legacy compaction recovery: could not restore $dir")
+      } else {
+        // BOTH dirs hold data files. The old protocols reach this state
+        // two ways that a directory listing cannot tell apart
+        // (round-14 review): crash-BEFORE-delete (tmp = a complete
+        // rewrite, live authoritative — tmp is a dead duplicate) and
+        // crash-MID-MOVE (the old per-file move loop emptied live, then
+        // moved tmp files in one rename at a time — live holds the
+        // moved prefix and the tmp holds the ONLY copies of the rest).
+        // Deleting the tmp on listing evidence alone silently loses the
+        // stranded rows in the second state, so reconcile by ROW
+        // CONTENT (a one-time migration can afford the read):
+        //  - tmp ⊆ live  → dead duplicate, drop the tmp;
+        //  - live ⊆ tmp  → tmp supersedes (old mid-DELETE crash: some
+        //    originals gone, tmp holds the full rewrite) — restore it;
+        //  - disjoint    → mid-move: finish the old protocol's move
+        //    (rename-per-file; a crash mid-loop re-enters this same
+        //    branch and keeps converging);
+        //  - anything else cannot arise from the legacy protocols →
+        //    refuse loudly rather than guess (the childTmp collision
+        //    posture).
+        val live = spark.read.parquet(dirPath)
+        val tmp = spark.read.parquet(siblingTmp.toString)
+        val tmpExtra = tmp.exceptAll(live)
+        val liveExtra = live.exceptAll(tmp)
+        if (tmpExtra.isEmpty) fs.delete(siblingTmp, true): Unit
+        else if (liveExtra.isEmpty) {
+          fs.delete(dir, true): Unit
+          require(fs.rename(siblingTmp, dir),
+            s"legacy compaction recovery: could not restore $dir")
+        } else if (tmp.intersectAll(live).isEmpty) {
+          dataFiles(siblingTmp).foreach { f =>
+            require(fs.rename(f, new Path(dir, f.getName)),
+              s"legacy compaction recovery: could not move $f into $dir")
+          }
+          fs.delete(siblingTmp, true): Unit
+        } else
+          throw new IllegalStateException(
+            s"legacy compaction recovery: $dir and $siblingTmp hold " +
+              "overlapping but divergent rows — refusing to guess " +
+              "which is authoritative; reconcile manually")
       }
     }
   }

@@ -1117,14 +1117,23 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     * The diff base for each epoch is the epoch's OWN FILES, not a
     * snapshot: a shard row depends on nothing but its shard's
     * (doc_id, n_tokens) multiset in permutation order plus the doc's
-    * immutable raw text/lang, and a trim change ALWAYS moves n_tokens
-    * ([[CurationModels.epochDocState]]'s argument) — so comparing the
-    * files' (doc_id, n_tokens) against the current train-trimmed
-    * state catches every way a shard can be stale: erased docs,
-    * re-admitted docs, trim restores, AND docs appended by catch-ups
-    * since the epoch was written (a snapshot diff missed the last
-    * class and could leave an epoch mixing corpus versions — the
-    * round-14 self-review finding). Purely derived from current
+    * immutable raw text/lang — so comparing the files'
+    * (doc_id, n_tokens) against the current train-trimmed state
+    * catches every way a shard can go stale THROUGH THE DOC SET or the
+    * token counts: erased docs, re-admitted docs, trim restores, AND
+    * docs appended by catch-ups since the epoch was written (a
+    * snapshot diff missed the last class and could leave an epoch
+    * mixing corpus versions — the round-14 self-review finding). One
+    * documented blind spot (round-14 review, accepted): between an
+    * epoch write and a purge, a span RESTORE from erasure (+k tokens)
+    * and an independent new trim (−k tokens) on the SAME doc can
+    * cancel to an identical n_tokens, leaving that stale shard
+    * undetected. Erased docs themselves always diff on doc_id, so
+    * erasure/GDPR semantics are unaffected; closing the edge would
+    * mean carrying a content digest beside n_tokens on every shard
+    * row and in epochDocState — deliberately not paid for a
+    * token-count coincidence with no compliance consequence.
+    * Purely derived from current
     * state: no scratch tables, no crash protocol, idempotent by
     * construction. Cost per epoch: one two-column pruned read of its
     * files (the payload column never loads) + the shared current

@@ -276,6 +276,42 @@ class CurationPipelineSpec extends AnyFunSuite {
     Compaction.migrateLegacyResidue(spark, d5)
     assert(rows(d5) == want5, "mid-migration crash state must restore")
     assert(!new java.io.File(parent5, ".delete-compact-tbl").exists())
+
+    // old protocol crash MID-MOVE (round-14 review): the per-file move
+    // loop emptied the live dir and moved SOME tmp files in before
+    // dying — live is non-empty but the tmp holds the ONLY copies of
+    // the remaining rows. A listing-only rule would read live as
+    // authoritative and delete the tmp (silent row loss); the
+    // content-reconciling migration must detect the disjoint row sets
+    // and finish the move instead
+    val d6 = Files.createTempDirectory("graft-legacy6").toString + "/tbl"
+    (400L until 440L).toDF("v").repartition(4).write.parquet(d6)
+    val want6 = rows(d6)
+    val parent6 = new java.io.File(d6).getParentFile
+    val tmp6 = new java.io.File(parent6, ".delete-compact-tbl")
+    assert(new java.io.File(d6).renameTo(tmp6))
+    new java.io.File(d6).mkdirs()
+    // move ONE data file back in — the old loop's partial progress
+    val moved = tmp6.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(moved.renameTo(new java.io.File(d6, moved.getName)))
+    Compaction.migrateLegacyResidue(spark, d6)
+    assert(rows(d6) == want6,
+      "mid-move crash must finish the move, not delete the only copies")
+    assert(!tmp6.exists())
+
+    // crash-before-delete with both dirs populated (tmp = complete
+    // rewrite duplicate): the content compare must still drop the tmp
+    val d7 = Files.createTempDirectory("graft-legacy7").toString + "/tbl"
+    (500L until 520L).toDF("v").repartition(3).write.parquet(d7)
+    val want7 = rows(d7)
+    val parent7 = new java.io.File(d7).getParentFile
+    spark.read.parquet(d7).coalesce(1).write
+      .parquet(new java.io.File(parent7, ".delete-compact-tbl")
+        .getAbsolutePath)
+    Compaction.migrateLegacyResidue(spark, d7)
+    assert(rows(d7) == want7, "complete-rewrite duplicate tmp must drop")
+    assert(!new java.io.File(parent7, ".delete-compact-tbl").exists())
   }
 
   test("incremental over a pre-span-stage warehouse bootstraps the span tables first") {
