@@ -818,10 +818,23 @@ object DedupModels {
     * session-materialized [[spanGramStream]] parquet (shared with
     * d10/d11), so repeated trim consumers never re-explode the corpus
     * and nothing corpus-token-grain is executor-cached. */
+  /** Removal positions over the session's gram stream, materialized —
+    * the (doc_id, i) set is computed from the token-grain stream by a
+    * count+min(struct) aggregate over every gram, and BOTH the d11
+    * audit query and the c05/c08/c12 packing corpus (span_trimmed_docs)
+    * need it; one session build serves all (the pipeline's analog is
+    * its persisted span bookkeeping). Output is removal-position grain
+    * (≪ token grain). */
+  private[graft] def spanRemovalPositions(
+      spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("span_removal_positions", spark, sfDir) {
+      removalPositionsOf(spanGramStream(spark, sfDir))
+    }
+
   private[graft] def spanTrimmed(
       spark: SparkSession, sfDir: String): DataFrame =
     trimmedCorpusFrame(Tables.documents(spark, sfDir),
-      mergeRemovalSpans(removalPositionsOf(spanGramStream(spark, sfDir))))
+      mergeRemovalSpans(spanRemovalPositions(spark, sfDir)))
 
   /** The documents-schema tail of the trim, parameterized on the span
     * set — the incremental pipeline leg feeds spans computed against
@@ -844,7 +857,7 @@ object DedupModels {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     trimFrame(docs,
-      mergeRemovalSpans(removalPositionsOf(spanGramStream(spark, sfDir))))
+      mergeRemovalSpans(spanRemovalPositions(spark, sfDir)))
       .select($"doc_id", $"lang",
         size($"ts").cast(LongType).as("n_tokens"),
         size($"kept").cast(LongType).as("kept_tokens"),

@@ -1095,37 +1095,58 @@ object SimilarityModels {
     * bound SemDeDup (d09) already operates under.
     */
   def hardNegativeMining(spark: SparkSession, sfDir: String): DataFrame = {
-    withFloatDot(spark)
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-    val base = doubledEmb(emb)
-    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
-      coarseCodebook(base)
-    }
-    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
-      cellTop2(base, cents)
-    }
-    val assigned = top2.filter($"crk" === 1)
-      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
-      .select($"vec_id", $"v", $"norm", $"cid".as("cell"), $"label")
-    val anchors = assigned.select($"vec_id".as("anchor_id"),
-      $"v".as("a_v"), $"norm".as("a_norm"), $"cell",
-      $"label".as("anchor_label"))
-    val negs = assigned.select($"vec_id".as("neg_id"),
-      $"v".as("n_v"), $"norm".as("n_norm"), $"cell",
-      $"label".as("neg_label"))
+    val pairs = cellPairSims(spark, sfDir)
     val w = Window.partitionBy($"anchor_id")
       .orderBy($"neg_sim".desc, $"neg_id")
-    anchors.join(negs, Seq("cell"))
-      .filter($"anchor_label" =!= $"neg_label")
-      .withColumn("neg_sim",
-        round(dotArr($"a_v", $"n_v") / ($"a_norm" * $"n_norm"), 6)
-          .cast(DecimalType(24, 6)))
+    pairs.filter($"anchor_label" =!= $"other_label")
+      .select($"anchor_id", $"anchor_label", $"cell",
+        $"other_id".as("neg_id"), $"other_label".as("neg_label"),
+        $"sim".as("neg_sim"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"anchor_id", $"anchor_label", $"neg_id", $"neg_label",
         $"cell", $"neg_sim", $"rk".cast(LongType).as("neg_rank"))
   }
+
+  /** The scored in-cell pair stream s08 AND s09 both rank from —
+    * session-memoized (`Shared.materialized`) so the Σ|cell|² dot
+    * products run once per session instead of once per consumer (s08's
+    * negative pairs are exactly this stream filtered to label ≠; s09
+    * splits it into positives and negatives — its scaladoc's "ONE
+    * cell-keyed self-join feeds both sides", now literally one).
+    * Self-pairs are excluded here (a self-pair has equal labels, so
+    * s08's negative tier never saw them anyway). */
+  private[graft] def cellPairSims(
+      spark: SparkSession, sfDir: String): DataFrame =
+    Shared.materialized("cell_pair_sims", spark, sfDir) {
+      withFloatDot(spark)
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, sfDir)
+      val base = doubledEmb(emb)
+      val cents = Shared.materialized("ivf_cents", spark, sfDir) {
+        coarseCodebook(base)
+      }
+      val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
+        cellTop2(base, cents)
+      }
+      val assigned = top2.filter($"crk" === 1)
+        .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
+        .select($"vec_id", $"v", $"norm", $"cid".as("cell"), $"label")
+      val anchors = assigned.select($"vec_id".as("anchor_id"),
+        $"v".as("a_v"), $"norm".as("a_norm"), $"cell",
+        $"label".as("anchor_label"))
+      val others = assigned.select($"vec_id".as("other_id"),
+        $"v".as("o_v"), $"norm".as("o_norm"), $"cell",
+        $"label".as("other_label"))
+      anchors.join(others, Seq("cell"))
+        .filter($"anchor_id" =!= $"other_id")
+        .withColumn("sim",
+          round(dotArr($"a_v", $"o_v") / ($"a_norm" * $"o_norm"), 6)
+            .cast(DecimalType(24, 6)))
+        .select($"anchor_id", $"anchor_label", $"cell",
+          $"other_id", $"other_label", $"sim")
+    }
 
   val hardNegativeMiningOracle: String = {
     def dot(a: String, b: String): String =
@@ -1184,32 +1205,8 @@ object SimilarityModels {
     * IVF assignment table both branches read.
     */
   def contrastiveTriplets(spark: SparkSession, sfDir: String): DataFrame = {
-    withFloatDot(spark)
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-    val base = doubledEmb(emb)
-    val cents = Shared.materialized("ivf_cents", spark, sfDir) {
-      coarseCodebook(base)
-    }
-    val top2 = Shared.materialized("ivf_top2", spark, sfDir) {
-      cellTop2(base, cents)
-    }
-    val assigned = top2.filter($"crk" === 1)
-      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
-      .select($"vec_id", $"v", $"norm", $"cid".as("cell"), $"label")
-    val anchors = assigned.select($"vec_id".as("anchor_id"),
-      $"v".as("a_v"), $"norm".as("a_norm"), $"cell",
-      $"label".as("anchor_label"))
-    val others = assigned.select($"vec_id".as("other_id"),
-      $"v".as("o_v"), $"norm".as("o_norm"), $"cell",
-      $"label".as("other_label"))
-    val pairs = anchors.join(others, Seq("cell"))
-      .filter($"anchor_id" =!= $"other_id")
-      .withColumn("sim",
-        round(dotArr($"a_v", $"o_v") / ($"a_norm" * $"o_norm"), 6)
-          .cast(DecimalType(24, 6)))
-      .select($"anchor_id", $"anchor_label", $"cell",
-        $"other_id", $"other_label", $"sim")
+    val pairs = cellPairSims(spark, sfDir)
     val wAnchor = Window.partitionBy($"anchor_id")
       .orderBy($"sim".desc, $"other_id")
     val positives = pairs.filter($"anchor_label" === $"other_label")

@@ -1317,11 +1317,18 @@ object MultimodalOps {
     */
   def phashImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = graft.models.Shared
-      .materialized("phash_media", spark, sfDir) {
-        phashImageTable(spark, sfDir).toDF()
-      }.as[MediaRecord]
-    val groups = perceptualHashes(media)
+    // the per-doc HASH table is what production stores (the scaladoc's
+    // "one 16-bit value per image leaves the stage" — an ingest-time
+    // extraction, exactly like m09's video_frame_hashes and m10's
+    // audio_fp_energies); materializing hashes instead of the payload
+    // bytes means the dedup tiers never re-decode rasters, and every
+    // branch below (groups / bands / both count joins) reads the tiny
+    // parquet instead of re-running ImageIO per reference
+    val hashes = graft.models.Shared
+      .materialized("phash_hashes", spark, sfDir) {
+        perceptualHashes(phashImageTable(spark, sfDir))
+      }
+    val groups = hashes
       .groupBy($"ahash").agg(count(lit(1)).as("n_docs"))
     val selfRows = groups.filter($"n_docs" > 1)
       .select($"ahash".as("hash_a"), $"ahash".as("hash_b"),
@@ -1772,7 +1779,16 @@ object MultimodalOps {
       .materialized("audio_fp_energies", spark, sfDir) {
         windowEnergies(audioContentTable(spark, sfDir))
       }
-    val blocks = fingerprintBlocks(en)
+    // block frame materialized too: it feeds the signature rollup AND
+    // the sig-block projection, and the near tier's self-join
+    // references the latter twice — without the parquet hop each
+    // reference re-runs the per-doc lead/shift window over the energy
+    // table (plan-audited: the window partitions on doc_id, but four
+    // re-executions of it is pure waste)
+    val blocks = graft.models.Shared
+      .materialized("audio_fp_blocks", spark, sfDir) {
+        fingerprintBlocks(en)
+      }
     val perDoc = audioSignatures(blocks)
     val sigDocs = perDoc.groupBy($"sig").agg(count(lit(1)).as("n_docs"))
     val sigBlocks = blocks.join(perDoc, Seq("doc_id"))
@@ -1879,10 +1895,19 @@ object MultimodalOps {
     */
   def imageTextPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val media = graft.models.Shared
-      .materialized("pixel_media", spark, sfDir) {
-        pixelImageTable(spark, sfDir).toDF()
-      }.as[MediaRecord]
+    // the decoded pooled FEATURES are the stored artifact a contrastive
+    // data build keys on (LAION ships precomputed features beside the
+    // pairs) — materialize them so the pair table never re-decodes.
+    // m06 deliberately keeps decoding from pixel_media: its operator
+    // IS the decode stage; this table is m11's input, not m06's.
+    val feats = graft.models.Shared
+      .materialized("pixel_features", spark, sfDir) {
+        val media = graft.models.Shared
+          .materialized("pixel_media", spark, sfDir) {
+            pixelImageTable(spark, sfDir).toDF()
+          }.as[MediaRecord]
+        decodePixelFeatures(media).toDF()
+      }
     val cellStr = (c: org.apache.spark.sql.Column) => concat_ws(",",
       c.getField("cell_y").cast("string"),
       c.getField("cell_x").cast("string"),
@@ -1890,7 +1915,7 @@ object MultimodalOps {
       c.getField("sum_r").cast("string"),
       c.getField("sum_g").cast("string"),
       c.getField("sum_b").cast("string"))
-    val img = decodePixelFeatures(media)
+    val img = feats
       .groupBy($"doc_id", $"width", $"height")
       .agg(sum($"px_count").as("n_px"),
         sort_array(collect_list(struct(
