@@ -232,12 +232,21 @@ object TpchModels {
     import spark.implicits._
     val ord = Tables.orders(spark, sfDir)
       .withColumn("date_key", to_date($"o_orderdate"))
-    val a = ord.groupBy($"date_key")
+    // ONE orders scan + one exchange for the a/b legs (round 15): the
+    // count/sum and distinct-customers aggregates previously ran as two
+    // full scans + two exchanges + a join for the same (date_key)
+    // grain. countDistinct beside plain aggregates plans through a x2
+    // Expand — still one scan, strictly fewer exchanges. The urgent leg
+    // (d) STAYS a separate filtered scan: its literal equality is the
+    // P8 operator surface and must push to the parquet footers
+    // (PlanAuditSpec's scan-hygiene canary) — at scale that leg reads
+    // the row groups the predicate admits, cheaper than widening the
+    // fold with a conditional count over every row.
+    val ab = ord.groupBy($"date_key")
       .agg(count(lit(1)).as("order_count"),
         sum($"o_totalprice".cast(Money)).cast(DecimalType(38, 2))
-          .as("total_price"))
-    val b = ord.groupBy($"date_key")
-      .agg(countDistinct($"o_custkey").as("distinct_customers"))
+          .as("total_price"),
+        countDistinct($"o_custkey").as("distinct_customers"))
     val c = Tables.lineitem(spark, sfDir)
       .join(ord.select($"o_orderkey", $"date_key"),
         $"l_orderkey" === $"o_orderkey")
@@ -247,8 +256,7 @@ object TpchModels {
     val d = ord.filter($"o_orderpriority" === "1-URGENT")
       .groupBy($"date_key")
       .agg(count(lit(1)).as("urgent_orders"))
-    a.join(b, Seq("date_key"))
-      .join(c, Seq("date_key"))
+    ab.join(c, Seq("date_key"))
       .join(d, Seq("date_key"), "left")
       .withColumn("urgent_orders", coalesce($"urgent_orders", lit(0L)))
   }

@@ -923,28 +923,37 @@ final class CurationPipeline(spark: SparkSession, warehouseDir: String) {
     val trainDocs = trainTrimmedDocs()
     // the shard IN-list filters BELOW the per-shard windows (predicate
     // on the window partition key), so only touched shards sort/pack
-    val packed = CurationModels.epochPackedFrom(
+    // two consumers (the file write + the emptied-shard probe) read
+    // the packed frame through a PARQUET SCRATCH, the family's own
+    // discipline (erasure_doc_state precedent) — not an executor
+    // cache: the frame is touched-shards-bounded, but nothing in an
+    // erasure path should pin block-manager state when a scratch is
+    // equivalent (round-14 review). Unconditionally overwritten before
+    // any read, so leftovers from a killed rewrite are inert; deleted
+    // on the way out.
+    val scratchPath = targetPath("erasure_rewrite_scratch")
+    CurationModels.epochPackedFrom(
       CurationModels.epochShuffleFrom(trainDocs, epoch, shards)
         .filter($"shard".isin(touched: _*)))
       .join(trainDocs.select($"doc_id", $"text", $"lang"), Seq("doc_id"))
       .select($"shard", $"shard_pos", $"doc_id", $"lang", $"text",
         $"n_tokens", $"start_offset", $"first_seq", $"last_seq",
         $"boundary_split")
-      .persist() // two consumers: the file write + the emptied-shard probe
-    try {
-      packed
-        .repartition(math.max(1, touched.size), $"shard")
-        .sortWithinPartitions($"shard", $"shard_pos")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
-      val nonEmpty = packed.select($"shard").distinct()
-        .as[Long].collect().toSet
-      touched.filterNot(nonEmpty).foreach { s =>
-        deletePath(targetPath(s"epoch_shards/epoch=$epoch/shard=$s"))
-      }
-    } finally packed.unpersist(): Unit
+      .write.mode(SaveMode.Overwrite).parquet(scratchPath)
+    val packed = spark.read.parquet(scratchPath)
+    packed
+      .repartition(math.max(1, touched.size), $"shard")
+      .sortWithinPartitions($"shard", $"shard_pos")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(targetPath(s"epoch_shards/epoch=$epoch"))
+    val nonEmpty = packed.select($"shard").distinct()
+      .as[Long].collect().toSet
+    touched.filterNot(nonEmpty).foreach { s =>
+      deletePath(targetPath(s"epoch_shards/epoch=$epoch/shard=$s"))
+    }
+    deletePath(scratchPath)
     publishOrDropEpoch(epoch, shards): Unit
   }
 

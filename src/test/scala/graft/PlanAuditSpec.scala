@@ -38,23 +38,21 @@ class PlanAuditSpec extends AnyFunSuite {
   private val constantSideBnlj = Set(
     "q15_churn_30d",
     "q33_daily_net_inflation",
-    "s01_cosine_topk",
     "s04_sq8_ann_topk", // 10 broadcast query vectors, the s01 shape
     // over dequantized codes (`SimilarityModels.sq8AnnTopK`)
-    "s06_ivfpq_ann_topk", // constant IvfPqCells-row codebook crossJoin
-    // for the query-probe assignment (`SimilarityModels.adcSearch`)
-    "s07_ivfpq_refined_topk", // same probe-assignment crossJoin via
-    // adcSearch's shortlist stage
+    "s07_ivfpq_refined_topk", // probe-assignment crossJoin via
+    // adcSearch's shortlist stage (constant codebook side)
     "s10_filtered_ann_topk", // same probe-assignment crossJoin via
     // adcScored (the filter interposes before ranking, not the probe)
-    "s11_recall_audit", // composes s01's broadcast-queries scan AND
-    // s06's probe-assignment crossJoin — both constant-side shapes
-    // already allowlisted on their own queries
     // t07/t08/t09 carried one-row total-frame BNLJs until round 8;
     // their LM models are now session-materialized dim tables, so the
-    // audited steady-state plans read parquet with no nested loop
-    "q34_monthly_active_accounts",
-    "q40_daily_summary_by_app",
+    // audited steady-state plans read parquet with no nested loop.
+    // Round 15 retired five more the same way: s01/s06 are memoized
+    // result tables (their builds still run the constant-side
+    // crossJoin, but the audited steady-state plan is a parquet
+    // scan), s11 composes those two memos, and q34/q40 read the
+    // memoized monthly-actives instead of the interval path's
+    // calendar broadcast.
     "t16_tfidf_keywords") // ONE-row corpus-count frame broadcast into
     // the vocabulary-sized df aggregate (`TextModels.tfidfKeywords`'s
     // nDocs crossJoin) — constant side by construction
